@@ -1,0 +1,87 @@
+"""PLAIN encoding — raw little-endian values.
+
+Formats match the Parquet spec / reference byte-for-byte
+(reference: encoding/encodingwrite.go:34-130, golden vectors in
+encoding/encodingwrite_test.go:104-214):
+  * BOOLEAN  -> LSB-first bit-packed, 1 bit/value
+  * INT32/INT64/FLOAT/DOUBLE -> raw LE array (zero-copy from Arrow buffer)
+  * BYTE_ARRAY -> per-value ``u32 LE length + bytes`` (vectorized scatter)
+  * FIXED_LEN_BYTE_ARRAY -> concatenated raw bytes
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .base import arr_values_np, binary_parts, build_binary, register
+
+
+def encode_plain(arr: pa.Array) -> tuple[bytes, dict]:
+    t = arr.type
+    if pa.types.is_boolean(t):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.uint8)
+        return np.packbits(v, bitorder="little").tobytes(), {}
+    if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        lengths, data = binary_parts(arr)
+        n = len(lengths)
+        total = int(lengths.sum())
+        out = np.empty(total + 4 * n, dtype=np.uint8)
+        # scatter the 4-byte LE length prefixes
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        len_pos = starts + 4 * np.arange(n, dtype=np.int64)
+        len_bytes = lengths.astype("<u4").view(np.uint8).reshape(n, 4)
+        out[(len_pos[:, None] + np.arange(4)).reshape(-1)] = len_bytes.reshape(-1)
+        # scatter the data bytes: byte j of value i lands at j + 4*(i+1)
+        if total:
+            val_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            dest = np.arange(total, dtype=np.int64) + 4 * (val_idx + 1)
+            out[dest] = data
+        return out.tobytes(), {}
+    if pa.types.is_fixed_size_binary(t):
+        buffers = arr.buffers()
+        w = t.byte_width
+        data = np.frombuffer(buffers[1], dtype=np.uint8, count=len(arr) * w, offset=arr.offset * w)
+        return data.tobytes(), {"width": w}
+    # numeric: raw LE buffer
+    v = arr_values_np(arr)
+    return np.ascontiguousarray(v).tobytes(), {}
+
+
+def decode_plain(payload: bytes, meta: dict, typ: pa.DataType) -> pa.Array:
+    n = meta["rows"]
+    if pa.types.is_boolean(typ):
+        bits = np.unpackbits(np.frombuffer(payload, np.uint8), bitorder="little")[:n]
+        return pa.array(bits.astype(bool), type=pa.bool_())
+    if pa.types.is_string(typ) or pa.types.is_binary(typ) or pa.types.is_large_string(typ) or pa.types.is_large_binary(typ):
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        lengths = np.empty(n, dtype=np.int64)
+        # the length-prefix chain is sequential (pos_{i+1} = pos_i + 4 + len_i);
+        # walk it once with a cheap scalar loop, then gather data vectorized.
+        mv = memoryview(payload)
+        pos = 0
+        ifb = int.from_bytes
+        for i in range(n):
+            l = ifb(mv[pos : pos + 4], "little")
+            lengths[i] = l
+            pos += 4 + l
+        total = int(lengths.sum())
+        if total:
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            src = np.arange(total, dtype=np.int64) + 4 * (
+                np.repeat(np.arange(n, dtype=np.int64), lengths) + 1
+            )
+            data = buf[src]
+        else:
+            data = np.empty(0, dtype=np.uint8)
+        return build_binary(lengths, data, typ)
+    if pa.types.is_fixed_size_binary(typ):
+        return pa.FixedSizeBinaryArray.from_buffers(typ, n, [None, pa.py_buffer(payload)])
+    np_t = typ.to_pandas_dtype()
+    v = np.frombuffer(payload, dtype=np_t, count=n)
+    return pa.array(v, type=typ)
+
+
+register("plain", encode_plain, decode_plain)
