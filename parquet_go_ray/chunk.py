@@ -1,0 +1,241 @@
+"""Column-chunk container: Arrow array <-> self-describing encoded blob.
+
+Mirrors the reference's page/chunk layering (reference: layout/page.go:194-281
+— strip nulls to definition levels, encode values, compress; layout/chunk.go:
+18-80 — chunk metadata with stats) collapsed to one chunk-level container
+per (partition-batch, column):
+
+    blob := MAGIC "RCC1"
+          | varint(len(meta_json)) meta_json
+          | body                       (outer-compressed levels+payload)
+
+    body := varint(len(levels)) levels | payload
+
+Nulls are carried purely as definition levels (max DL = 1 for our flat
+schema), exactly the reference's null model (layout/page.go:202-213): codecs
+only ever see null-free values.  Decode rebuilds the validity bitmap and the
+values and is asserted bit-identical (including NaN payloads — buffers, not
+values, are compared in tests).
+
+Stats (min/max/null_count) are computed per chunk with pyarrow.compute,
+mirroring layout/chunk.go:30-43, and travel in the meta dict.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import codecs
+from .bits import read_uvarint, write_uvarint
+from .codecs import rle as rle_mod
+from .config import DEFAULT, EngineConfig
+
+MAGIC = b"RCC1"
+
+# logical arrow types are encoded through a same-width physical integer view,
+# like parquet's physical/logical split (reference: types/types.go:11-78)
+
+
+def _physical(arr: pa.Array) -> tuple[pa.Array, str]:
+    t = arr.type
+    if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
+        return arr.view(pa.int64()), str(t)
+    if pa.types.is_date64(t):
+        return arr.view(pa.int64()), str(t)
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return arr.view(pa.int32()), str(t)
+    if pa.types.is_dictionary(t):
+        return _physical(arr.dictionary_decode())
+    return arr, None
+
+
+def _parse_t(s: str) -> pa.DataType:
+    # "timestamp[us]" / "timestamp[us, tz=UTC]" / "date64[ms]" / "duration[s]"
+    base, rest = s.split("[", 1)
+    rest = rest.rstrip("]")
+    if base == "timestamp":
+        if "tz=" in rest:
+            unit, tz = rest.split(", tz=")
+            return pa.timestamp(unit, tz)
+        return pa.timestamp(rest)
+    if base == "duration":
+        return pa.duration(rest)
+    if base == "time32":
+        return pa.time32(rest)
+    if base == "time64":
+        return pa.time64(rest)
+    if base == "date32":
+        return pa.date32()
+    if base == "date64":
+        return pa.date64()
+    raise ValueError(f"unknown logical type {s}")
+
+
+def _stats(values: pa.Array) -> dict:
+    out = {}
+    try:
+        if len(values):
+            mm = pc.min_max(values)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            out["min"] = str(mn)[:64]
+            out["max"] = str(mx)[:64]
+    except pa.ArrowNotImplementedError:
+        pass
+    return out
+
+
+def _outer_compress(body: bytes, name: str, level: int) -> bytes:
+    if name == "none":
+        return body
+    codec = pa.Codec(name, compression_level=level if name == "zstd" else None)
+    return codec.compress(body, asbytes=True)
+
+
+def _outer_decompress(body: bytes, name: str, raw_len: int) -> bytes:
+    if name == "none":
+        return body
+    return pa.Codec(name).decompress(body, raw_len, asbytes=True)
+
+
+def raw_nbytes(arr: pa.Array) -> int:
+    """Uncompressed logical size (values + offsets + validity), like the
+    reference's page-size accounting."""
+    return sum(b.size for b in arr.buffers() if b is not None)
+
+
+def encode_column_chunk(
+    arr,
+    codec: str,
+    outer: str = "none",
+    cfg: EngineConfig = DEFAULT,
+) -> dict:
+    """Encode one column chunk; returns a dict row for the chunk table."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    orig_type = str(arr.type)
+    phys, logical = _physical(arr)
+    n = len(phys)
+    null_count = phys.null_count
+    if null_count:
+        validity = np.asarray(phys.is_valid()).astype(np.uint64)
+        levels = rle_mod.encode_levels(validity, 1)
+        values = phys.drop_null()
+    else:
+        levels = rle_mod.encode_levels(np.empty(0, dtype=np.uint64), 1)
+        values = phys
+    payload, meta = codecs.encode(codec, values)
+    meta.update(
+        {
+            "n": n,
+            "nulls": null_count,
+            "type": orig_type,
+            "logical": logical,
+            "outer": outer,
+        }
+    )
+    meta.update(_stats(values))
+    body = write_uvarint(len(levels)) + levels + payload
+    meta["raw_body"] = len(body)
+    comp = _outer_compress(body, outer, cfg.zstd_level)
+    meta_json = json.dumps(meta, separators=(",", ":")).encode()
+    blob = MAGIC + write_uvarint(len(meta_json)) + meta_json + comp
+    return {
+        "codec": codec,
+        "outer": outer,
+        "rows": n,
+        "nulls": null_count,
+        "raw_bytes": raw_nbytes(arr),
+        "enc_bytes": len(blob),
+        "blob": blob,
+        "sha256": column_sha256(arr) if cfg.verify_sha256 else "",
+    }
+
+
+def decode_column_chunk(blob: bytes) -> pa.Array:
+    assert blob[:4] == MAGIC, "bad chunk magic"
+    mlen, pos = read_uvarint(blob, 4)
+    meta = json.loads(blob[pos : pos + mlen])
+    pos += mlen
+    body = _outer_decompress(blob[pos:], meta["outer"], meta["raw_body"])
+    llen, bpos = read_uvarint(body, 0)
+    levels_buf = body[bpos : bpos + llen]
+    payload = body[bpos + llen :]
+    n, nulls = meta["n"], meta["nulls"]
+    typ = _chunk_type(meta)
+    values = codecs.decode(payload, meta, _value_type(typ))
+    if nulls == n:
+        out = pa.nulls(n, type=values.type)
+    elif nulls:
+        dl, _ = rle_mod.decode_levels(levels_buf, 1, n)
+        validity = dl.astype(bool)
+        idx = np.maximum(np.cumsum(validity) - 1, 0)
+        taken = values.take(pa.array(idx, type=pa.int64()))
+        out = pc.if_else(pa.array(validity), taken, pa.scalar(None, type=taken.type))
+    else:
+        out = values
+    if meta["logical"] is not None:
+        out = out.view(_parse_t(meta["logical"]))
+    return out
+
+
+def _chunk_type(meta: dict) -> pa.DataType:
+    if meta["logical"] is not None:
+        return _parse_t(meta["logical"])
+    return _str_to_type(meta["type"])
+
+
+def _value_type(typ: pa.DataType) -> pa.DataType:
+    # physical type the codec round-trips through
+    if pa.types.is_timestamp(typ) or pa.types.is_date64(typ) or pa.types.is_time64(typ) or pa.types.is_duration(typ):
+        return pa.int64()
+    if pa.types.is_date32(typ) or pa.types.is_time32(typ):
+        return pa.int32()
+    return typ
+
+
+def _str_to_type(s: str) -> pa.DataType:
+    if s.startswith("fixed_size_binary"):
+        return pa.binary(int(s.split("[")[1].rstrip("]")))
+    if "[" in s:
+        return _parse_t(s)
+    return pa.type_for_alias(s)
+
+
+def column_sha256(arr) -> str:
+    """Order-sensitive canonical content hash of a column (values + validity).
+
+    Offset/slice-invariant: hashes the logical validity sequence and the
+    null-free value bytes, so an original sliced arrow array and its decoded
+    offset-0 reconstruction hash identically iff bit-identical."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    h = hashlib.sha256()
+    h.update(str(arr.type).encode())
+    if arr.null_count:
+        h.update(np.asarray(arr.is_valid()).astype(np.uint8).tobytes())
+        vals = arr.drop_null()
+    else:
+        vals = arr
+    t = vals.type
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_large_binary(t)
+    ):
+        from .codecs.base import binary_parts
+
+        lengths, data = binary_parts(vals)
+        h.update(lengths.tobytes())
+        h.update(np.ascontiguousarray(data).tobytes())
+    elif pa.types.is_boolean(t):
+        h.update(vals.to_numpy(zero_copy_only=False).astype(np.uint8).tobytes())
+    else:
+        phys, _ = _physical(vals)
+        h.update(np.ascontiguousarray(phys.to_numpy(zero_copy_only=True)).tobytes())
+    return h.hexdigest()

@@ -1,0 +1,31 @@
+"""Engine configuration.
+
+Defaults mirror the reference where a corresponding knob exists
+(reference: writer/writer.go:63-65 — PageSize 8KB, RowGroupSize 128MB, SNAPPY)
+re-tuned for Ray Data block granularity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    # codec selection
+    sample_rows: int = 4096          # rows sampled per chunk for trial encoding
+    outer_codecs: tuple = ("none", "snappy", "zstd")  # block compressors tried
+    zstd_level: int = 3
+    enforce_reference_floor: bool = True  # hard per-chunk <= reference-policy size
+    per_column_codec: dict = field(default_factory=dict)  # name -> codec override
+    # pipeline shape
+    batch_size_rows: int = 65536     # rows per encode batch (chunk granularity)
+    target_chunk_bytes: int = 64 << 20
+    salt_buckets: int = 8            # giant-repo salting fan-out
+    partitions: int | None = None    # override output partition count
+    sort_within_partition: bool = True  # sort by (repo, path) to help delta_ba
+    # verification
+    verify_sha256: bool = True
+
+
+DEFAULT = EngineConfig()

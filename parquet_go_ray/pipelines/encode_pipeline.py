@@ -1,0 +1,181 @@
+"""The flagship pipeline: Parquet source-code table -> encoded column chunks.
+
+Ray-Data shape (SURVEY §3.3 "Ray Data equivalent of the whole lifecycle"):
+
+    read_parquet(columns=needed)
+      -> map_batches(add salted (repo,lang) partition key)   [stateless, arrow]
+      -> groupby(__part).map_groups(PartitionEncoder)        [the one shuffle]
+           - local sort by (repo, path)  (helps DELTA_BYTE_ARRAY/dicts;
+             local pc.sort_indices, never a global sort)
+           - slice into ~batch_size_rows chunks
+           - encode columns via auto-selector
+           - write part dir atomically (chunks.parquet + lineage.json)
+      -> small metrics rows only (blobs never return to the driver)
+
+Skew: the partition key is hash(repo) salted into `salt_buckets` sub-buckets
+for repos whose estimated share exceeds one partition (north rule: "explicit
+salting to defuse giant-repo skew").  Resume: partitions already on disk are
+filtered BEFORE the shuffle, so a rerun only pays for missing partitions.
+
+The no-shuffle variant (`encode_dataset`) maps batches straight through the
+ChunkEncoder — used for round-trip correctness queries where partitioning is
+irrelevant.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..config import DEFAULT, EngineConfig
+from ..stages.encode import ChunkEncoder, encode_table
+from ..state import lineage as lin
+
+
+def add_partition_key(num_parts: int, salt_buckets: int):
+    """Vectorized salted partition key: hash(repo) -> part, with hot repos
+    fanned out over salt_buckets sub-partitions by a content-derived salt."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        repo = batch["repo"]
+        h = np.asarray(pc.hash(repo).cast(pa.uint64()), dtype=np.uint64) if hasattr(pc, "hash") else None
+        if h is None:
+            import pandas as pd
+
+            h = pd.util.hash_array(np.asarray(repo.to_pandas(), dtype=object)).astype(np.uint64)
+        # salt: spread each repo over salt_buckets using the path hash, then
+        # map (repo_hash, salt) to a partition
+        import pandas as pd
+
+        ph = pd.util.hash_array(np.asarray(batch["path"].to_pandas(), dtype=object)).astype(np.uint64)
+        salt = ph % np.uint64(max(salt_buckets, 1))
+        part = (h * np.uint64(1000003) + salt) % np.uint64(num_parts)
+        return batch.append_column("__part", pa.array(part.astype(np.int64)))
+
+    return fn
+
+
+class PartitionEncoder:
+    """map_groups actor body: one group = one output partition."""
+
+    def __init__(self, cfg: EngineConfig, out_dir: str | None):
+        self.cfg = cfg
+        self.out_dir = out_dir
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        part = int(group["__part"][0].as_py())
+        group = group.drop_columns(["__part"])
+        if cfg.sort_within_partition and {"repo", "path"} <= set(group.column_names):
+            idx = pc.sort_indices(
+                group.select(["repo", "path"]),
+                sort_keys=[("repo", "ascending"), ("path", "ascending")],
+            )
+            group = group.take(idx)
+        t0 = time.time()
+        chunk_tables = []
+        bs = cfg.batch_size_rows
+        for lo in range(0, max(group.num_rows, 1), bs):
+            piece = group.slice(lo, bs)
+            if piece.num_rows == 0:
+                continue
+            chunk_tables.append(encode_table(piece, cfg, part=part))
+        chunks = (
+            pa.concat_tables(chunk_tables)
+            if chunk_tables
+            else encode_table(group, cfg, part=part).slice(0, 0)
+        )
+        wall = time.time() - t0
+        metrics = {
+            "part": part,
+            "rows": int(group.num_rows),
+            "raw_bytes": int(sum(chunks["raw_bytes"].to_pylist())),
+            "enc_bytes": int(sum(chunks["enc_bytes"].to_pylist())),
+            "ref_bytes": int(sum(chunks["ref_bytes"].to_pylist())),
+            "chunks": len(chunk_tables),
+            "encode_sec": round(wall, 4),
+            "codecs": dict(
+                zip(*np.unique(np.asarray(chunks["codec"]), return_counts=True))
+            )
+            if chunks.num_rows
+            else {},
+            "sha256": {},
+        }
+        metrics["codecs"] = {k: int(v) for k, v in metrics["codecs"].items()}
+        if self.out_dir is not None:
+            lin.write_partition(self.out_dir, part, chunks, metrics)
+            del metrics["codecs"]
+            del metrics["sha256"]
+            return pa.Table.from_pylist([metrics])
+        del metrics["codecs"]
+        del metrics["sha256"]
+        return chunks
+
+    # mark picklable-by-value config
+
+
+def encode_dataset(ds: rd.Dataset, cfg: EngineConfig = DEFAULT) -> rd.Dataset:
+    """No-shuffle encode: each Ray block batch -> one chunk set."""
+    return ds.map_batches(
+        ChunkEncoder,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size_rows,
+        concurrency=(1, 8),
+    )
+
+
+def encode_partitioned(
+    ds: rd.Dataset,
+    out_dir: str | None,
+    cfg: EngineConfig = DEFAULT,
+    num_parts: int | None = None,
+    total_bytes: int | None = None,
+) -> rd.Dataset:
+    """Salted-shuffle encode with per-partition checkpoints; returns the
+    metrics dataset (blobs go to out_dir) or the chunk dataset if out_dir is
+    None."""
+    if num_parts is None:
+        if cfg.partitions:
+            num_parts = cfg.partitions
+        else:
+            if total_bytes is None:
+                total_bytes = ds.size_bytes() or (64 << 20)
+            num_parts = max(1, int(total_bytes // cfg.target_chunk_bytes))
+    ds = ds.map_batches(
+        add_partition_key(num_parts, cfg.salt_buckets), batch_format="pyarrow"
+    )
+    if out_dir is not None:
+        done = lin.done_parts(out_dir)
+        if done:
+            done_arr = np.array(sorted(done), dtype=np.int64)
+
+            def drop_done(batch: pa.Table) -> pa.Table:
+                mask = ~np.isin(np.asarray(batch["__part"]), done_arr)
+                return batch.filter(pa.array(mask))
+
+            ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    import os
+
+    workers = max(2, min(16, (os.cpu_count() or 8) - 2))
+    return ds.groupby("__part").map_groups(
+        PartitionEncoder,
+        fn_constructor_args=(cfg, out_dir),
+        batch_format="pyarrow",
+        concurrency=(1, workers),
+    )
+
+
+def decode_partitions(out_dir: str, parts: list[int] | None = None) -> rd.Dataset:
+    """Read checkpointed chunk tables back as a Dataset of chunk rows."""
+    import os
+
+    if parts is None:
+        parts = sorted(lin.done_parts(out_dir))
+    files = [os.path.join(lin.part_dir(out_dir, p), "chunks.parquet") for p in parts]
+    return rd.read_parquet(files)

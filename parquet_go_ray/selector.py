@@ -1,0 +1,142 @@
+"""Sampling-based per-column-chunk codec auto-selector.
+
+Replaces the reference's static per-column tag dispatch
+(reference: layout/page.go:167-191, tag grammar common/common.go:221-275) with
+measurement: take a deterministic strided row sample of the chunk, compute
+cheap stats (cardinality ratio, run count, sortedness, avg string length) to
+prune the candidate set, TRIAL-ENCODE the sample with each surviving
+(codec, outer-compressor) pair, and pick the smallest estimated size.
+
+The reference's default policy — PLAIN or PLAIN_DICTIONARY + SNAPPY
+(writer/writer.go:65) — is always in the candidate set, and
+``EngineConfig.enforce_reference_floor`` additionally computes the ACTUAL
+reference-policy size on the full chunk (snappy is ~GB/s, this is cheap) and
+falls back to it if the sampled choice came out larger, making
+"output <= reference compressed size" hold per chunk by construction
+(SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import codecs
+from .chunk import _outer_compress, _physical
+from .codecs import rle as rle_mod
+from .config import DEFAULT, EngineConfig
+
+REFERENCE_POLICY = (("plain", "snappy"), ("dict_rle", "snappy"))
+
+
+def _sample(values: pa.Array, k: int) -> pa.Array:
+    n = len(values)
+    if n <= k:
+        return values
+    step = n // k
+    idx = np.arange(0, n, step, dtype=np.int64)[:k]
+    return values.take(pa.array(idx))
+
+
+def column_stats(values: pa.Array) -> dict:
+    """Cheap sampled stats driving candidate pruning (generalizes the
+    reference's min/max/null accounting, layout/page.go:83-123)."""
+    n = len(values)
+    t = values.type
+    st = {"n": n, "type": str(t)}
+    if n == 0:
+        return st
+    st["card_ratio"] = pc.count_distinct(values).as_py() / n
+    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_boolean(t):
+        v = values.to_numpy(zero_copy_only=False)
+        if n > 1:
+            neq = v[1:] != v[:-1]
+            st["run_ratio"] = float(np.count_nonzero(neq) + 1) / n
+            if not pa.types.is_boolean(t):
+                st["sortedness"] = float(np.count_nonzero(v[1:] >= v[:-1])) / (n - 1)
+        else:
+            st["run_ratio"] = 1.0
+    elif pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        from .codecs.base import binary_parts
+
+        lengths, data = binary_parts(values)
+        st["avg_len"] = float(lengths.mean()) if n else 0.0
+        if n > 1:
+            neq = lengths[1:] != lengths[:-1]
+            st["run_ratio"] = float(np.count_nonzero(neq) + 1) / n
+    return st
+
+
+def candidates_for(values: pa.Array, stats: dict, cfg: EngineConfig) -> list[tuple[str, str]]:
+    t = values.type
+    card = stats.get("card_ratio", 1.0)
+    cands: list[tuple[str, str]] = []
+    outers = cfg.outer_codecs
+
+    def add(codec, outer_list=outers):
+        for o in outer_list:
+            if o in outers:
+                cands.append((codec, o))
+
+    if pa.types.is_boolean(t):
+        add("plain", ("none",))
+        add("rle_bp", ("none",))
+    elif pa.types.is_integer(t):
+        add("plain")
+        add("delta_bp", ("none", "zstd"))
+        if card < 0.7:
+            add("rle_bp", ("none", "zstd"))
+        if card < 0.3:
+            add("dict_rle", ("none", "zstd"))
+        add("byte_stream_split", ("zstd",))
+    elif pa.types.is_floating(t):
+        add("plain")
+        add("byte_stream_split", ("none", "zstd"))
+        if card < 0.3:
+            add("dict_rle", ("none", "zstd"))
+    else:  # string / binary
+        add("plain")
+        if card < 0.6:
+            add("dict_rle")
+        add("delta_length_ba", ("none", "zstd"))
+        add("delta_ba", ("none", "zstd"))
+        if stats.get("avg_len", 0) >= 4 and card > 0.05:
+            add("fsst", ("none", "zstd"))
+    for ref in REFERENCE_POLICY:
+        if ref not in cands and (ref[0] != "dict_rle" or card < 0.9):
+            cands.append(ref)
+    # schema-level override wins outright (reference tag `encoding=` analog)
+    return cands
+
+
+def select_codec(
+    values: pa.Array, cfg: EngineConfig = DEFAULT, column: str | None = None
+) -> tuple[str, str, dict]:
+    """Pick (codec, outer) for a null-free value array; returns stats too."""
+    if column is not None and column in cfg.per_column_codec:
+        choice = cfg.per_column_codec[column]
+        if isinstance(choice, str):
+            return choice, "none", {}
+        return choice[0], choice[1], {}
+    if len(values) == 0:
+        return "plain", "none", {}
+    sample = _sample(values, cfg.sample_rows)
+    stats = column_stats(sample)
+    cands = candidates_for(values, stats, cfg)
+    best, best_size = None, None
+    sizes = {}
+    payload_cache: dict[str, bytes] = {}
+    for codec, outer in cands:
+        try:
+            if codec not in payload_cache:
+                payload_cache[codec], _ = codecs.encode(codec, sample)
+            size = len(_outer_compress(payload_cache[codec], outer, cfg.zstd_level))
+        except Exception:
+            continue
+        sizes[f"{codec}+{outer}"] = size
+        # deterministic tie-break: first in candidate order (cheaper decode)
+        if best_size is None or size < best_size:
+            best, best_size = (codec, outer), size
+    stats["trial_sizes"] = sizes
+    return best[0], best[1], stats

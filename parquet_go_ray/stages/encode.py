@@ -1,0 +1,150 @@
+"""Encode / decode stages — the map_batches kernels and actor classes.
+
+The ChunkEncoder is the Ray-native analog of the reference's
+pages->chunk flush path (reference: writer/writer.go:367-500) with
+dictionary/FSST state chunk-local instead of writer-global
+(writer/writer.go:315-325's mutex-guarded DictRecs — deliberately dropped;
+see SURVEY §7.3): one input batch -> one column chunk per column, encoded
+with the auto-selected codec, emitted as rows of a chunk table.
+
+Chunk ids are deterministic content hashes, so task retries are idempotent
+(same input batch -> same chunk id/bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from ..chunk import (
+    column_sha256,
+    decode_column_chunk,
+    encode_column_chunk,
+    raw_nbytes,
+)
+from ..config import DEFAULT, EngineConfig
+from ..selector import REFERENCE_POLICY, select_codec
+
+META_COLS = ["chunk_id", "part", "column", "codec", "outer", "rows", "nulls",
+             "raw_bytes", "enc_bytes", "ref_bytes", "sha256"]
+
+
+def encode_table(table: pa.Table, cfg: EngineConfig = DEFAULT, part: int = 0) -> pa.Table:
+    """Encode every column of `table` as one chunk; returns the chunk table."""
+    drop = [c for c in ("__part",) if c in table.column_names]
+    if drop:
+        part = int(table["__part"][0].as_py())
+        table = table.drop_columns(drop)
+    shas = [column_sha256(table[c]) for c in table.column_names]
+    chunk_id = hashlib.sha256("|".join(shas).encode()).hexdigest()[:20]
+    rows = {k: [] for k in META_COLS + ["blob"]}
+    for name, sha in zip(table.column_names, shas):
+        col = table[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        values = col.drop_null() if col.null_count else col
+        codec, outer, stats = select_codec(values, cfg, column=name)
+        row = encode_column_chunk(col, codec, outer, cfg)
+        ref_bytes = None
+        if cfg.enforce_reference_floor:
+            # actual reference-policy size on the full chunk: the floor
+            # candidates are cheap (snappy ~GB/s, arrow dict encode is C++)
+            best_ref = None
+            for rcodec, router in REFERENCE_POLICY:
+                if rcodec == "dict_rle" and stats.get("card_ratio", 1.0) > 0.9:
+                    continue
+                try:
+                    rrow = encode_column_chunk(col, rcodec, router, cfg)
+                except Exception:
+                    continue
+                if best_ref is None or rrow["enc_bytes"] < best_ref["enc_bytes"]:
+                    best_ref = rrow
+            if best_ref is not None:
+                ref_bytes = best_ref["enc_bytes"]
+                if best_ref["enc_bytes"] < row["enc_bytes"]:
+                    row = best_ref
+        rows["chunk_id"].append(chunk_id)
+        rows["part"].append(part)
+        rows["column"].append(name)
+        rows["codec"].append(row["codec"])
+        rows["outer"].append(row["outer"])
+        rows["rows"].append(row["rows"])
+        rows["nulls"].append(row["nulls"])
+        rows["raw_bytes"].append(row["raw_bytes"])
+        rows["enc_bytes"].append(row["enc_bytes"])
+        rows["ref_bytes"].append(ref_bytes if ref_bytes is not None else row["enc_bytes"])
+        rows["sha256"].append(sha)
+        rows["blob"].append(row["blob"])
+    return pa.table(
+        {
+            "chunk_id": pa.array(rows["chunk_id"], pa.string()),
+            "part": pa.array(rows["part"], pa.int64()),
+            "column": pa.array(rows["column"], pa.string()),
+            "codec": pa.array(rows["codec"], pa.string()),
+            "outer": pa.array(rows["outer"], pa.string()),
+            "rows": pa.array(rows["rows"], pa.int64()),
+            "nulls": pa.array(rows["nulls"], pa.int64()),
+            "raw_bytes": pa.array(rows["raw_bytes"], pa.int64()),
+            "enc_bytes": pa.array(rows["enc_bytes"], pa.int64()),
+            "ref_bytes": pa.array(rows["ref_bytes"], pa.int64()),
+            "sha256": pa.array(rows["sha256"], pa.string()),
+            "blob": pa.array(rows["blob"], pa.large_binary()),
+        }
+    )
+
+
+class ChunkEncoder:
+    """Actor-pool stage: holds config + warmed scratch (malloc arenas, codec
+    tables) across batches; setup once per actor (__init__), work per batch."""
+
+    def __init__(self, cfg: EngineConfig = DEFAULT):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return encode_table(batch, self.cfg)
+
+
+class ChunkDecoder:
+    """Row-wise chunk decode -> verification rows (sha match, sizes).
+
+    Each chunk-table row is independently decodable, so verification needs no
+    grouping/shuffle at all."""
+
+    def __init__(self, recompute_sha: bool = True):
+        self.recompute_sha = recompute_sha
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok = []
+        for i in range(batch.num_rows):
+            blob = batch["blob"][i].as_py()
+            arr = decode_column_chunk(blob)
+            good = len(arr) == batch["rows"][i].as_py()
+            if self.recompute_sha:
+                good = good and column_sha256(arr) == batch["sha256"][i].as_py()
+            ok.append(good)
+        return pa.table(
+            {
+                "chunk_id": batch["chunk_id"],
+                "column": batch["column"],
+                "codec": batch["codec"],
+                "rows": batch["rows"],
+                "raw_bytes": batch["raw_bytes"],
+                "enc_bytes": batch["enc_bytes"],
+                "ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+def reassemble_chunk(group: pa.Table) -> pa.Table:
+    """chunk-table rows of ONE chunk_id -> the original columns."""
+    cols = {}
+    n = None
+    for i in range(group.num_rows):
+        name = group["column"][i].as_py()
+        arr = decode_column_chunk(group["blob"][i].as_py())
+        cols[name] = arr
+        n = len(arr)
+    return pa.table(cols)

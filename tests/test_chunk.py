@@ -1,0 +1,98 @@
+"""Chunk container + selector unit tests (no Ray needed)."""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_go_ray.chunk import column_sha256, decode_column_chunk, encode_column_chunk
+from parquet_go_ray.config import EngineConfig
+from parquet_go_ray.selector import select_codec
+
+CASES = [
+    pa.array([1, 2, None, 4], type=pa.int64()),
+    pa.array(["a", None, "ccc", ""]),
+    pa.array([None] * 5, type=pa.string()),
+    pa.array([], type=pa.int32()),
+    pa.array(np.random.default_rng(0).normal(size=100)),
+    pa.array([True, None, False]),
+    pa.array(
+        [datetime.datetime(2020, 1, 1), None, datetime.datetime(2021, 6, 5)],
+        type=pa.timestamp("us"),
+    ),
+    pa.array([datetime.date(2020, 1, 1), datetime.date(1999, 12, 31)]),
+    pa.array([b"xy", None, b"z" * 50], type=pa.binary()),
+]
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+@pytest.mark.parametrize("outer", ["none", "snappy", "zstd"])
+def test_chunk_roundtrip(i, outer):
+    arr = CASES[i]
+    row = encode_column_chunk(arr, "plain", outer=outer)
+    out = decode_column_chunk(row["blob"])
+    assert out.equals(arr)
+    assert column_sha256(out) == column_sha256(arr)
+
+
+def test_chunk_roundtrip_all_codecs_ints():
+    arr = pa.array([5, 5, 5, None, 9, 1, 1, None, 3], type=pa.int64())
+    for codec in ["plain", "rle_bp", "delta_bp", "dict_rle"]:
+        row = encode_column_chunk(arr, codec, outer="zstd")
+        assert decode_column_chunk(row["blob"]).equals(arr)
+
+
+def test_sliced_array_roundtrip():
+    base = pa.array(list(range(100)), type=pa.int64())
+    arr = base.slice(10, 50)
+    row = encode_column_chunk(arr, "delta_bp")
+    assert decode_column_chunk(row["blob"]).equals(arr)
+
+
+def test_selector_picks_sensibly():
+    cfg = EngineConfig()
+    # constant column -> rle or dict beats plain
+    codec, outer, _ = select_codec(pa.array([7] * 10000, type=pa.int64()), cfg)
+    assert codec in ("rle_bp", "dict_rle")
+    # sorted ints -> delta
+    codec, _, _ = select_codec(pa.array(np.arange(10000) * 3 + 7), cfg)
+    assert codec in ("delta_bp", "rle_bp")
+    # low-cardinality strings -> dict (or delta_length+zstd, which the
+    # trial-encode can legitimately find smaller on periodic data)
+    codec, _, _ = select_codec(pa.array(["en", "de", "fr"] * 3000), cfg)
+    assert codec in ("dict_rle", "delta_length_ba", "rle_bp")
+    # low-cardinality long strings without outer compression -> dict wins
+    cfg_noouter = EngineConfig(outer_codecs=("none",))
+    codec, _, _ = select_codec(
+        pa.array([f"value-{i % 7:040d}" for i in range(5000)]), cfg_noouter
+    )
+    assert codec == "dict_rle"
+    # random floats: plain or bss
+    codec, _, _ = select_codec(
+        pa.array(np.random.default_rng(1).normal(size=8000)), cfg
+    )
+    assert codec in ("plain", "byte_stream_split")
+
+
+def test_selector_override():
+    cfg = EngineConfig(per_column_codec={"x": ("delta_bp", "zstd")})
+    codec, outer, _ = select_codec(pa.array([1, 2, 3]), cfg, column="x")
+    assert (codec, outer) == ("delta_bp", "zstd")
+
+
+def test_reference_floor():
+    """enforce_reference_floor guarantees enc_bytes <= reference policy size."""
+    from parquet_go_ray.stages.encode import encode_table
+
+    rng = np.random.default_rng(5)
+    t = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 10, 5000)),
+            "s": pa.array([f"val{int(i)}" for i in rng.integers(0, 50, 5000)]),
+        }
+    )
+    chunks = encode_table(t, EngineConfig())
+    enc = chunks["enc_bytes"].to_pylist()
+    ref = chunks["ref_bytes"].to_pylist()
+    assert all(e <= r for e, r in zip(enc, ref)), (enc, ref)

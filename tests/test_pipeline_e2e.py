@@ -1,0 +1,88 @@
+"""End-to-end: synth corpus -> salted partitioned encode -> checkpointed
+chunks -> decode-verify -> resume skips finished partitions.
+Models the reference's writer round-trip tests (writer/writer_test.go:20-143)
+at pipeline scale."""
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_go_ray.config import EngineConfig
+from parquet_go_ray.sources.synth import make_code_table
+
+
+def test_synth_determinism():
+    a = make_code_table(500, seed=42)
+    b = make_code_table(500, seed=42)
+    assert a.equals(b)
+    c = make_code_table(500, seed=43)
+    assert not a.equals(c)
+    assert a.column_names == ["repo", "path", "commit", "lang", "content"]
+
+
+def test_encode_partitioned_and_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.encode_pipeline import (
+        decode_partitions,
+        encode_partitioned,
+    )
+    from parquet_go_ray.stages.encode import ChunkDecoder, reassemble_chunk
+    from parquet_go_ray.state import lineage as lin
+
+    out = str(tmp_path / "enc")
+    t = make_code_table(2000, seed=7)
+    cfg = EngineConfig(batch_size_rows=1000)
+    metrics = encode_partitioned(
+        rd.from_arrow(t), out, cfg, num_parts=4
+    ).to_pandas()
+    assert metrics.rows.sum() == 2000
+    assert metrics.enc_bytes.sum() < metrics.raw_bytes.sum()
+    assert metrics.enc_bytes.sum() <= metrics.ref_bytes.sum()
+    done = lin.done_parts(out)
+    assert len(done) == len(metrics)
+
+    # verify every chunk decodes bit-identically (sha match)
+    ver = (
+        decode_partitions(out)
+        .map_batches(ChunkDecoder, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    assert ver.ok.all()
+
+    # full reassembly: all rows come back (order-insensitive by content)
+    import pandas as pd
+
+    cdf = decode_partitions(out).to_pandas()
+    parts = []
+    for cid, g in cdf.groupby("chunk_id", sort=False):
+        parts.append(reassemble_chunk(pa.Table.from_pandas(g)).to_pandas())
+    got = pd.concat(parts, ignore_index=True)
+    assert len(got) == 2000
+    orig = t.to_pandas()
+    key = ["repo", "path", "commit", "lang", "content"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    orig_s = orig[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, orig_s)
+
+    # resume: nothing left to do -> zero new partitions encoded
+    m2 = encode_partitioned(rd.from_arrow(t), out, cfg, num_parts=4)
+    assert m2.count() == 0
+
+
+def test_manifest_rollup(ray_session, tmp_path):
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.encode_pipeline import encode_partitioned
+    from parquet_go_ray.state import lineage as lin
+
+    out = str(tmp_path / "enc2")
+    t = make_code_table(800, seed=11)
+    encode_partitioned(rd.from_arrow(t), out, EngineConfig(batch_size_rows=500), num_parts=2).materialize()
+    man = lin.collect_manifest(out)
+    assert man["rows"] == 800
+    assert man["partitions"] == 2
+    lin.write_manifest(out, man)
+    assert lin.collect_manifest(out)["rows"] == 800
