@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries() keys map to SURVEY.md §2 operators:
+  rt_*           — encode->decode round-trips per codec family (§2.2); the
+                   oracle SELECT proves bit-identical decode via the driver's
+                   value-hash
+  stats_lineitem — min/max/null-count aggregation (§2.6)
+  sizetool_*     — encoded-size accounting (§2.1 sizetool), rows-only
+  dedup_* / knn_* / text_* — training-data ops (dedup, similarity, analysis)
 """
 
 from __future__ import annotations
@@ -18,27 +17,112 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF1 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: salted partitioned encode of the sf0.001 source-code-shaped
+    corpus + documents, with lineage checkpoints; returns per-partition
+    metrics (rows >= 0, stable schema)."""
+    import shutil
+
+    import ray.data as rd
+
+    from parquet_go_ray.config import EngineConfig
+    from parquet_go_ray.pipelines.encode_pipeline import encode_partitioned
+    from parquet_go_ray.sources.synth import make_code_table
+
+    out = "/tmp/pgr_entry_out"
+    shutil.rmtree(out, ignore_errors=True)
+    code = rd.from_arrow(make_code_table(2000, seed=42))
+    cfg = EngineConfig(batch_size_rows=2000)
+    metrics = encode_partitioned(code, out + "/code", cfg, num_parts=4).to_pandas()
+    return metrics[["part", "rows", "raw_bytes", "enc_bytes", "ref_bytes", "chunks", "encode_sec"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from parquet_go_ray.functions.stats import numeric_column_stats
+    from parquet_go_ray.pipelines.roundtrip import encode_stats, roundtrip_table
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {}
+
+    # -- codec round-trips (SURVEY §2.2): auto-selector + every codec forced --
+    q["rt_documents_auto"] = lambda sf: roundtrip_table(sf, "documents")
+    q["rt_lineitem_delta_bp"] = lambda sf: roundtrip_table(
+        sf,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        codec_map={c: ("delta_bp", "none") for c in ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]},
+    )
+    q["rt_lineitem_dict_rle"] = lambda sf: roundtrip_table(
+        sf,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus"],
+        codec_map={"l_returnflag": ("dict_rle", "none"), "l_linestatus": ("dict_rle", "none")},
+    )
+    q["rt_lineitem_rle_bp"] = lambda sf: roundtrip_table(
+        sf,
+        "lineitem",
+        columns=["l_linenumber", "l_suppkey"],
+        codec_map={"l_linenumber": ("rle_bp", "none"), "l_suppkey": ("rle_bp", "none")},
+    )
+    q["rt_lineitem_bss"] = lambda sf: roundtrip_table(
+        sf,
+        "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        codec_map={c: ("byte_stream_split", "zstd") for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]},
+    )
+    q["rt_lineitem_plain_snappy"] = lambda sf: roundtrip_table(
+        sf,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_shipdate"],
+        codec_map={c: ("plain", "snappy") for c in ["l_orderkey", "l_extendedprice", "l_shipdate"]},
+    )
+    q["rt_documents_fsst"] = lambda sf: roundtrip_table(
+        sf,
+        "documents",
+        columns=["doc_id", "text"],
+        codec_map={"text": ("fsst", "none"), "doc_id": ("plain", "none")},
+    )
+    q["rt_documents_delta_ba"] = lambda sf: roundtrip_table(
+        sf,
+        "documents",
+        columns=["doc_id", "source", "lang"],
+        codec_map={"source": ("delta_ba", "none"), "lang": ("delta_length_ba", "none"), "doc_id": ("delta_bp", "none")},
+    )
+    q["rt_events_timestamps"] = lambda sf: roundtrip_table(
+        sf,
+        "events",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    q["rt_orders_auto"] = lambda sf: roundtrip_table(sf, "orders")
+
+    # -- aggregation (§2.6) --
+    LI_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    q["stats_lineitem"] = lambda sf: numeric_column_stats(sf, "lineitem", LI_NUM)
+
+    # -- sizetool analog (§2.1), rows-only check --
+    q["sizetool_documents"] = lambda sf: encode_stats(sf, "documents")
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from parquet_go_ray.functions.stats import stats_oracle_sql
+
+    o = {
+        "rt_documents_auto": "SELECT * FROM documents",
+        "rt_lineitem_delta_bp": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
+        "rt_lineitem_dict_rle": "SELECT l_returnflag, l_linestatus FROM lineitem",
+        "rt_lineitem_rle_bp": "SELECT l_linenumber, l_suppkey FROM lineitem",
+        "rt_lineitem_bss": "SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem",
+        "rt_lineitem_plain_snappy": "SELECT l_orderkey, l_extendedprice, l_shipdate FROM lineitem",
+        "rt_documents_fsst": "SELECT doc_id, text FROM documents",
+        "rt_documents_delta_ba": "SELECT doc_id, source, lang FROM documents",
+        "rt_events_timestamps": "SELECT event_id, ts, event_type, value FROM events",
+        "rt_orders_auto": "SELECT * FROM orders",
+        "stats_lineitem": stats_oracle_sql(
+            "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
+    }
+    return o

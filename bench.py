@@ -1,0 +1,187 @@
+"""Benchmark harness — prints ONE JSON line with headline + per-query times.
+
+Headline pipeline: salted partitioned encode of the deterministic synthetic
+source-code corpus (BASELINE.json input_hint shape) with lineage checkpoints,
+then decode-verify.  Also times documents-table encode and (when present)
+the training-data ops.
+
+  python bench.py                  # $GRAFT_SF_DIR (default sf0.1), $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling        # same job at 8 and 32 CPUs in fresh
+                                   # processes; reports scaling efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CODE_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+
+def corpus_rows() -> int:
+    for k, v in CODE_ROWS.items():
+        if SF_DIR.rstrip("/").endswith(k):
+            return v
+    return 50_000
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NCPU,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from parquet_go_ray.config import EngineConfig
+    from parquet_go_ray.pipelines.encode_pipeline import (
+        decode_partitions,
+        encode_partitioned,
+    )
+    from parquet_go_ray.sources.synth import ensure_code_corpus
+    from parquet_go_ray.stages.encode import ChunkDecoder
+
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    # -- corpus prep (untimed; also warms the page cache) --
+    corpus = ensure_code_corpus("/tmp/pgr_bench_corpus", corpus_rows(), seed=42)
+    rd.read_parquet(corpus).count()
+
+    # -- headline: partitioned encode with checkpoints --
+    out = f"/tmp/pgr_bench_out_{NCPU}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(corpus)
+    total_bytes = ds.size_bytes()
+    cfg = EngineConfig(batch_size_rows=32768, target_chunk_bytes=32 << 20)
+    t0 = time.time()
+    metrics = encode_partitioned(ds, out, cfg, total_bytes=total_bytes).to_pandas()
+    t_enc = time.time() - t0
+    queries["encode_code_corpus"] = round(t_enc, 3)
+    raw = int(metrics.raw_bytes.sum())
+    enc = int(metrics.enc_bytes.sum())
+    ref = int(metrics.ref_bytes.sum())
+    extras.update(
+        {
+            "corpus_rows": int(metrics.rows.sum()),
+            "raw_mb": round(raw / 1e6, 1),
+            "encode_gbps": round(raw / 1e9 / t_enc, 3),
+            "compression_ratio": round(raw / enc, 2),
+            "reference_ratio": round(raw / ref, 2),
+            "size_vs_reference": round(enc / ref, 3),
+            "partitions": len(metrics),
+        }
+    )
+
+    # -- decode-verify the checkpointed chunks --
+    t0 = time.time()
+    ver = (
+        decode_partitions(out)
+        .map_batches(ChunkDecoder, batch_format="pyarrow", concurrency=(2, 8))
+        .to_pandas()
+    )
+    queries["decode_verify"] = round(time.time() - t0, 3)
+    extras["verify_ok"] = bool(ver.ok.all())
+
+    # -- documents-table encode (no shuffle) --
+    from parquet_go_ray.pipelines.roundtrip import encode_stats
+
+    t0 = time.time()
+    st = encode_stats(SF_DIR, "documents").to_pandas()
+    queries["encode_documents"] = round(time.time() - t0, 3)
+    extras["documents_ratio"] = round(st.raw_bytes.sum() / max(st.enc_bytes.sum(), 1), 2)
+
+    # -- training-data ops (added as they land) --
+    try:
+        from parquet_go_ray.pipelines.dedup import dedup_exact, dedup_minhash
+
+        t0 = time.time()
+        dedup_exact(SF_DIR).count()
+        queries["dedup_exact"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        dedup_minhash(SF_DIR).count()
+        queries["dedup_minhash"] = round(time.time() - t0, 3)
+    except ImportError:
+        pass
+    try:
+        from parquet_go_ray.pipelines.similarity import knn_bruteforce
+
+        t0 = time.time()
+        knn_bruteforce(SF_DIR, k=10, n_queries=16)
+        queries["knn_bruteforce"] = round(time.time() - t0, 3)
+    except ImportError:
+        pass
+    try:
+        from parquet_go_ray.pipelines.textstats import text_quality
+
+        t0 = time.time()
+        text_quality(SF_DIR).count()
+        queries["text_quality"] = round(time.time() - t0, 3)
+    except ImportError:
+        pass
+
+    ray.shutdown()
+    return {
+        "metric": "headline_encode_sec",
+        "value": queries["encode_code_corpus"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_n, hi_n = 8, 32
+    lo = one(lo_n)
+    hi = one(hi_n)
+    t_lo, t_hi = lo["value"], hi["value"]
+    # efficiency: speedup achieved / speedup available
+    eff = (t_lo / t_hi) / (hi_n / lo_n)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "gbps_8": lo.get("encode_gbps"),
+        "gbps_32": hi.get("encode_gbps"),
+        "queries": {"encode_8cpu": t_lo, "encode_32cpu": t_hi},
+        "sf": SF_DIR,
+        "num_cpus": [lo_n, hi_n],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -113,8 +113,13 @@ def encode_column_chunk(
     codec: str,
     outer: str = "none",
     cfg: EngineConfig = DEFAULT,
+    precomputed: tuple[bytes, dict] | None = None,
 ) -> dict:
-    """Encode one column chunk; returns a dict row for the chunk table."""
+    """Encode one column chunk; returns a dict row for the chunk table.
+
+    `precomputed` short-circuits the value encoding with a (payload, meta)
+    pair already produced for the null-free values (the selector hands its
+    full-column trial encoding back through this)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     orig_type = str(arr.type)
@@ -128,7 +133,10 @@ def encode_column_chunk(
     else:
         levels = rle_mod.encode_levels(np.empty(0, dtype=np.uint64), 1)
         values = phys
-    payload, meta = codecs.encode(codec, values)
+    if precomputed is not None:
+        payload, meta = precomputed[0], dict(precomputed[1])
+    else:
+        payload, meta = codecs.encode(codec, values)
     meta.update(
         {
             "n": n,

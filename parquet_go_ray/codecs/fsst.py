@@ -39,7 +39,7 @@ ESCAPE = 255
 MAX_SYMS = 255
 MAX_LEN = 8
 SAMPLE_BYTES = 1 << 16
-TRAIN_GENERATIONS = 4
+TRAIN_GENERATIONS = 3
 SEGMENT_BYTES = 16 << 20
 
 
@@ -346,18 +346,38 @@ def train(buf: np.ndarray, value_lens: np.ndarray, seed: int = 0) -> SymbolTable
     order = np.argsort(counts)[::-1]
     symbols = [bytes([b]) for b in order if counts[b] > 0][:MAX_SYMS]
     table = SymbolTable(symbols)
-    sample_bytes = sample.tobytes()
     for _ in range(TRAIN_GENERATIONS):
         starts, lens, codes = _greedy_parse(sample, s_lens, table)
+        # token ids: 0..254 = current symbols, 256+b = escaped literal byte;
+        # gain counting is pure bincount/unique — no per-token Python work
+        ids = np.where(codes >= 0, codes, 256 + sample[starts].astype(np.int64))
+
+        def id_bytes(i: int) -> bytes:
+            return table.symbols[i] if i < 256 else bytes([i - 256])
+
         gains: dict[bytes, int] = {}
-        toks = [sample_bytes[int(s) : int(s) + int(l)] for s, l in zip(starts, lens)]
-        for t in toks:
-            gains[t] = gains.get(t, 0) + (len(t) - 1) * 8 + 7  # bias toward longer
-        for a, b in zip(toks, toks[1:]):
-            cat = a + b
-            if len(cat) <= MAX_LEN:
-                gains[cat] = gains.get(cat, 0) + len(cat) * 8
-        best = sorted(gains.items(), key=lambda kv: -kv[1])[:MAX_SYMS]
+        cnt = np.bincount(ids, minlength=512)
+        for i in np.flatnonzero(cnt):
+            b = id_bytes(int(i))
+            gains[b] = gains.get(b, 0) + int(cnt[i]) * ((len(b) - 1) * 8 + 7)
+        if len(ids) > 1:
+            pid = ids[:-1] * 512 + ids[1:]
+            upair, pcnt = np.unique(pid, return_counts=True)
+            id_len = np.array(
+                [len(s) for s in table.symbols]
+                + [0] * (256 - len(table.symbols))
+                + [1] * 256,
+                dtype=np.int64,
+            )
+            la, lb = id_len[upair // 512], id_len[upair % 512]
+            ok = (la + lb) <= MAX_LEN
+            upair, pcnt, plen = upair[ok], pcnt[ok], (la + lb)[ok]
+            top = np.argsort(pcnt * plen)[::-1][: 4 * MAX_SYMS]
+            for j in top:
+                u = int(upair[j])
+                cat = id_bytes(u // 512) + id_bytes(u % 512)
+                gains[cat] = gains.get(cat, 0) + int(pcnt[j]) * len(cat) * 8
+        best = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))[:MAX_SYMS]
         table = SymbolTable([s for s, _ in best])
     return table
 

@@ -16,6 +16,7 @@ class EngineConfig:
     sample_rows: int = 4096          # rows sampled per chunk for trial encoding
     outer_codecs: tuple = ("none", "snappy", "zstd")  # block compressors tried
     zstd_level: int = 3
+    size_tolerance: float = 1.10  # prefer a faster codec if within 10% of min size
     enforce_reference_floor: bool = True  # hard per-chunk <= reference-policy size
     per_column_codec: dict = field(default_factory=dict)  # name -> codec override
     # pipeline shape

@@ -140,13 +140,19 @@ def encode_partitioned(
     """Salted-shuffle encode with per-partition checkpoints; returns the
     metrics dataset (blobs go to out_dir) or the chunk dataset if out_dir is
     None."""
+    import os as _os
+
+    ncpu = _os.cpu_count() or 8
     if num_parts is None:
         if cfg.partitions:
             num_parts = cfg.partitions
         else:
             if total_bytes is None:
                 total_bytes = ds.size_bytes() or (64 << 20)
-            num_parts = max(1, int(total_bytes // cfg.target_chunk_bytes))
+            # enough partitions to cap chunk memory AND keep every core busy
+            by_size = int(total_bytes // cfg.target_chunk_bytes)
+            by_cpu = min(2 * ncpu, int(total_bytes // (4 << 20)))
+            num_parts = max(1, by_size, by_cpu)
     ds = ds.map_batches(
         add_partition_key(num_parts, cfg.salt_buckets), batch_format="pyarrow"
     )

@@ -124,19 +124,39 @@ def select_codec(
     sample = _sample(values, cfg.sample_rows)
     stats = column_stats(sample)
     cands = candidates_for(values, stats, cfg)
-    best, best_size = None, None
+    import time as _time
+
     sizes = {}
-    payload_cache: dict[str, bytes] = {}
+    times = {}
+    payload_cache: dict[str, tuple] = {}
+    encode_time: dict[str, float] = {}
+    results = []
     for codec, outer in cands:
         try:
             if codec not in payload_cache:
-                payload_cache[codec], _ = codecs.encode(codec, sample)
-            size = len(_outer_compress(payload_cache[codec], outer, cfg.zstd_level))
+                t0 = _time.perf_counter()
+                payload_cache[codec] = codecs.encode(codec, sample)
+                encode_time[codec] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            size = len(_outer_compress(payload_cache[codec][0], outer, cfg.zstd_level))
+            cost = encode_time[codec] + (_time.perf_counter() - t0)
         except Exception:
             continue
         sizes[f"{codec}+{outer}"] = size
-        # deterministic tie-break: first in candidate order (cheaper decode)
-        if best_size is None or size < best_size:
-            best, best_size = (codec, outer), size
+        times[f"{codec}+{outer}"] = round(cost, 5)
+        results.append((size, cost, codec, outer))
+    best_size = min(r[0] for r in results)
+    # cost-aware pick: among candidates within size_tolerance of the smallest,
+    # take the cheapest-to-encode (at 100 TB, 5% extra bytes never justifies a
+    # 10x slower kernel; the reference floor still bounds the final size)
+    tol = best_size * cfg.size_tolerance
+    eligible = [r for r in results if r[0] <= tol]
+    eligible.sort(key=lambda r: (r[1], r[0]))
+    _, _, codec, outer = eligible[0]
     stats["trial_sizes"] = sizes
-    return best[0], best[1], stats
+    stats["trial_times"] = times
+    if len(sample) == len(values) and codec in payload_cache:
+        # sample WAS the full column: hand the encoding to the caller so the
+        # chunk encoder doesn't redo the work
+        stats["full_payload"] = payload_cache[codec]
+    return codec, outer, stats

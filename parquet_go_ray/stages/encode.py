@@ -47,7 +47,9 @@ def encode_table(table: pa.Table, cfg: EngineConfig = DEFAULT, part: int = 0) ->
             col = col.combine_chunks()
         values = col.drop_null() if col.null_count else col
         codec, outer, stats = select_codec(values, cfg, column=name)
-        row = encode_column_chunk(col, codec, outer, cfg)
+        row = encode_column_chunk(
+            col, codec, outer, cfg, precomputed=stats.get("full_payload")
+        )
         ref_bytes = None
         if cfg.enforce_reference_floor:
             # actual reference-policy size on the full chunk: the floor

@@ -51,7 +51,8 @@ def test_sliced_array_roundtrip():
 
 
 def test_selector_picks_sensibly():
-    cfg = EngineConfig()
+    # strict-size mode: tolerance off so the min-size codec wins outright
+    cfg = EngineConfig(size_tolerance=1.0)
     # constant column -> rle or dict beats plain
     codec, outer, _ = select_codec(pa.array([7] * 10000, type=pa.int64()), cfg)
     assert codec in ("rle_bp", "dict_rle")
