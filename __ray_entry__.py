@@ -104,6 +104,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- sizetool analog (§2.1), rows-only check --
     q["sizetool_documents"] = lambda sf: encode_stats(sf, "documents")
 
+    # -- training-data ops: dedup --
+    from parquet_go_ray.pipelines.dedup import (
+        dedup_embedding,
+        dedup_exact,
+        dedup_minhash,
+        dedup_simhash,
+    )
+
+    q["dedup_exact"] = dedup_exact
+    q["dedup_minhash"] = lambda sf: dedup_minhash(sf, threshold=0.5)
+    q["dedup_simhash"] = lambda sf: dedup_simhash(sf, max_hamming=6)
+    q["dedup_embedding"] = lambda sf: dedup_embedding(sf, threshold=0.35)
+
+    # -- similarity search --
+    from parquet_go_ray.pipelines.similarity import knn_bruteforce, knn_ivf
+
+    q["knn_bruteforce"] = lambda sf: knn_bruteforce(sf, k=10, n_queries=8)[
+        ["query_id", "vec_id"]
+    ]
+    q["knn_ivf"] = lambda sf: knn_ivf(sf, k=10, n_queries=8)
+
+    # -- text analysis --
+    from parquet_go_ray.pipelines.textstats import (
+        fingerprint,
+        lang_id,
+        text_quality,
+        token_count,
+    )
+
+    q["text_quality"] = text_quality
+    q["token_count"] = token_count
+    q["lang_id"] = lang_id
+    q["fingerprint"] = fingerprint
+
     return q
 
 
@@ -123,6 +157,34 @@ def oracle_sql() -> dict[str, str]:
         "rt_orders_auto": "SELECT * FROM orders",
         "stats_lineitem": stats_oracle_sql(
             "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
+        "dedup_exact": (
+            "SELECT * FROM documents QUALIFY "
+            "ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1"
+        ),
+        "text_quality": (
+            "SELECT doc_id, LENGTH(text) AS chars, "
+            "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+            "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS words, "
+            "LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct, "
+            "ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;:]', '', 'g'))) "
+            "/ GREATEST(LENGTH(text), 1), 9) AS punct_ratio "
+            "FROM documents"
+        ),
+        "token_count": (
+            "SELECT doc_id, "
+            "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+            "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS ws_tokens, "
+            "LEN(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens "
+            "FROM documents"
+        ),
+        "knn_bruteforce": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8) "
+            "SELECT query_id, vec_id FROM ("
+            "  SELECT q.qid AS query_id, e.vec_id AS vec_id, "
+            "         list_cosine_similarity(e.embedding, q.qe) AS cos "
+            "  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid"
+            ") QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 10"
         ),
     }
     return o

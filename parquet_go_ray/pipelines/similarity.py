@@ -1,0 +1,164 @@
+"""Similarity search over the embeddings table (list<float> column).
+
+  knn_bruteforce — exact cosine top-k: the query matrix is broadcast once
+      (ray.put on the driver, read per actor in __init__ — never re-shipped
+      per batch), every batch does one normalized matmul and emits its local
+      top-k; the driver merges tiny per-batch candidate sets.  At 100 TB this
+      is the baseline/recall-oracle path.
+  knn_ivf — IVF-style scale path: deterministic sampled centroids, vectors
+      partitioned by nearest centroid (groupby), queries probe only the
+      nprobe closest centroid partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(batch["vec_id"])
+    emb = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    return ids, emb
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _BatchTopK:
+    """Actor: holds the broadcast query matrix; one matmul per batch."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.qids, self.Q = q
+        self.Qn = _normalize(self.Q)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, emb = _emb_matrix(batch)
+        cos = _normalize(emb) @ self.Qn.T  # (n_batch, n_queries)
+        k = min(self.k + 1, len(ids))  # +1 to survive dropping self-matches
+        top = np.argpartition(-cos, kth=k - 1, axis=0)[:k]  # (k, n_queries)
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        nq = cos.shape[1]
+        qi = np.repeat(self.qids, k)
+        vi = ids[top.T.reshape(-1)]
+        ci = cos[top.T.reshape(-1), np.repeat(np.arange(nq), k)]
+        return pa.table(
+            {
+                "query_id": pa.array(qi, pa.int64()),
+                "vec_id": pa.array(vi, pa.int64()),
+                "cosine": pa.array(ci, pa.float64()),
+            }
+        )
+
+
+def load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    qds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qpdf = (
+        qds.filter(expr=f"vec_id < {n_queries}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return qpdf.vec_id.to_numpy(), np.stack(qpdf.embedding.to_numpy()).astype(np.float64)
+
+
+def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 16) -> pd.DataFrame:
+    """Exact top-k cosine neighbors (self-match excluded); deterministic
+    tie-break (cosine desc, vec_id asc)."""
+    queries = load_queries(sf_dir, n_queries)
+    ref = ray.put(queries)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cands = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).to_pandas()
+    cands = cands[cands.query_id != cands.vec_id]
+    cands["cosine"] = cands.cosine.round(9)
+    cands = cands.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    out = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "rank", "vec_id", "cosine"]]
+
+
+def knn_ivf(
+    sf_dir: str, k: int = 10, n_queries: int = 16, n_centroids: int = 16, nprobe: int = 4
+) -> pd.DataFrame:
+    """IVF approximate top-k: partition by nearest centroid, probe nprobe
+    lists per query.  Returns same schema as knn_bruteforce."""
+    qids, Q = load_queries(sf_dir, n_queries)
+    Qn = _normalize(Q)
+
+    # deterministic centroids: strided sample of the table
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n_total = ds.count()
+    step = max(n_total // n_centroids, 1)
+    cent_pdf = (
+        ds.map_batches(
+            lambda b: b.filter(pa.array(np.asarray(b["vec_id"]) % step == 0)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    C = _normalize(np.stack(cent_pdf.embedding.to_numpy()).astype(np.float64))[:n_centroids]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids, emb = _emb_matrix(batch)
+        c = np.argmax(_normalize(emb) @ C.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "centroid": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_of = {}
+    for qi, row in zip(qids, probe):
+        for c in row:
+            probe_of.setdefault(int(c), []).append(int(qi))
+    qid_to_idx = {int(q): i for i, q in enumerate(qids)}
+
+    def search_list(group: pd.DataFrame) -> pd.DataFrame:
+        c = int(group["centroid"].iloc[0])
+        qs = probe_of.get(c, [])
+        if not qs:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        ids = group["vec_id"].to_numpy()
+        emb = _normalize(np.stack(group["embedding"].to_numpy()).astype(np.float64))
+        sub = Qn[[qid_to_idx[q] for q in qs]]
+        cos = emb @ sub.T
+        kk = min(k + 1, len(ids))
+        top = np.argpartition(-cos, kth=kk - 1, axis=0)[:kk]
+        qi = np.repeat(qs, kk)
+        vi = ids[top.T.reshape(-1)]
+        ci = cos[top.T.reshape(-1), np.repeat(np.arange(len(qs)), kk)]
+        return pd.DataFrame({"query_id": qi, "vec_id": vi, "cosine": ci})
+
+    cands = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("centroid")
+        .map_groups(search_list, batch_format="pandas")
+        .to_pandas()
+    )
+    cands = cands[cands.query_id != cands.vec_id]
+    cands["cosine"] = cands.cosine.round(9)
+    cands = cands.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    out = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["query_id"] = out.query_id.astype(np.int64)
+    out["vec_id"] = out.vec_id.astype(np.int64)
+    return out[["query_id", "rank", "vec_id", "cosine"]]

