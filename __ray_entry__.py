@@ -97,6 +97,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["rt_orders_auto"] = lambda sf: roundtrip_table(sf, "orders")
 
+    def rt_embeddings(sf):
+        # list<float> column round-trip (nested/Dremel-equivalent path);
+        # the oracle compares the SQL-expressible projection, bit-identity of
+        # the floats is asserted in tests/test_chunk.py
+        ds = roundtrip_table(sf, "embeddings")
+
+        def project(b):
+            import pyarrow as _pa
+            import numpy as _np
+
+            dims = _pa.array(
+                [len(x) if x is not None else 0 for x in b["embedding"].to_pylist()],
+                _pa.int64(),
+            )
+            s = _pa.array(
+                [float(_np.sum(x)) if x is not None else 0.0 for x in b["embedding"].to_pylist()],
+            )
+            return _pa.table({"vec_id": b["vec_id"], "label": b["label"], "dim": dims})
+
+        return ds.map_batches(project, batch_format="pyarrow")
+
+    q["rt_embeddings"] = rt_embeddings
+
     # -- aggregation (§2.6) --
     LI_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     q["stats_lineitem"] = lambda sf: numeric_column_stats(sf, "lineitem", LI_NUM)
@@ -155,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_documents_delta_ba": "SELECT doc_id, source, lang FROM documents",
         "rt_events_timestamps": "SELECT event_id, ts, event_type, value FROM events",
         "rt_orders_auto": "SELECT * FROM orders",
+        "rt_embeddings": "SELECT vec_id, label, LEN(embedding) AS dim FROM embeddings",
         "stats_lineitem": stats_oracle_sql(
             "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),

@@ -108,6 +108,112 @@ def raw_nbytes(arr: pa.Array) -> int:
     return sum(b.size for b in arr.buffers() if b is not None)
 
 
+def encode_list_chunk(arr, cfg: EngineConfig = DEFAULT, outer: str = "none") -> dict:
+    """Nested (one-level list) chunk: the Arrow-native Dremel equivalent.
+
+    The reference carries nesting as repetition/definition level streams
+    (SURVEY §1.2, schema/schemahandler.go:297-334; marshal/marshal.go:153-184);
+    in Arrow the identical information is (validity bitmap, offsets, child
+    values) — SURVEY §1.4.  We encode: outer validity as levels, per-row
+    lengths as an auto-selected int chunk (RL analog), and the flattened child
+    values recursively as their own chunk (with their own codec selection).
+
+    Payload: varint(len(lengths_blob)) lengths_blob | child_blob.
+    """
+    from .selector import select_codec
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    assert pa.types.is_list(t) or pa.types.is_large_list(t), t
+    n = len(arr)
+    null_count = arr.null_count
+    if null_count:
+        validity = np.asarray(arr.is_valid()).astype(np.uint64)
+        levels = rle_mod.encode_levels(validity, 1)
+        dense = arr.drop_null()
+    else:
+        levels = rle_mod.encode_levels(np.empty(0, dtype=np.uint64), 1)
+        dense = arr
+    off_t = np.int64 if pa.types.is_large_list(t) else np.int32
+    offsets = np.frombuffer(
+        dense.buffers()[1], dtype=off_t, count=len(dense) + 1,
+        offset=dense.offset * np.dtype(off_t).itemsize,
+    )
+    lengths = pa.array(np.diff(offsets).astype(np.int64), type=pa.int64())
+    child = dense.flatten()
+    lcodec, louter, _ = select_codec(lengths, cfg)
+    lengths_row = encode_column_chunk(lengths, lcodec, louter, cfg)
+    if pa.types.is_list(child.type) or pa.types.is_large_list(child.type):
+        child_row = encode_list_chunk(child, cfg, outer)
+    else:
+        cvals = child.drop_null() if child.null_count else child
+        ccodec, couter, cstats = select_codec(cvals, cfg)
+        child_row = encode_column_chunk(
+            child, ccodec, couter, cfg, precomputed=cstats.get("full_payload")
+        )
+    meta = {
+        "codec": "list",
+        "outer": "none",
+        "n": n,
+        "nulls": null_count,
+        "type": str(t),
+        "logical": None,
+        "child_type": str(child.type),
+        "large": bool(pa.types.is_large_list(t)),
+        "raw_body": 0,
+    }
+    meta_json = json.dumps(meta, separators=(",", ":")).encode()
+    body = (
+        write_uvarint(len(levels))
+        + levels
+        + write_uvarint(len(lengths_row["blob"]))
+        + lengths_row["blob"]
+        + child_row["blob"]
+    )
+    blob = MAGIC + write_uvarint(len(meta_json)) + meta_json + body
+    return {
+        "codec": f"list<{child_row['codec']}>",
+        "outer": child_row["outer"],
+        "rows": n,
+        "nulls": null_count,
+        "raw_bytes": raw_nbytes(arr),
+        "enc_bytes": len(blob),
+        "blob": blob,
+        "sha256": column_sha256(arr) if cfg.verify_sha256 else "",
+    }
+
+
+def _decode_list_chunk(meta: dict, blob: bytes, pos: int) -> pa.Array:
+    body = blob[pos:]
+    llen, p = read_uvarint(body, 0)
+    levels_buf = body[p : p + llen]
+    p += llen
+    blen, p = read_uvarint(body, p)
+    lengths_arr = decode_column_chunk(body[p : p + blen])
+    p += blen
+    child = decode_column_chunk(body[p:])
+    n, nulls = meta["n"], meta["nulls"]
+    lengths = lengths_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    if meta.get("large"):
+        offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        dense = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), child)
+    else:
+        offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offsets[1:])
+        dense = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child)
+    if nulls == 0:
+        return dense
+    dl, _ = rle_mod.decode_levels(levels_buf, 1, n)
+    validity = dl.astype(bool)
+    if nulls == n:
+        return pa.nulls(n, type=dense.type)
+    idx = np.maximum(np.cumsum(validity) - 1, 0)
+    taken = dense.take(pa.array(idx, type=pa.int64()))
+    return pc.if_else(pa.array(validity), taken, pa.scalar(None, type=dense.type))
+
+
 def encode_column_chunk(
     arr,
     codec: str,
@@ -169,6 +275,8 @@ def decode_column_chunk(blob: bytes) -> pa.Array:
     mlen, pos = read_uvarint(blob, 4)
     meta = json.loads(blob[pos : pos + mlen])
     pos += mlen
+    if meta["codec"] == "list":
+        return _decode_list_chunk(meta, blob, pos)
     body = _outer_decompress(blob[pos:], meta["outer"], meta["raw_body"])
     llen, bpos = read_uvarint(body, 0)
     levels_buf = body[bpos : bpos + llen]
@@ -243,6 +351,14 @@ def column_sha256(arr) -> str:
         h.update(np.ascontiguousarray(data).tobytes())
     elif pa.types.is_boolean(t):
         h.update(vals.to_numpy(zero_copy_only=False).astype(np.uint8).tobytes())
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        off_t = np.int64 if pa.types.is_large_list(t) else np.int32
+        offsets = np.frombuffer(
+            vals.buffers()[1], dtype=off_t, count=len(vals) + 1,
+            offset=vals.offset * np.dtype(off_t).itemsize,
+        )
+        h.update(np.diff(offsets).astype(np.int64).tobytes())
+        h.update(column_sha256(vals.flatten()).encode())
     else:
         phys, _ = _physical(vals)
         h.update(np.ascontiguousarray(phys.to_numpy(zero_copy_only=True)).tobytes())

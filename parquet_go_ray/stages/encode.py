@@ -45,6 +45,31 @@ def encode_table(table: pa.Table, cfg: EngineConfig = DEFAULT, part: int = 0) ->
         col = table[name]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            from ..chunk import encode_list_chunk
+
+            row = encode_list_chunk(col, cfg)
+            # reference floor for nested: its default policy is PLAIN+snappy
+            # over the value stream; approximate with snappy(raw buffers)
+            ref = len(
+                pa.Codec("snappy").compress(
+                    b"".join(bytes(b) for b in col.buffers() if b is not None),
+                    asbytes=True,
+                )
+            )
+            rows["chunk_id"].append(chunk_id)
+            rows["part"].append(part)
+            rows["column"].append(name)
+            rows["codec"].append(row["codec"])
+            rows["outer"].append(row["outer"])
+            rows["rows"].append(row["rows"])
+            rows["nulls"].append(row["nulls"])
+            rows["raw_bytes"].append(row["raw_bytes"])
+            rows["enc_bytes"].append(row["enc_bytes"])
+            rows["ref_bytes"].append(max(ref, 1))
+            rows["sha256"].append(sha)
+            rows["blob"].append(row["blob"])
+            continue
         values = col.drop_null() if col.null_count else col
         codec, outer, stats = select_codec(values, cfg, column=name)
         row = encode_column_chunk(

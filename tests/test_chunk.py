@@ -97,3 +97,31 @@ def test_reference_floor():
     enc = chunks["enc_bytes"].to_pylist()
     ref = chunks["ref_bytes"].to_pylist()
     assert all(e <= r for e, r in zip(enc, ref)), (enc, ref)
+
+
+def test_list_chunk_roundtrip():
+    from parquet_go_ray.chunk import encode_list_chunk
+
+    cases = [
+        pa.array([[1, 2, 3], [], None, [4]], type=pa.list_(pa.int64())),
+        pa.array([[None, 1], [2]], type=pa.list_(pa.int64())),
+        pa.array([[["a"], ["b", "c"]], None], type=pa.list_(pa.list_(pa.string()))),
+        pa.array([[], []], type=pa.large_list(pa.string())),
+    ]
+    for arr in cases:
+        row = encode_list_chunk(arr)
+        out = decode_column_chunk(row["blob"])
+        assert out.equals(arr)
+        assert column_sha256(out) == column_sha256(arr)
+
+
+def test_embeddings_table_bit_identity():
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.stages.encode import encode_table, reassemble_chunk
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    out = reassemble_chunk(encode_table(t))
+    for c in t.column_names:
+        got = out[c].combine_chunks() if hasattr(out[c], "combine_chunks") else out[c]
+        assert got.equals(t[c].combine_chunks()), c
