@@ -92,6 +92,8 @@ def _stats(values: pa.Array) -> dict:
 def _outer_compress(body: bytes, name: str, level: int) -> bytes:
     if name == "none":
         return body
+    if name == "zstd9":
+        name, level = "zstd", 9
     codec = pa.Codec(name, compression_level=level if name == "zstd" else None)
     return codec.compress(body, asbytes=True)
 
@@ -99,6 +101,8 @@ def _outer_compress(body: bytes, name: str, level: int) -> bytes:
 def _outer_decompress(body: bytes, name: str, raw_len: int) -> bytes:
     if name == "none":
         return body
+    if name == "zstd9":
+        name = "zstd"
     return pa.Codec(name).decompress(body, raw_len, asbytes=True)
 
 

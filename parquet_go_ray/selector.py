@@ -30,13 +30,43 @@ from .config import DEFAULT, EngineConfig
 REFERENCE_POLICY = (("plain", "snappy"), ("dict_rle", "snappy"))
 
 
-def _sample(values: pa.Array, k: int) -> pa.Array:
+def logical_nbytes(arr: pa.Array) -> int:
+    """Slice-aware logical byte size (Arrow .buffers() reports PARENT buffer
+    sizes for slices, which silently inflates ratio denominators)."""
+    n = len(arr)
+    t = arr.type
+    if n == 0:
+        return 0
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_large_binary(t)
+    ):
+        data = int(pc.sum(pc.binary_length(arr)).as_py() or 0)
+        return data + 4 * n
+    if pa.types.is_boolean(t):
+        return (n + 7) // 8
+    try:
+        return n * t.bit_width // 8
+    except (ValueError, AttributeError):
+        return n * 8
+
+
+def _sample(values: pa.Array, k: int, max_bytes: int | None = None) -> pa.Array:
     n = len(values)
-    if n <= k:
-        return values
-    step = n // k
-    idx = np.arange(0, n, step, dtype=np.int64)[:k]
-    return values.take(pa.array(idx))
+    if n > k:
+        step = n // k
+        idx = np.arange(0, n, step, dtype=np.int64)[:k]
+        values = values.take(pa.array(idx))
+    if max_bytes is not None and len(values) > 8:
+        nb = logical_nbytes(values)
+        if nb > max_bytes:
+            # re-stride (NOT a prefix slice) so the subsample stays
+            # representative of the whole chunk
+            rows = max(int(len(values) * (max_bytes / nb)), 8)
+            values = _sample(values, rows)
+    return values
 
 
 def column_stats(values: pa.Array) -> dict:
@@ -99,8 +129,8 @@ def candidates_for(values: pa.Array, stats: dict, cfg: EngineConfig) -> list[tup
         add("plain")
         if card < 0.6:
             add("dict_rle")
-        add("delta_length_ba", ("none", "zstd"))
-        add("delta_ba", ("none", "zstd"))
+        add("delta_length_ba", ("none", "zstd", "zstd9"))
+        add("delta_ba", ("none", "zstd", "zstd9"))
         if stats.get("avg_len", 0) >= 4 and card > 0.05:
             add("fsst", ("none", "zstd"))
     for ref in REFERENCE_POLICY:
@@ -121,42 +151,56 @@ def select_codec(
         return choice[0], choice[1], {}
     if len(values) == 0:
         return "plain", "none", {}
-    sample = _sample(values, cfg.sample_rows)
+    sample = _sample(values, cfg.sample_rows, cfg.sample_max_bytes)
     stats = column_stats(sample)
     cands = candidates_for(values, stats, cfg)
     import time as _time
 
-    sizes = {}
+    ratios = {}
     times = {}
     payload_cache: dict[str, tuple] = {}
+    sample_cache: dict[str, pa.Array] = {}
     encode_time: dict[str, float] = {}
     results = []
     for codec, outer in cands:
         try:
             if codec not in payload_cache:
+                # expensive kernels trial on a smaller subsample; comparison
+                # is per-raw-byte ratio so mixed sample sizes stay comparable
+                s = sample
+                if codec in cfg.expensive_codecs:
+                    s = _sample(sample, len(sample), cfg.expensive_trial_bytes)
+                sample_cache[codec] = s
                 t0 = _time.perf_counter()
-                payload_cache[codec] = codecs.encode(codec, sample)
+                payload_cache[codec] = codecs.encode(codec, s)
                 encode_time[codec] = _time.perf_counter() - t0
+            s = sample_cache[codec]
+            raw = max(logical_nbytes(s), 1)
             t0 = _time.perf_counter()
-            size = len(_outer_compress(payload_cache[codec][0], outer, cfg.zstd_level))
-            cost = encode_time[codec] + (_time.perf_counter() - t0)
+            size = len(_outer_compress(payload_cache[codec][0], outer, _zlevel(outer, cfg)))
+            cost = (encode_time[codec] + (_time.perf_counter() - t0)) / raw
         except Exception:
             continue
-        sizes[f"{codec}+{outer}"] = size
-        times[f"{codec}+{outer}"] = round(cost, 5)
-        results.append((size, cost, codec, outer))
-    best_size = min(r[0] for r in results)
+        ratio = size / raw
+        ratios[f"{codec}+{outer}"] = round(ratio, 4)
+        times[f"{codec}+{outer}"] = round(cost * 1e9, 2)  # ns/byte
+        results.append((ratio, cost, codec, outer))
+    best_ratio = min(r[0] for r in results)
     # cost-aware pick: among candidates within size_tolerance of the smallest,
-    # take the cheapest-to-encode (at 100 TB, 5% extra bytes never justifies a
-    # 10x slower kernel; the reference floor still bounds the final size)
-    tol = best_size * cfg.size_tolerance
+    # take the cheapest-to-encode (at 100 TB, ~15% extra bytes never justifies
+    # a 30x slower kernel; the reference floor still bounds the final size)
+    tol = best_ratio * cfg.size_tolerance
     eligible = [r for r in results if r[0] <= tol]
     eligible.sort(key=lambda r: (r[1], r[0]))
     _, _, codec, outer = eligible[0]
-    stats["trial_sizes"] = sizes
-    stats["trial_times"] = times
-    if len(sample) == len(values) and codec in payload_cache:
+    stats["trial_ratios"] = ratios
+    stats["trial_ns_per_byte"] = times
+    if len(sample_cache.get(codec, ())) == len(values):
         # sample WAS the full column: hand the encoding to the caller so the
         # chunk encoder doesn't redo the work
         stats["full_payload"] = payload_cache[codec]
     return codec, outer, stats
+
+
+def _zlevel(outer: str, cfg: EngineConfig) -> int:
+    return 9 if outer == "zstd9" else cfg.zstd_level
