@@ -136,7 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     q["dedup_exact"] = dedup_exact
-    q["dedup_minhash"] = lambda sf: dedup_minhash(sf, threshold=0.5)
+    q["dedup_minhash"] = lambda sf: dedup_minhash(sf, threshold=0.7)
     q["dedup_simhash"] = lambda sf: dedup_simhash(sf, max_hamming=6)
     q["dedup_embedding"] = lambda sf: dedup_embedding(sf, threshold=0.35)
 

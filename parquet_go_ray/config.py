@@ -14,9 +14,9 @@ from dataclasses import dataclass, field
 class EngineConfig:
     # codec selection
     sample_rows: int = 4096          # rows sampled per chunk for trial encoding
-    sample_max_bytes: int = 4 << 20  # byte cap on the trial sample
+    sample_max_bytes: int = 1 << 20  # byte cap on the trial sample
     expensive_codecs: tuple = ("fsst",)
-    expensive_trial_bytes: int = 256 << 10  # trial subsample for slow kernels
+    expensive_trial_bytes: int = 128 << 10  # trial subsample for slow kernels
     outer_codecs: tuple = ("none", "snappy", "zstd", "zstd9")  # block compressors tried
     zstd_level: int = 3
     size_tolerance: float = 1.15  # prefer a faster codec if within 15% of min size

@@ -177,22 +177,82 @@ def minhash_candidate_pairs(sf_dir: str) -> pd.DataFrame:
 def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     """Near-dup clusters: (doc_id, cluster) for ALL docs; cluster = min doc_id
     reachable through verified near-dup pairs (iterated min-label propagation,
-    so transitive chains converge without a driver-side union-find)."""
+    so transitive chains converge without a driver-side union-find).
+
+    Candidate verification is two-stage: a vectorized minhash-signature
+    similarity PREFILTER kills the bulk of LSH false candidates for free, then
+    exact shingle-Jaccard runs only on survivors, fanned out over Ray tasks
+    with the needed texts broadcast once (ray.put)."""
     cand = minhash_candidate_pairs(sf_dir)
-    # at scale this fetch is a semi-join on candidate doc_ids; the candidate
-    # set (not the corpus) bounds driver memory
     docs = _docs(sf_dir, ["doc_id"]).to_pandas()
-    need = set(cand.a) | set(cand.b)
-    texts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        lambda b: b.filter(pa.array(np.isin(np.asarray(b["doc_id"]), list(need) or [-1]))),
-        batch_format="pyarrow",
-    ).to_pandas()
-    text_of = dict(zip(texts.doc_id, texts.text))
+    verified = cand
     if len(cand):
-        j = jaccard(
-            [text_of[a] for a in cand.a], [text_of[b] for b in cand.b]
+        # signatures for prefilter (driver-held; at 10^12-doc scale this
+        # becomes a signature join through the same band groupby instead)
+        sig_pdf = (
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "doc_id": b["doc_id"],
+                        "sig": pa.array(
+                            list(
+                                _minhash_sig(
+                                    b["text"].combine_chunks()
+                                    if isinstance(b["text"], pa.ChunkedArray)
+                                    else b["text"]
+                                ).astype(np.int64)
+                            )
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
         )
-        verified = cand[j >= threshold]
+        sig_of = {
+            int(d): np.asarray(s, dtype=np.int64)
+            for d, s in zip(sig_pdf.doc_id, sig_pdf.sig)
+        }
+        SA = np.stack([sig_of[a] for a in cand.a])
+        SB = np.stack([sig_of[b] for b in cand.b])
+        est = (SA == SB).mean(axis=1)
+        cand = cand[est >= max(threshold - 0.2, 0.0)].reset_index(drop=True)
+    if len(cand):
+        need = set(cand.a) | set(cand.b)
+        texts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            lambda b: b.filter(
+                pa.array(np.isin(np.asarray(b["doc_id"]), list(need) or [-1]))
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        text_of = dict(zip(texts.doc_id, texts.text))
+        if len(cand) > 20000:
+            # parallel exact verify: broadcast texts once, map over pair batches
+            import ray as _ray
+
+            ref = _ray.put(text_of)
+
+            class Verify:
+                def __init__(self):
+                    self.text_of = _ray.get(ref)
+
+                def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                    j = jaccard(
+                        [self.text_of[a] for a in b.a],
+                        [self.text_of[x] for x in b.b],
+                    )
+                    return b[j >= threshold]
+
+            verified = (
+                rd.from_pandas(cand)
+                .repartition(64)
+                .map_batches(Verify, batch_format="pandas", concurrency=(2, 16))
+                .to_pandas()
+            )
+        else:
+            j = jaccard([text_of[a] for a in cand.a], [text_of[b] for b in cand.b])
+            verified = cand[j >= threshold]
     else:
         verified = cand
     # min-label propagation over the pair graph (small: pairs only)

@@ -121,12 +121,14 @@ class PartitionEncoder:
 
 def encode_dataset(ds: rd.Dataset, cfg: EngineConfig = DEFAULT) -> rd.Dataset:
     """No-shuffle encode: each Ray block batch -> one chunk set."""
+    import os as _os
+
     return ds.map_batches(
         ChunkEncoder,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size_rows,
-        concurrency=(1, 8),
+        concurrency=(1, max(4, (_os.cpu_count() or 8) // 2)),
     )
 
 
@@ -149,9 +151,10 @@ def encode_partitioned(
         else:
             if total_bytes is None:
                 total_bytes = ds.size_bytes() or (64 << 20)
-            # enough partitions to cap chunk memory AND keep every core busy
+            # enough partitions to cap chunk memory AND keep every core busy,
+            # but not so many that per-chunk selector overhead dominates
             by_size = int(total_bytes // cfg.target_chunk_bytes)
-            by_cpu = min(2 * ncpu, int(total_bytes // (4 << 20)))
+            by_cpu = min(2 * ncpu, int(total_bytes // (8 << 20)))
             num_parts = max(1, by_size, by_cpu)
     ds = ds.map_batches(
         add_partition_key(num_parts, cfg.salt_buckets), batch_format="pyarrow"
@@ -168,7 +171,7 @@ def encode_partitioned(
             ds = ds.map_batches(drop_done, batch_format="pyarrow")
     import os
 
-    workers = max(2, min(16, (os.cpu_count() or 8) - 2))
+    workers = max(2, (os.cpu_count() or 8) - 2)
     return ds.groupby("__part").map_groups(
         PartitionEncoder,
         fn_constructor_args=(cfg, out_dir),

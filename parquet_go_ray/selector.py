@@ -126,13 +126,14 @@ def candidates_for(values: pa.Array, stats: dict, cfg: EngineConfig) -> list[tup
         if card < 0.3:
             add("dict_rle", ("none", "zstd"))
     else:  # string / binary
-        add("plain")
+        # plain+zstd duplicates delta_length_ba+zstd almost byte-for-byte
+        # (same data stream modulo length framing) — don't trial it twice
         if card < 0.6:
             add("dict_rle")
         add("delta_length_ba", ("none", "zstd", "zstd9"))
-        add("delta_ba", ("none", "zstd", "zstd9"))
+        add("delta_ba", ("zstd", "zstd9"))
         if stats.get("avg_len", 0) >= 4 and card > 0.05:
-            add("fsst", ("none", "zstd"))
+            add("fsst", ("zstd",))
     for ref in REFERENCE_POLICY:
         if ref not in cands and (ref[0] != "dict_rle" or card < 0.9):
             cands.append(ref)
