@@ -66,7 +66,7 @@ def run_bench() -> dict:
     # -- headline: partitioned encode with checkpoints --
     out = f"/tmp/pgr_bench_out_{NCPU}"
     shutil.rmtree(out, ignore_errors=True)
-    ds = rd.read_parquet(corpus)
+    ds = rd.read_parquet(corpus, override_num_blocks=2 * NCPU)
     total_bytes = ds.size_bytes()
     cfg = EngineConfig(batch_size_rows=32768, target_chunk_bytes=32 << 20)
     t0 = time.time()
