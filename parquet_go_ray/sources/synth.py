@@ -118,6 +118,11 @@ def make_code_table(n_rows: int, seed: int = 42, avg_lines: int = 40) -> pa.Tabl
     lines_per_file = np.maximum(
         1, rng.lognormal(mean=np.log(avg_lines), sigma=0.9, size=n_rows)
     ).astype(np.int64)
+    # FIXTURES.md F1: some empty files and a few multi-100KB outliers
+    empty = rng.random(n_rows) < 0.005
+    lines_per_file[empty] = 0
+    outlier = rng.random(n_rows) < 0.001
+    lines_per_file[outlier] = rng.integers(5_000, 40_000, int(outlier.sum()))
     total_lines = int(lines_per_file.sum())
     base = np.array([pool_base[l] for l in langs], dtype=np.int64)
     picks = np.repeat(base, lines_per_file) + rng.integers(0, 512, total_lines)
@@ -158,7 +163,7 @@ def make_code_table(n_rows: int, seed: int = 42, avg_lines: int = 40) -> pa.Tabl
 
 def ensure_code_corpus(path: str, n_rows: int, seed: int = 42) -> str:
     """Write the synthetic corpus parquet once; reuse across runs."""
-    fname = os.path.join(path, f"code_sf_{n_rows}_{seed}.parquet")
+    fname = os.path.join(path, f"code_sf_v2_{n_rows}_{seed}.parquet")
     if not os.path.exists(fname):
         os.makedirs(path, exist_ok=True)
         tmp = fname + ".tmp"
