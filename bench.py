@@ -68,7 +68,8 @@ def run_bench() -> dict:
     shutil.rmtree(out, ignore_errors=True)
     ds = rd.read_parquet(corpus, override_num_blocks=2 * NCPU)
     total_bytes = ds.size_bytes()
-    cfg = EngineConfig(batch_size_rows=32768, target_chunk_bytes=32 << 20)
+    # fixed partition count so 8- and 32-CPU runs do identical work
+    cfg = EngineConfig(batch_size_rows=32768, target_chunk_bytes=32 << 20, partitions=64)
     t0 = time.time()
     metrics = encode_partitioned(ds, out, cfg, total_bytes=total_bytes).to_pandas()
     t_enc = time.time() - t0

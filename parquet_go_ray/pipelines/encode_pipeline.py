@@ -60,76 +60,67 @@ def add_partition_key(num_parts: int, salt_buckets: int):
     return fn
 
 
-class PartitionEncoder:
-    """map_groups actor body: one group = one output partition."""
+def encode_partition(group: pa.Table, cfg: EngineConfig, out_dir: str | None) -> pa.Table:
+    """map_groups body: one group = one output partition.
 
-    def __init__(self, cfg: EngineConfig, out_dir: str | None):
-        self.cfg = cfg
-        self.out_dir = out_dir
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        part = int(group["__part"][0].as_py())
-        group = group.drop_columns(["__part"])
-        if cfg.sort_within_partition and {"repo", "path"} <= set(group.column_names):
-            idx = pc.sort_indices(
-                group.select(["repo", "path"]),
-                sort_keys=[("repo", "ascending"), ("path", "ascending")],
-            )
-            group = group.take(idx)
-        t0 = time.time()
-        chunk_tables = []
-        bs = cfg.batch_size_rows
-        for lo in range(0, max(group.num_rows, 1), bs):
-            piece = group.slice(lo, bs)
-            if piece.num_rows == 0:
-                continue
-            chunk_tables.append(encode_table(piece, cfg, part=part))
-        chunks = (
-            pa.concat_tables(chunk_tables)
-            if chunk_tables
-            else encode_table(group, cfg, part=part).slice(0, 0)
+    Deliberately a plain FUNCTION, not an actor: all dictionary/FSST state is
+    chunk-local (SURVEY §7.3), so the stage is stateless and runs on Ray's
+    persistent task workers — no per-execution actor cold-start (measured:
+    30 actors importing numpy/pyarrow inside the timed window inverted the
+    8->32 CPU scaling curve)."""
+    part = int(group["__part"][0].as_py())
+    group = group.drop_columns(["__part"])
+    if cfg.sort_within_partition and {"repo", "path"} <= set(group.column_names):
+        idx = pc.sort_indices(
+            group.select(["repo", "path"]),
+            sort_keys=[("repo", "ascending"), ("path", "ascending")],
         )
-        wall = time.time() - t0
-        metrics = {
-            "part": part,
-            "rows": int(group.num_rows),
-            "raw_bytes": int(sum(chunks["raw_bytes"].to_pylist())),
-            "enc_bytes": int(sum(chunks["enc_bytes"].to_pylist())),
-            "ref_bytes": int(sum(chunks["ref_bytes"].to_pylist())),
-            "chunks": len(chunk_tables),
-            "encode_sec": round(wall, 4),
-            "codecs": dict(
-                zip(*np.unique(np.asarray(chunks["codec"]), return_counts=True))
-            )
-            if chunks.num_rows
-            else {},
-            "sha256": {},
-        }
-        metrics["codecs"] = {k: int(v) for k, v in metrics["codecs"].items()}
-        if self.out_dir is not None:
-            lin.write_partition(self.out_dir, part, chunks, metrics)
-            del metrics["codecs"]
-            del metrics["sha256"]
-            return pa.Table.from_pylist([metrics])
-        del metrics["codecs"]
-        del metrics["sha256"]
-        return chunks
-
-    # mark picklable-by-value config
+        group = group.take(idx)
+    t0 = time.time()
+    chunk_tables = []
+    bs = cfg.batch_size_rows
+    for lo in range(0, max(group.num_rows, 1), bs):
+        piece = group.slice(lo, bs)
+        if piece.num_rows == 0:
+            continue
+        chunk_tables.append(encode_table(piece, cfg, part=part))
+    chunks = (
+        pa.concat_tables(chunk_tables)
+        if chunk_tables
+        else encode_table(group, cfg, part=part).slice(0, 0)
+    )
+    wall = time.time() - t0
+    metrics = {
+        "part": part,
+        "rows": int(group.num_rows),
+        "raw_bytes": int(sum(chunks["raw_bytes"].to_pylist())),
+        "enc_bytes": int(sum(chunks["enc_bytes"].to_pylist())),
+        "ref_bytes": int(sum(chunks["ref_bytes"].to_pylist())),
+        "chunks": len(chunk_tables),
+        "encode_sec": round(wall, 4),
+    }
+    if out_dir is not None:
+        codecs = dict(zip(*np.unique(np.asarray(chunks["codec"]), return_counts=True))) if chunks.num_rows else {}
+        lineage = dict(metrics, codecs={k: int(v) for k, v in codecs.items()})
+        lin.write_partition(out_dir, part, chunks, lineage)
+        return pa.Table.from_pylist([metrics])
+    return chunks
 
 
 def encode_dataset(ds: rd.Dataset, cfg: EngineConfig = DEFAULT) -> rd.Dataset:
-    """No-shuffle encode: each Ray block batch -> one chunk set."""
-    import os as _os
+    """No-shuffle encode: each Ray block batch -> one chunk set (stateless
+    task pool; chunk-local codec state needs no actors)."""
+    import functools
 
     return ds.map_batches(
-        ChunkEncoder,
-        fn_constructor_args=(cfg,),
+        functools.partial(_encode_batch, cfg=cfg),
         batch_format="pyarrow",
         batch_size=cfg.batch_size_rows,
-        concurrency=(1, max(4, (_os.cpu_count() or 8) // 2)),
     )
+
+
+def _encode_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
+    return encode_table(batch, cfg)
 
 
 def encode_partitioned(
@@ -175,14 +166,11 @@ def encode_partitioned(
                 return batch.filter(pa.array(mask))
 
             ds = ds.map_batches(drop_done, batch_format="pyarrow")
-    import os
+    import functools
 
-    workers = max(2, (os.cpu_count() or 8) - 2)
     return ds.groupby("__part").map_groups(
-        PartitionEncoder,
-        fn_constructor_args=(cfg, out_dir),
+        functools.partial(encode_partition, cfg=cfg, out_dir=out_dir),
         batch_format="pyarrow",
-        concurrency=(1, workers),
     )
 
 
