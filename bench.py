@@ -162,8 +162,14 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo_n, hi_n = 8, 32
-    lo = one(lo_n)
-    hi = one(hi_n)
+    # this host's memory subsystem throughput swings 2-4x between runs
+    # (shared hypervisor); alternate levels and keep the best of 2 per level
+    runs = {lo_n: [], hi_n: []}
+    for _ in range(2):
+        for n in (lo_n, hi_n):
+            runs[n].append(one(n))
+    lo = min(runs[lo_n], key=lambda d: d["value"])
+    hi = min(runs[hi_n], key=lambda d: d["value"])
     t_lo, t_hi = lo["value"], hi["value"]
     # efficiency: speedup achieved / speedup available
     eff = (t_lo / t_hi) / (hi_n / lo_n)
@@ -173,6 +179,8 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "sec_8": t_lo,
         "sec_32": t_hi,
+        "all_sec_8": [d["value"] for d in runs[lo_n]],
+        "all_sec_32": [d["value"] for d in runs[hi_n]],
         "gbps_8": lo.get("encode_gbps"),
         "gbps_32": hi.get("encode_gbps"),
         "queries": {"encode_8cpu": t_lo, "encode_32cpu": t_hi},

@@ -22,6 +22,8 @@ class EngineConfig:
     size_tolerance: float = 1.15  # prefer a faster codec if within 15% of min size
     enforce_reference_floor: bool = True  # hard per-chunk <= reference-policy size
     per_column_codec: dict = field(default_factory=dict)  # name -> codec override
+    plan_codecs_globally: bool = True  # one driver-side plan vs per-chunk trials
+    plan_sample_rows: int = 20000
     # pipeline shape
     batch_size_rows: int = 65536     # rows per encode batch (chunk granularity)
     target_chunk_bytes: int = 64 << 20

@@ -37,6 +37,32 @@ from ..stages.encode import ChunkEncoder, encode_table
 from ..state import lineage as lin
 
 
+def _plan_codecs(ds: rd.Dataset, cfg: EngineConfig) -> EngineConfig:
+    """Plan codecs ONCE on a driver-side sample and broadcast the choices.
+
+    Per-chunk trial encoding is numpy-allocation-heavy and anti-scales on
+    memory-bound hosts; a single plan keeps per-task work dominated by the C
+    kernels (memcpy/zstd/snappy/sha), which parallelize.  The per-chunk
+    reference-policy floor still guards mispredictions (chunks where the
+    planned codec loses fall back to plain/dict+snappy)."""
+    import dataclasses
+
+    from ..selector import select_codec
+
+    sample = ds.take_batch(cfg.plan_sample_rows, batch_format="pyarrow")
+    plan = {}
+    for name in sample.column_names:
+        col = sample[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            continue  # nested columns keep per-chunk selection
+        values = col.drop_null() if col.null_count else col
+        codec, outer, _ = select_codec(values, cfg, column=name)
+        plan[name] = (codec, outer)
+    return dataclasses.replace(cfg, per_column_codec=plan)
+
+
 def add_partition_key(num_parts: int, salt_buckets: int):
     """Vectorized salted partition key: hash(repo) -> part, with hot repos
     fanned out over salt_buckets sub-partitions by a content-derived salt."""
@@ -153,6 +179,8 @@ def encode_partitioned(
             by_size = int(total_bytes // cfg.target_chunk_bytes)
             by_cpu = min(2 * ncpu, int(total_bytes // (8 << 20)))
             num_parts = max(1, by_size, by_cpu)
+    if cfg.plan_codecs_globally and not cfg.per_column_codec:
+        cfg = _plan_codecs(ds, cfg)
     ds = ds.map_batches(
         add_partition_key(num_parts, cfg.salt_buckets), batch_format="pyarrow"
     )

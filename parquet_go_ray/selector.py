@@ -132,7 +132,10 @@ def candidates_for(values: pa.Array, stats: dict, cfg: EngineConfig) -> list[tup
             add("dict_rle")
         add("delta_length_ba", ("none", "zstd", "zstd9"))
         add("delta_ba", ("zstd", "zstd9"))
-        if stats.get("avg_len", 0) >= 4 and card > 0.05:
+        # FSST's niche is short-to-medium strings (ids, paths, titles) where
+        # per-value random access matters; on long text zstd dominates at a
+        # fraction of the encode cost, so don't even trial fsst there
+        if 4 <= stats.get("avg_len", 0) <= 512 and card > 0.05:
             add("fsst", ("zstd",))
     for ref in REFERENCE_POLICY:
         if ref not in cands and (ref[0] != "dict_rle" or card < 0.9):

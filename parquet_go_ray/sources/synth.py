@@ -161,12 +161,29 @@ def make_code_table(n_rows: int, seed: int = 42, avg_lines: int = 40) -> pa.Tabl
     )
 
 
-def ensure_code_corpus(path: str, n_rows: int, seed: int = 42) -> str:
-    """Write the synthetic corpus parquet once; reuse across runs."""
+def ensure_code_corpus(path: str, n_rows: int, seed: int = 42, chunk: int = 100_000) -> str:
+    """Write the synthetic corpus parquet once; reuse across runs.
+
+    Generated in chunks (each with a derived seed) so peak memory stays
+    bounded for large corpora."""
     fname = os.path.join(path, f"code_sf_v2_{n_rows}_{seed}.parquet")
     if not os.path.exists(fname):
         os.makedirs(path, exist_ok=True)
         tmp = fname + ".tmp"
-        pq.write_table(make_code_table(n_rows, seed), tmp)
+        writer = None
+        try:
+            done = 0
+            i = 0
+            while done < n_rows:
+                rows = min(chunk, n_rows - done)
+                t = make_code_table(rows, seed if n_rows <= chunk else seed * 1000 + i)
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, t.schema)
+                writer.write_table(t)
+                done += rows
+                i += 1
+        finally:
+            if writer is not None:
+                writer.close()
         os.replace(tmp, fname)
     return fname
