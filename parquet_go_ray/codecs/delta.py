@@ -156,7 +156,11 @@ def delta_bp_decode_np(buf: bytes, pos: int = 0) -> tuple[np.ndarray, int]:
             got += mb_vals
     with np.errstate(over="ignore"):
         np.cumsum(deltas[:nd].view(np.uint64), out=out[1:].view(np.uint64))
-        out[1:] = (out[1:].view(np.uint64) + np.uint64(first)).view(np.int64)
+        np.add(
+            out[1:].view(np.uint64),
+            np.uint64(first),
+            out=out[1:].view(np.uint64),
+        )
     return out, pos
 
 
