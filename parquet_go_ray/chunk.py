@@ -89,11 +89,18 @@ def _stats(values: pa.Array) -> dict:
     return out
 
 
+# outer block compressors mirror the reference's registry
+# (compress/compress.go:8-30): none/snappy/gzip/zstd/lz4 (+zstd9 alias);
+# LZO/BROTLI unsupported there too (README.md:172-173)
+_OUTER_ALIASES = {"zstd9": ("zstd", 9), "lz4": ("lz4_raw", None), "gzip": ("gzip", None)}
+
+
 def _outer_compress(body: bytes, name: str, level: int) -> bytes:
     if name == "none":
         return body
-    if name == "zstd9":
-        name, level = "zstd", 9
+    if name in _OUTER_ALIASES:
+        name, lvl = _OUTER_ALIASES[name]
+        level = lvl if lvl is not None else level
     codec = pa.Codec(name, compression_level=level if name == "zstd" else None)
     return codec.compress(body, asbytes=True)
 
@@ -101,8 +108,8 @@ def _outer_compress(body: bytes, name: str, level: int) -> bytes:
 def _outer_decompress(body: bytes, name: str, raw_len: int) -> bytes:
     if name == "none":
         return body
-    if name == "zstd9":
-        name = "zstd"
+    if name in _OUTER_ALIASES:
+        name = _OUTER_ALIASES[name][0]
     return pa.Codec(name).decompress(body, raw_len, asbytes=True)
 
 
@@ -355,6 +362,12 @@ def column_sha256(arr) -> str:
         h.update(np.ascontiguousarray(data).tobytes())
     elif pa.types.is_boolean(t):
         h.update(vals.to_numpy(zero_copy_only=False).astype(np.uint8).tobytes())
+    elif pa.types.is_fixed_size_binary(t):
+        w = t.byte_width
+        data = np.frombuffer(
+            vals.buffers()[1], dtype=np.uint8, count=len(vals) * w, offset=vals.offset * w
+        )
+        h.update(data.tobytes())
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         off_t = np.int64 if pa.types.is_large_list(t) else np.int32
         offsets = np.frombuffer(
