@@ -25,7 +25,11 @@ class EngineConfig:
     plan_codecs_globally: bool = True  # one driver-side plan vs per-chunk trials
     plan_sample_rows: int = 20000
     # pipeline shape
-    batch_size_rows: int = 65536     # rows per encode batch (chunk granularity)
+    cpus_per_encode_task: int = 4    # encode tasks are memory-bandwidth-heavy:
+                                     # reserving >1 CPU keeps schedulers from
+                                     # oversubscribing the memory bus
+    batch_size_rows: int = 8192      # rows per encode batch (chunk granularity;
+                                     # sized so a chunk stays cache-resident)
     target_chunk_bytes: int = 64 << 20
     salt_buckets: int = 8            # giant-repo salting fan-out
     partitions: int | None = None    # override output partition count

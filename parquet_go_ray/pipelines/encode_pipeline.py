@@ -68,19 +68,17 @@ def add_partition_key(num_parts: int, salt_buckets: int):
     fanned out over salt_buckets sub-partitions by a content-derived salt."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        repo = batch["repo"]
-        h = np.asarray(pc.hash(repo).cast(pa.uint64()), dtype=np.uint64) if hasattr(pc, "hash") else None
-        if h is None:
-            import pandas as pd
+        import polars as pl
 
-            h = pd.util.hash_array(np.asarray(repo.to_pandas(), dtype=object)).astype(np.uint64)
-        # salt: spread each repo over salt_buckets using the path hash, then
-        # map (repo_hash, salt) to a partition
-        import pandas as pd
-
-        ph = pd.util.hash_array(np.asarray(batch["path"].to_pandas(), dtype=object)).astype(np.uint64)
+        # polars hash is vectorized C over the Arrow buffers — never convert
+        # string columns to Python objects in this hot path
+        df = pl.from_arrow(batch.select(["repo", "path"]))
+        h = df["repo"].hash(seed=17).to_numpy().astype(np.uint64)
+        ph = df["path"].hash(seed=29).to_numpy().astype(np.uint64)
+        # salt: spread each repo over salt_buckets sub-partitions by path hash
         salt = ph % np.uint64(max(salt_buckets, 1))
-        part = (h * np.uint64(1000003) + salt) % np.uint64(num_parts)
+        with np.errstate(over="ignore"):
+            part = (h * np.uint64(1000003) + salt) % np.uint64(num_parts)
         return batch.append_column("__part", pa.array(part.astype(np.int64)))
 
     return fn
@@ -142,6 +140,7 @@ def encode_dataset(ds: rd.Dataset, cfg: EngineConfig = DEFAULT) -> rd.Dataset:
         functools.partial(_encode_batch, cfg=cfg),
         batch_format="pyarrow",
         batch_size=cfg.batch_size_rows,
+        num_cpus=cfg.cpus_per_encode_task,
     )
 
 
@@ -199,6 +198,7 @@ def encode_partitioned(
     return ds.groupby("__part").map_groups(
         functools.partial(encode_partition, cfg=cfg, out_dir=out_dir),
         batch_format="pyarrow",
+        num_cpus=cfg.cpus_per_encode_task,
     )
 
 
