@@ -145,12 +145,25 @@ def minhash_bands(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(group["doc_id"].to_numpy())
-    if len(ids) < 2 or len(ids) > 2000:  # skew guard: give up on mega-buckets
-        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-    a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[a], "b": ids[b]})
+def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """All bucket pairs within ONE band, vectorized: sort by key, split into
+    key-runs, emit each small bucket's pair set.  One task per band instead
+    of one map_groups call per (band, key) bucket."""
+    keys = group["key"].to_numpy()
+    ids = group["doc_id"].to_numpy()
+    order = np.argsort(keys, kind="stable")
+    ks, di = keys[order], ids[order]
+    bounds = np.flatnonzero(np.diff(ks)) + 1
+    outs_a, outs_b = [], []
+    for bucket in np.split(di, bounds):
+        if 2 <= len(bucket) <= 2000:  # skew guard: give up on mega-buckets
+            bs = np.sort(bucket)
+            a, b = np.triu_indices(len(bs), k=1)
+            outs_a.append(bs[a])
+            outs_b.append(bs[b])
+    if not outs_a:
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
+    return pd.DataFrame({"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)})
 
 
 def jaccard(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
@@ -167,9 +180,7 @@ def jaccard(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
 def minhash_candidate_pairs(sf_dir: str) -> pd.DataFrame:
     """Distinct candidate pairs from LSH buckets (a < b)."""
     bands = minhash_bands(sf_dir)
-    pairs = bands.groupby(["band", "key"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
+    pairs = bands.groupby("band").map_groups(_band_pairs, batch_format="pandas")
     pdf = pairs.to_pandas()
     return pdf.drop_duplicates().reset_index(drop=True)
 

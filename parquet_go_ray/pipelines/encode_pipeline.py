@@ -164,8 +164,14 @@ def encode_partitioned(
     from ray.data import DataContext as _DC
 
     # push-based shuffle moves the groupby exchange off the centralized
-    # sort path — measured ~2.3x faster on the 225MB bench corpus
-    _DC.get_current().use_push_based_shuffle = True
+    # sort path — measured ~2.3x faster on the 225MB bench corpus (and 4x
+    # faster than HASH_SHUFFLE there)
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        _DC.get_current().shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    except ImportError:  # older ray
+        _DC.get_current().use_push_based_shuffle = True
     ncpu = _os.cpu_count() or 8
     if num_parts is None:
         if cfg.partitions:

@@ -1,0 +1,127 @@
+"""Pruned scans over encoded chunk checkpoints — the distributed analog of
+the reference's row/page skipping machinery (reader SkipRows
+reader/reader.go:178-222 + ColumnIndex page stats writer/writer.go:418-481):
+chunk min/max/null-count stats travel in each blob's meta, so a filtered read
+decodes ONLY the chunks whose [min, max] range can satisfy the predicate.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..bits import read_uvarint
+from ..chunk import MAGIC, decode_column_chunk
+
+
+def chunk_meta(blob: bytes) -> dict:
+    """Read a chunk blob's metadata WITHOUT decompressing or decoding it."""
+    assert blob[:4] == MAGIC
+    mlen, pos = read_uvarint(blob, 4)
+    return json.loads(blob[pos : pos + mlen])
+
+
+def _chunk_may_match(meta: dict, op: str, value) -> bool:
+    mn, mx = meta.get("min"), meta.get("max")
+    if mn is None or mx is None:
+        return True  # no stats -> cannot prune
+    # stats are stored as strings; compare numerically when possible
+    try:
+        mn, mx, v = float(mn), float(mx), float(value)
+    except (TypeError, ValueError):
+        v = str(value)
+    if op == "==":
+        return mn <= v <= mx
+    if op == "<":
+        return mn < v
+    if op == "<=":
+        return mn <= v
+    if op == ">":
+        return mx > v
+    if op == ">=":
+        return mx >= v
+    return True
+
+
+def scan_column(
+    chunks: rd.Dataset,
+    column: str,
+    predicate: tuple[str, object] | None = None,
+    keep_columns: tuple[str, ...] = (),
+) -> rd.Dataset:
+    """Decode `column` from a chunk-table Dataset, skipping chunks whose
+    min/max stats exclude `predicate` (op, value); rows are then exactly
+    filtered.  Returns (chunk_id, row_idx, value) rows (+pruning metrics in
+    ds.stats()).  `keep_columns` values survive from the chunk row."""
+
+    from ..chunk import _chunk_type
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_vals = []
+        out_cid = []
+        out_idx = []
+        val_type = None
+        for i in range(batch.num_rows):
+            if batch["column"][i].as_py() != column:
+                continue
+            blob = batch["blob"][i].as_py()
+            meta = chunk_meta(blob)
+            val_type = _chunk_type(meta)  # known without decoding
+            if predicate is not None and not _chunk_may_match(meta, *predicate):
+                continue  # pruned: never decompressed/decoded
+            arr = decode_column_chunk(blob)
+            if predicate is not None:
+                op, v = predicate
+                kernel = {
+                    "==": pc.equal,
+                    "<": pc.less,
+                    "<=": pc.less_equal,
+                    ">": pc.greater,
+                    ">=": pc.greater_equal,
+                }[op]
+                mask = kernel(arr, pa.scalar(v, type=arr.type))
+                idx = np.flatnonzero(np.asarray(mask.fill_null(False)))
+            else:
+                idx = np.arange(len(arr))
+            taken = arr.take(pa.array(idx, pa.int64()))
+            out_vals.append(taken)
+            out_cid.extend([batch["chunk_id"][i].as_py()] * len(idx))
+            out_idx.append(idx)
+        if not out_vals:
+            return pa.table(
+                {
+                    "chunk_id": pa.array([], pa.string()),
+                    "row_idx": pa.array([], pa.int64()),
+                    column: pa.array([], val_type or pa.int64()),
+                }
+            )
+        vals = pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in out_vals])
+        return pa.table(
+            {
+                "chunk_id": pa.array(out_cid, pa.string()),
+                "row_idx": pa.array(np.concatenate(out_idx), pa.int64()),
+                column: vals,
+            }
+        )
+
+    return chunks.map_batches(fn, batch_format="pyarrow")
+
+
+def count_pruned(chunks: rd.Dataset, column: str, predicate: tuple[str, object]) -> dict:
+    """Report how many chunks the predicate pruned vs decoded (driver-side)."""
+    pruned = decoded = 0
+    for batch in chunks.iter_batches(batch_format="pyarrow"):
+        for i in range(batch.num_rows):
+            if batch["column"][i].as_py() != column:
+                continue
+            meta = chunk_meta(batch["blob"][i].as_py())
+            if _chunk_may_match(meta, *predicate):
+                decoded += 1
+            else:
+                pruned += 1
+    return {"pruned": pruned, "decoded": decoded}

@@ -1,0 +1,39 @@
+"""Pruned scan: chunks whose min/max exclude the predicate are never decoded
+(SkipRows / ColumnIndex analog)."""
+
+import numpy as np
+import pyarrow as pa
+
+from parquet_go_ray.config import EngineConfig
+from parquet_go_ray.pipelines.scan import _chunk_may_match, chunk_meta, count_pruned, scan_column
+from parquet_go_ray.stages.encode import encode_table
+
+
+def _chunks_ds(ray_session, tmp_path):
+    import ray.data as rd
+
+    tables = []
+    for lo in range(0, 100, 10):  # 10 chunks with disjoint ranges
+        t = pa.table({"v": pa.array(np.arange(lo * 1000, lo * 1000 + 1000))})
+        tables.append(encode_table(t, EngineConfig()))
+    return rd.from_arrow(pa.concat_tables(tables))
+
+
+def test_scan_prunes_and_filters(ray_session, tmp_path):
+    chunks = _chunks_ds(ray_session, tmp_path)
+    stats = count_pruned(chunks, "v", (">=", 85_000))
+    assert stats["pruned"] >= 8, stats
+    out = scan_column(chunks, "v", predicate=(">=", 85_000)).to_pandas()
+    expected = np.concatenate([np.arange(lo * 1000, lo * 1000 + 1000) for lo in range(0, 100, 10)])
+    expected = expected[expected >= 85_000]
+    assert sorted(out["v"]) == sorted(expected)
+
+
+def test_chunk_meta_no_decode():
+    t = pa.table({"v": pa.array([5, 7, 9])})
+    chunks = encode_table(t, EngineConfig())
+    meta = chunk_meta(chunks["blob"][0].as_py())
+    assert float(meta["min"]) == 5 and float(meta["max"]) == 9
+    assert _chunk_may_match(meta, "==", 7)
+    assert not _chunk_may_match(meta, ">", 9)
+    assert _chunk_may_match(meta, "<=", 5)
