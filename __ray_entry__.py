@@ -120,6 +120,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["rt_embeddings"] = rt_embeddings
 
+    def scan_pruned(sf):
+        # predicate-pushdown scan over encoded chunks (SkipRows/ColumnIndex
+        # analog §2.4): chunks whose min/max exclude the predicate are never
+        # decompressed
+        import ray.data as rd
+
+        from parquet_go_ray.config import EngineConfig
+        from parquet_go_ray.pipelines.encode_pipeline import encode_dataset
+        from parquet_go_ray.pipelines.scan import scan_column
+
+        ds = rd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_orderkey"])
+        chunks = encode_dataset(ds, EngineConfig(batch_size_rows=4096))
+        out = scan_column(chunks, "l_orderkey", predicate=(">=", 12000))
+        return out.select_columns(["l_orderkey"])
+
+    q["scan_pruned_lineitem"] = scan_pruned
+
     # -- aggregation (§2.6) --
     LI_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     q["stats_lineitem"] = lambda sf: numeric_column_stats(sf, "lineitem", LI_NUM)
@@ -179,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_events_timestamps": "SELECT event_id, ts, event_type, value FROM events",
         "rt_orders_auto": "SELECT * FROM orders",
         "rt_embeddings": "SELECT vec_id, label, LEN(embedding) AS dim FROM embeddings",
+        "scan_pruned_lineitem": "SELECT l_orderkey FROM lineitem WHERE l_orderkey >= 12000",
         "stats_lineitem": stats_oracle_sql(
             "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),

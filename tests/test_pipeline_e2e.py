@@ -86,3 +86,27 @@ def test_manifest_rollup(ray_session, tmp_path):
     assert man["partitions"] == 2
     lin.write_manifest(out, man)
     assert lin.collect_manifest(out)["rows"] == 800
+
+
+def test_transcode_roundtrip(ray_session, tmp_path):
+    """parquet -> chunks -> parquet closes the reference's reader/writer loop."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.transcode import chunks_to_parquet, parquet_to_chunks
+
+    src = tmp_path / "src.parquet"
+    t = make_code_table(600, seed=3)
+    pq.write_table(t, src)
+    chunk_dir = str(tmp_path / "chunks")
+    parquet_to_chunks(str(src), chunk_dir, EngineConfig(batch_size_rows=256), num_parts=3).materialize()
+    dest = str(tmp_path / "back")
+    chunks_to_parquet(chunk_dir, dest)
+    back = rd.read_parquet(dest).to_pandas()
+    orig = t.to_pandas()
+    key = list(orig.columns)
+    pd.testing.assert_frame_equal(
+        back[key].sort_values(key).reset_index(drop=True),
+        orig[key].sort_values(key).reset_index(drop=True),
+    )
