@@ -110,3 +110,34 @@ def test_transcode_roundtrip(ray_session, tmp_path):
         back[key].sort_values(key).reset_index(drop=True),
         orig[key].sort_values(key).reset_index(drop=True),
     )
+
+
+def test_per_row_content_sha256_equality(ray_session, tmp_path):
+    """BASELINE.json input_hint invariant: per-row sha256(content) equality
+    through encode -> decode."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.encode_pipeline import (
+        decode_partitions,
+        encode_partitioned,
+    )
+    from parquet_go_ray.stages.encode import reassemble_chunk
+
+    out = str(tmp_path / "sha")
+    t = make_code_table(1500, seed=21)
+    sha_in = sorted(
+        hashlib.sha256(v.encode()).hexdigest() for v in t["content"].to_pylist()
+    )
+    encode_partitioned(rd.from_arrow(t), out, EngineConfig(batch_size_rows=500), num_parts=3).materialize()
+    cdf = decode_partitions(out).to_pandas()
+    shas_out = []
+    for _, g in cdf.groupby("chunk_id", sort=False):
+        tbl = reassemble_chunk(pa.Table.from_pandas(g))
+        shas_out.extend(
+            hashlib.sha256(v.encode()).hexdigest() for v in tbl["content"].to_pylist()
+        )
+    assert sorted(shas_out) == sha_in
