@@ -131,6 +131,19 @@ def encode_partition(group: pa.Table, cfg: EngineConfig, out_dir: str | None) ->
     return chunks
 
 
+def _task_cpus(cfg: EngineConfig) -> int:
+    """Clamp the declared per-task CPU footprint to the cluster so small
+    sessions can still schedule (a 2-CPU driver session must not deadlock on
+    num_cpus=4 tasks)."""
+    import ray as _ray
+
+    try:
+        total = int(_ray.cluster_resources().get("CPU", cfg.cpus_per_encode_task))
+    except Exception:
+        total = cfg.cpus_per_encode_task
+    return max(1, min(cfg.cpus_per_encode_task, total // 2 or 1))
+
+
 def encode_dataset(ds: rd.Dataset, cfg: EngineConfig = DEFAULT) -> rd.Dataset:
     """No-shuffle encode: each Ray block batch -> one chunk set (stateless
     task pool; chunk-local codec state needs no actors)."""
@@ -140,7 +153,7 @@ def encode_dataset(ds: rd.Dataset, cfg: EngineConfig = DEFAULT) -> rd.Dataset:
         functools.partial(_encode_batch, cfg=cfg),
         batch_format="pyarrow",
         batch_size=cfg.batch_size_rows,
-        num_cpus=cfg.cpus_per_encode_task,
+        num_cpus=_task_cpus(cfg),
     )
 
 
@@ -204,7 +217,7 @@ def encode_partitioned(
     return ds.groupby("__part").map_groups(
         functools.partial(encode_partition, cfg=cfg, out_dir=out_dir),
         batch_format="pyarrow",
-        num_cpus=cfg.cpus_per_encode_task,
+        num_cpus=_task_cpus(cfg),
     )
 
 
