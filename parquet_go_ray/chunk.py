@@ -81,9 +81,14 @@ def _stats(values: pa.Array) -> dict:
     try:
         if len(values):
             mm = pc.min_max(values)
-            mn, mx = mm["min"].as_py(), mm["max"].as_py()
-            out["min"] = str(mn)[:64]
-            out["max"] = str(mx)[:64]
+            mn, mx = str(mm["min"].as_py()), str(mm["max"].as_py())
+            # a truncated MIN is <= the true min: safe for pruning.  A
+            # truncated MAX would be < the true max and could wrongly prune,
+            # so flag it and let the scanner disable max-based pruning.
+            out["min"] = mn[:64]
+            out["max"] = mx[:64]
+            if len(mx) > 64:
+                out["max_trunc"] = True
     except pa.ArrowNotImplementedError:
         pass
     return out

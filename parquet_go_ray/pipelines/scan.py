@@ -30,6 +30,8 @@ def _chunk_may_match(meta: dict, op: str, value) -> bool:
     mn, mx = meta.get("min"), meta.get("max")
     if mn is None or mx is None:
         return True  # no stats -> cannot prune
+    if meta.get("max_trunc") and op in (">", ">=", "=="):
+        return True  # truncated max cannot safely prune upper-bound predicates
     # stats are stored as strings; compare numerically when possible
     try:
         mn, mx, v = float(mn), float(mx), float(value)
@@ -71,6 +73,8 @@ def scan_column(
                 continue
             blob = batch["blob"][i].as_py()
             meta = chunk_meta(blob)
+            if meta["codec"] == "list":
+                raise TypeError("scan_column targets scalar columns; decode list chunks via decode_column_chunk")
             val_type = _chunk_type(meta)  # known without decoding
             if predicate is not None and not _chunk_may_match(meta, *predicate):
                 continue  # pruned: never decompressed/decoded

@@ -37,3 +37,18 @@ def test_chunk_meta_no_decode():
     assert _chunk_may_match(meta, "==", 7)
     assert not _chunk_may_match(meta, ">", 9)
     assert _chunk_may_match(meta, "<=", 5)
+
+
+def test_truncated_max_never_prunes():
+    t = pa.table({"s": pa.array(["a" * 100, "b" * 100])})
+    chunks = encode_table(t, EngineConfig())
+    from parquet_go_ray.pipelines.scan import chunk_meta
+
+    meta = chunk_meta(chunks["blob"][0].as_py())
+    assert meta.get("max_trunc") is True
+    # upper-bound predicate beyond the truncated max must NOT prune
+    assert _chunk_may_match(meta, ">=", "b" * 100)
+    # lower-bound checks with truncated min stay safe (more permissive)
+    assert _chunk_may_match(meta, "<=", "b" * 100)
+    # and pruning where truly no value can match is still allowed
+    assert not _chunk_may_match(meta, "<", "a")
