@@ -141,6 +141,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     LI_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     q["stats_lineitem"] = lambda sf: numeric_column_stats(sf, "lineitem", LI_NUM)
 
+    # -- windowed aggregates over the events stream table --
+    from parquet_go_ray.functions.windows import session_windows, tumbling_window_agg
+
+    q["window_tumbling_events"] = lambda sf: tumbling_window_agg(sf, window_sec=900)
+    q["window_sessions_events"] = lambda sf: session_windows(sf, gap_sec=1800)
+
     # -- sizetool analog (§2.1), rows-only check --
     q["sizetool_documents"] = lambda sf: encode_stats(sf, "documents")
 
@@ -197,6 +203,9 @@ def oracle_sql() -> dict[str, str]:
         "rt_orders_auto": "SELECT * FROM orders",
         "rt_embeddings": "SELECT vec_id, label, LEN(embedding) AS dim FROM embeddings",
         "scan_pruned_lineitem": "SELECT l_orderkey FROM lineitem WHERE l_orderkey >= 12000",
+        "window_tumbling_events": __import__(
+            "parquet_go_ray.functions.windows", fromlist=["x"]
+        ).tumbling_oracle_sql(900),
         "stats_lineitem": stats_oracle_sql(
             "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),
