@@ -43,6 +43,11 @@ MAGIC = b"RCC1"
 
 def _physical(arr: pa.Array) -> tuple[pa.Array, str]:
     t = arr.type
+    if pa.types.is_decimal(t):
+        # DECIMAL as fixed-width bytes, like the reference's FLBA decimals
+        # (types/types.go:174-200)
+        width = 16 if pa.types.is_decimal128(t) else 32
+        return arr.view(pa.binary(width)), str(t)
     if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
         return arr.view(pa.int64()), str(t)
     if pa.types.is_date64(t):
@@ -55,7 +60,11 @@ def _physical(arr: pa.Array) -> tuple[pa.Array, str]:
 
 
 def _parse_t(s: str) -> pa.DataType:
-    # "timestamp[us]" / "timestamp[us, tz=UTC]" / "date64[ms]" / "duration[s]"
+    # "timestamp[us]" / "decimal128(10, 2)" / "date64[ms]" / "duration[s]"
+    if s.startswith("decimal"):
+        base, rest = s.split("(", 1)
+        p, sc = rest.rstrip(")").split(",")
+        return (pa.decimal128 if base == "decimal128" else pa.decimal256)(int(p), int(sc))
     base, rest = s.split("[", 1)
     rest = rest.rstrip("]")
     if base == "timestamp":
@@ -323,6 +332,8 @@ def _chunk_type(meta: dict) -> pa.DataType:
 
 def _value_type(typ: pa.DataType) -> pa.DataType:
     # physical type the codec round-trips through
+    if pa.types.is_decimal(typ):
+        return pa.binary(16 if pa.types.is_decimal128(typ) else 32)
     if pa.types.is_timestamp(typ) or pa.types.is_date64(typ) or pa.types.is_time64(typ) or pa.types.is_duration(typ):
         return pa.int64()
     if pa.types.is_date32(typ) or pa.types.is_time32(typ):
@@ -333,7 +344,7 @@ def _value_type(typ: pa.DataType) -> pa.DataType:
 def _str_to_type(s: str) -> pa.DataType:
     if s.startswith("fixed_size_binary"):
         return pa.binary(int(s.split("[")[1].rstrip("]")))
-    if "[" in s:
+    if "[" in s or s.startswith("decimal"):
         return _parse_t(s)
     return pa.type_for_alias(s)
 
@@ -354,6 +365,9 @@ def column_sha256(arr) -> str:
     else:
         vals = arr
     t = vals.type
+    if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+        vals, _ = _physical(vals)  # decimals/timestamps -> physical view
+        t = vals.type
     if (
         pa.types.is_string(t)
         or pa.types.is_binary(t)

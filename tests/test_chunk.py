@@ -125,3 +125,16 @@ def test_embeddings_table_bit_identity():
     for c in t.column_names:
         got = out[c].combine_chunks() if hasattr(out[c], "combine_chunks") else out[c]
         assert got.equals(t[c].combine_chunks()), c
+
+
+def test_decimal_roundtrip():
+    from decimal import Decimal
+
+    arr = pa.array(
+        [Decimal("12.34"), None, Decimal("-99999999.99")], type=pa.decimal128(10, 2)
+    )
+    for codec in ["plain", "dict_rle"]:
+        row = encode_column_chunk(arr, codec, outer="zstd")
+        out = decode_column_chunk(row["blob"])
+        assert out.equals(arr)
+        assert column_sha256(out) == column_sha256(arr)

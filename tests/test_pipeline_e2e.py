@@ -141,3 +141,28 @@ def test_per_row_content_sha256_equality(ray_session, tmp_path):
             hashlib.sha256(v.encode()).hexdigest() for v in tbl["content"].to_pylist()
         )
     assert sorted(shas_out) == sha_in
+
+
+def test_salting_bounds_giant_repo_skew(ray_session):
+    """North rule: one repo holding 80% of rows must be fanned out over
+    salt_buckets sub-partitions, not land in one partition."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_ray.pipelines.encode_pipeline import add_partition_key
+
+    n = 20000
+    repo = np.where(np.arange(n) % 5 < 4, "org/giant", "org/tiny-" + np.char.mod("%d", np.arange(n) % 50))
+    t = pa.table(
+        {
+            "repo": pa.array(repo.astype(str)),
+            "path": pa.array([f"src/f{i}.py" for i in range(n)]),
+        }
+    )
+    out = add_partition_key(num_parts=64, salt_buckets=8)(t)
+    parts = np.asarray(out["__part"])
+    giant_parts = set(parts[np.asarray(out["repo"]) == "org/giant"].tolist())
+    assert len(giant_parts) == 8  # exactly salt_buckets sub-partitions
+    # largest partition holds ~1/8 of the giant repo, not all of it
+    counts = np.bincount(parts, minlength=64)
+    assert counts.max() < 0.85 * n * 0.8 / 4  # far below unsalted worst case
