@@ -152,13 +152,16 @@ def test_salting_bounds_giant_repo_skew(ray_session):
     from parquet_go_ray.pipelines.encode_pipeline import add_partition_key
 
     n = 20000
-    repo = np.where(np.arange(n) % 5 < 4, "org/giant", "org/tiny-" + np.char.mod("%d", np.arange(n) % 50))
+    repo = [
+        "org/giant" if i % 5 < 4 else f"org/tiny-{i % 50}" for i in range(n)
+    ]
     t = pa.table(
         {
-            "repo": pa.array(repo.astype(str)),
+            "repo": pa.array(repo),
             "path": pa.array([f"src/f{i}.py" for i in range(n)]),
         }
     )
+    repo = np.array(repo)
     out = add_partition_key(num_parts=64, salt_buckets=8)(t)
     parts = np.asarray(out["__part"])
     giant_parts = set(parts[np.asarray(out["repo"]) == "org/giant"].tolist())
