@@ -14,8 +14,15 @@ queries() keys map to SURVEY.md §2 operators:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# make the library importable regardless of the driver's cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 SF1 = "/root/testdata/sf0.001"
 
