@@ -39,7 +39,7 @@ ESCAPE = 255
 MAX_SYMS = 255
 MAX_LEN = 8
 SAMPLE_BYTES = 1 << 16
-TRAIN_GENERATIONS = 3
+TRAIN_GENERATIONS = 5
 SEGMENT_BYTES = 16 << 20
 
 
@@ -122,8 +122,15 @@ def _greedy_parse(
     n = len(buf)
     value_ends = np.cumsum(value_lens)
     value_starts = (value_ends - value_lens).astype(np.int64)
-    # dist to own value's end, via repeat (no searchsorted)
-    dist_to_end = np.repeat(value_ends, value_lens) - np.arange(n, dtype=np.int64)
+    # sparse boundary clip: allowed match length per position is MAX_LEN
+    # except the <=7 bytes before each value end — far cheaper than a full
+    # dist-to-end array (1 byte/position vs 16)
+    maxlen = np.full(n, MAX_LEN, dtype=np.uint8)
+    if len(value_ends):
+        tail = value_ends[:, None] - np.arange(MAX_LEN - 1, 0, -1)
+        allow = np.minimum(value_ends[:, None] - tail, MAX_LEN).astype(np.uint8)
+        valid = (tail >= value_starts[:, None]) & (tail >= 0) & (tail < n)
+        np.minimum.at(maxlen, tail[valid], allow[valid])
 
     padded = np.zeros((n + MAX_LEN + 1) & ~1, dtype=np.uint8)
     padded[:n] = buf
@@ -136,17 +143,16 @@ def _greedy_parse(
 
     # lengths >=3 only at positions whose 2-byte prefix admits a long symbol
     pmax = table.pmax2[k2]
-    cand = np.flatnonzero((pmax >= 3) & (dist_to_end >= 3))
+    cand = np.flatnonzero((np.minimum(pmax, maxlen)) >= 3)
     if len(cand):
         keyc = np.zeros(len(cand), dtype=np.uint64)
         for j in range(MAX_LEN):
             keyc |= padded[cand + j].astype(np.uint64) << np.uint64(8 * j)
-        pmax_c = pmax[cand]
-        dist_c = dist_to_end[cand]
+        lim_c = np.minimum(pmax[cand], maxlen[cand])
         unmatched = np.ones(len(cand), dtype=bool)
         for ln in sorted((l for l in table.keys_by_len if l >= 3), reverse=True):
             keys = table.keys_by_len[ln]
-            idx = np.flatnonzero(unmatched & (pmax_c >= ln) & (dist_c >= ln))
+            idx = np.flatnonzero(unmatched & (lim_c >= ln))
             if not len(idx):
                 continue
             mask = np.uint64((1 << (8 * ln)) - 1)
@@ -161,7 +167,7 @@ def _greedy_parse(
 
     # length 2: direct 65536-entry table lookup, no search
     c2 = table.code2[k2]
-    hit2 = (best_len == 1) & (c2 >= 0) & (dist_to_end >= 2)
+    hit2 = (best_len == 1) & (c2 >= 0) & (maxlen >= 2)
     best_len[hit2] = 2
     best_code[hit2] = c2[hit2]
 
