@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..config import DEFAULT, EngineConfig
-from ..stages.encode import ChunkEncoder, encode_table
+from ..stages.encode import encode_table
 from ..state import lineage as lin
 
 
