@@ -50,6 +50,15 @@ def _plan_codecs(ds: rd.Dataset, cfg: EngineConfig) -> EngineConfig:
     from ..selector import select_codec
 
     sample = ds.take_batch(cfg.plan_sample_rows, batch_format="pyarrow")
+    if cfg.sort_within_partition and {"repo", "path"} <= set(sample.column_names):
+        # partitions are sorted before encoding — plan on sorted data so
+        # order-sensitive codecs (delta_ba, rle) see realistic stats
+        sample = sample.take(
+            pc.sort_indices(
+                sample.select(["repo", "path"]),
+                sort_keys=[("repo", "ascending"), ("path", "ascending")],
+            )
+        )
     plan = {}
     for name in sample.column_names:
         col = sample[name]
