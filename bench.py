@@ -21,7 +21,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CODE_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+CODE_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 400_000}
 
 
 def corpus_rows() -> int:
