@@ -112,14 +112,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def project(b):
             import pyarrow as _pa
-            import numpy as _np
 
             dims = _pa.array(
                 [len(x) if x is not None else 0 for x in b["embedding"].to_pylist()],
                 _pa.int64(),
-            )
-            s = _pa.array(
-                [float(_np.sum(x)) if x is not None else 0.0 for x in b["embedding"].to_pylist()],
             )
             return _pa.table({"vec_id": b["vec_id"], "label": b["label"], "dim": dims})
 

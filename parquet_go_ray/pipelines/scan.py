@@ -54,12 +54,10 @@ def scan_column(
     chunks: rd.Dataset,
     column: str,
     predicate: tuple[str, object] | None = None,
-    keep_columns: tuple[str, ...] = (),
 ) -> rd.Dataset:
     """Decode `column` from a chunk-table Dataset, skipping chunks whose
     min/max stats exclude `predicate` (op, value); rows are then exactly
-    filtered.  Returns (chunk_id, row_idx, value) rows (+pruning metrics in
-    ds.stats()).  `keep_columns` values survive from the chunk row."""
+    filtered.  Returns (chunk_id, row_idx, value) rows."""
 
     from ..chunk import _chunk_type
 
