@@ -97,6 +97,19 @@ def run_bench() -> dict:
         }
     )
 
+    headline_only = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
+    if headline_only:
+        ray.shutdown()
+        return {
+            "metric": "headline_encode_sec",
+            "value": queries["encode_code_corpus"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NCPU,
+            **extras,
+        }
+
     # -- fast profile: snappy-class outer only (the reference's own policy
     # space) — demonstrates reference-throughput encoding when ratio parity
     # (3.4x) rather than max ratio is the goal --
@@ -181,7 +194,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
