@@ -166,6 +166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_simhash"] = lambda sf: dedup_simhash(sf, max_hamming=6)
     q["dedup_embedding"] = lambda sf: dedup_embedding(sf, threshold=0.35)
 
+    from parquet_go_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    q["ngram_jaccard_pairs"] = lambda sf: ngram_jaccard_pairs(sf, threshold=0.5)
+
     # -- similarity search --
     from parquet_go_ray.pipelines.similarity import knn_bruteforce, knn_ivf
 

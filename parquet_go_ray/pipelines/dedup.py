@@ -283,6 +283,28 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     return rd.from_pandas(out)
 
 
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Verified near-dup pairs with their exact char-n-gram Jaccard score
+    (a, b, jaccard).  Candidates come from the MinHash-LSH buckets, so the
+    exact O(len) set comparison only runs on plausible pairs — the standalone
+    n-gram-Jaccard operator from the training-data op list."""
+    cand = minhash_candidate_pairs(sf_dir)
+    if not len(cand):
+        return pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64), "jaccard": pd.Series(dtype=np.float64)}
+        )
+    need = set(cand.a) | set(cand.b)
+    texts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pa.array(np.isin(np.asarray(b["doc_id"]), list(need)))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    text_of = dict(zip(texts.doc_id, texts.text))
+    j = jaccard([text_of[a] for a in cand.a], [text_of[b] for b in cand.b])
+    out = cand.assign(jaccard=np.round(j, 6))
+    out = out[out.jaccard >= threshold].sort_values(["a", "b"]).reset_index(drop=True)
+    return out
+
+
 def dedup_minhash_survivors(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     lab = dedup_minhash(sf_dir, threshold).to_pandas()
     return lab[lab.doc_id == lab.cluster][["doc_id"]].reset_index(drop=True)

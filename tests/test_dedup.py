@@ -109,3 +109,15 @@ def test_dedup_embedding_finds_planted(ray_session, tmp_path):
     got = set(zip(pairs.a, pairs.b))
     found = sum((i, 40 + i) in got for i in range(5))
     assert found >= 3  # LSH recall: most planted near-dups surface
+
+
+def test_ngram_jaccard_pairs_planted(planted):
+    from parquet_go_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(planted, threshold=0.7)
+    got = set(zip(pairs.a, pairs.b))
+    # exact dups score 1.0 and must appear
+    for i in range(36, 40):
+        assert (i - 36, i) in got
+    ones = pairs[pairs.jaccard == 1.0]
+    assert len(ones) >= 4
