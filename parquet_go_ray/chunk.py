@@ -90,15 +90,21 @@ def _stats(values: pa.Array) -> dict:
     try:
         if len(values):
             mm = pc.min_max(values)
-            mn, mx = str(mm["min"].as_py()), str(mm["max"].as_py())
-            # a truncated MIN is <= the true min: safe for pruning.  A
-            # truncated MAX would be < the true max and could wrongly prune,
-            # so flag it and let the scanner disable max-based pruning.
-            out["min"] = mn[:64]
-            out["max"] = mx[:64]
-            if len(mx) > 64:
-                out["max_trunc"] = True
-    except pa.ArrowNotImplementedError:
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            if isinstance(mn, (int, float)) and not isinstance(mn, bool):
+                # native JSON numbers: ints stay exact (a str()->float round
+                # trip loses >53-bit ints and could wrongly prune chunks)
+                out["min"], out["max"] = mn, mx
+            else:
+                mn, mx = str(mn), str(mx)
+                # a truncated MIN is <= the true min: safe for pruning.  A
+                # truncated MAX would be < the true max and could wrongly prune,
+                # so flag it and let the scanner disable max-based pruning.
+                out["min"] = mn[:64]
+                out["max"] = mx[:64]
+                if len(mx) > 64:
+                    out["max_trunc"] = True
+    except (pa.ArrowNotImplementedError, TypeError):
         pass
     return out
 

@@ -158,7 +158,7 @@ def delta_bp_decode_np(buf: bytes, pos: int = 0) -> tuple[np.ndarray, int]:
         np.cumsum(deltas[:nd].view(np.uint64), out=out[1:].view(np.uint64))
         np.add(
             out[1:].view(np.uint64),
-            np.uint64(first),
+            np.uint64(first & 0xFFFFFFFFFFFFFFFF),  # negative first: mask before uint64 cast
             out=out[1:].view(np.uint64),
         )
     return out, pos

@@ -53,7 +53,7 @@ def numeric_column_stats(sf_dir: str, table: str, columns: list[str]) -> pa.Tabl
 def stats_oracle_sql(table: str, columns: list[str]) -> str:
     parts = [
         f"SELECT '{c}' AS column, COUNT(*) AS n, "
-        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nulls, "
+        f"COUNT(*) - COUNT({c}) AS nulls, "  # stays BIGINT (SUM(CASE..) is hugeint -> decimal128, hash-mismatch)
         f"CAST(MIN({c}) AS DOUBLE) AS min_v, CAST(MAX({c}) AS DOUBLE) AS max_v FROM {table}"
         for c in columns
     ]

@@ -5,20 +5,28 @@ is the per-chunk dictionary probe, layout/dictpage.go:104-111 — value-level
 exact dedup within a column chunk); these are the corpus-level operators a
 100 TB training-data pipeline needs, built Ray-Data-first:
 
-  exact      — vectorized content hash in map_batches, hash-partitioned
-               groupby, keep min doc_id per identical text (hash collisions
-               disambiguated by exact compare inside the group)
+  exact      — vectorized content hash in map_batches, hash-PARTITIONED
+               groupby (fixed partition count, one vectorized drop_duplicates
+               per partition — never one pandas call per distinct text)
   minhash    — char-shingle rolling hashes -> k=64 minhash via
-               np.minimum.reduceat -> LSH bands -> groupby(band, key) buckets
-               -> candidate pairs -> exact-Jaccard verify -> min-label
-               connected components -> keep cluster representative
-  simhash    — 64-bit simhash via np.add.reduceat over token-hash bit matrix,
-               16-bit band buckets, Hamming-distance verify
-  embedding  — cosine near-dup: random-hyperplane LSH buckets -> in-bucket
-               normalized matmul -> threshold
+               np.minimum.reduceat -> LSH bands -> groupby(band) buckets ->
+               candidate pairs -> signature prefilter + exact-Jaccard verify
+               (signatures/texts attached to pairs via Ray Data HASH JOINS,
+               never a driver-side dict) -> min-label connected components as
+               iterated Dataset joins -> (doc_id, cluster)
+  simhash    — 64-bit simhash via np.add.reduceat over shingle-hash bits;
+               the 8-byte signature travels WITH the band/bucket rows so
+               Hamming verification is a vectorized XOR+popcount inside the
+               per-band task — no second pass over the corpus
+  embedding  — cosine near-dup: banded random-hyperplane LSH buckets
+               (n_bands tables of `planes` bits — recall comes from the band
+               count, bucket population control from the bits per band) ->
+               candidate pairs -> embeddings joined back -> vectorized cosine
 
-All per-batch math is numpy; the only shuffles are the bucket groupbys
-(banded keys are small ints + doc ids, never the full text).
+Every shuffle payload is ids + fixed-size keys/signatures; full text moves
+only in the final pair-verification join, and only for surviving candidates.
+All per-batch math is numpy.  Driver-side materialization is limited to
+final pair lists (output-sized by construction).
 """
 
 from __future__ import annotations
@@ -30,6 +38,11 @@ import pyarrow as pa
 import ray.data as rd
 
 MERSENNE = (1 << 61) - 1
+K_HASHES = 64
+BANDS = 16
+ROWS_PER_BAND = K_HASHES // BANDS
+SHINGLE = 5  # char shingle width
+DEFAULT_PARTS = 16  # join/distinct fan-out; size ~= cluster cores at scale
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
@@ -37,77 +50,232 @@ def _docs(sf_dir: str, columns=None) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# small Dataset helpers (rename / join / distinct) — partition-parallel, no
+# per-key map_groups calls
+# ---------------------------------------------------------------------------
+
+
+def _clamp_parts(parts: int) -> int:
+    """Ray Data's hash-join runs num_partitions concurrent aggregators; more
+    partitions than cluster CPUs deadlocks a small cluster.  Clamp."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", parts))
+    except Exception:
+        cpus = parts
+    return max(2, min(parts, cpus))
+
+
+def _pack_rows(mat: np.ndarray) -> pa.Array:
+    """(n, w) numpy -> binary array of w*itemsize-byte rows (acero joins don't
+    support list payloads, so fixed-width vectors travel as binary)."""
+    n = mat.shape[0]
+    data = np.ascontiguousarray(mat).tobytes()
+    row = mat.dtype.itemsize * (mat.shape[1] if mat.ndim > 1 else 1)
+    offsets = pa.py_buffer(np.arange(0, (n + 1) * row, row, dtype=np.int32).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, offsets, pa.py_buffer(data)])
+
+
+def _unpack_rows(col, dtype) -> np.ndarray:
+    """binary column of uniform rows -> (n, w) numpy."""
+    from ..codecs.base import binary_parts
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lengths, data = binary_parts(col)
+    n = len(lengths)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    return data.view(dtype).reshape(n, -1)
+
+
+def _rename(ds: rd.Dataset, **mapping: str) -> rd.Dataset:
+    """Zero-copy column rename."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        return b.rename_columns([mapping.get(c, c) for c in b.column_names])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _distinct(ds: rd.Dataset, key_cols: list[str], parts: int = DEFAULT_PARTS) -> rd.Dataset:
+    """Distributed DISTINCT on key_cols: hash-partition on the key, ONE
+    vectorized drop_duplicates per partition (not per key)."""
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = np.zeros(b.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in key_cols:
+                h = h * np.uint64(0x9E3779B97F4A7C15) + np.asarray(b[c]).astype(np.uint64)
+        return b.append_column("__part", pa.array((h % np.uint64(parts)).astype(np.int64)))
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=key_cols).drop(columns="__part")
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
+        dedupe, batch_format="pandas"
+    )
+
+
+def _fsl_np(col) -> np.ndarray:
+    """(n, width) view of a fixed_size_list column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.flatten()).reshape(len(col), col.type.list_size)
+
+
+def _list_np(col) -> np.ndarray:
+    """(n, dim) from a list<float> column with uniform dim."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten())
+    return flat.reshape(len(col), -1)
+
+
+def _attach_pair_values(
+    pairs: rd.Dataset, values: rd.Dataset, col: str, parts: int = DEFAULT_PARTS
+) -> rd.Dataset:
+    """pairs(a, b, ...) x values(doc_id, col) -> pairs + col_a + col_b via two
+    Ray Data hash joins — the scale-safe replacement for a driver-side dict."""
+    parts = _clamp_parts(parts)
+    va = _rename(values, doc_id="a", **{col: f"{col}_a"})
+    vb = _rename(values, doc_id="b", **{col: f"{col}_b"})
+    out = pairs.join(va, join_type="inner", on=("a",), num_partitions=parts)
+    return out.join(vb, join_type="inner", on=("b",), num_partitions=parts)
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
 
-def _add_text_hash(batch: pa.Table) -> pa.Table:
-    import polars as pl
+def _add_part_hash(parts: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        import polars as pl
 
-    h = pl.from_arrow(batch.select(["text"])).with_columns(
-        pl.col("text").hash(seed=7).alias("__h")
-    )["__h"].to_numpy()
-    return batch.append_column("__h", pa.array(h.astype(np.uint64)))
+        h = pl.from_arrow(batch.select(["text"])).with_columns(
+            pl.col("text").hash(seed=7).alias("__h")
+        )["__h"].to_numpy()
+        return batch.append_column(
+            "__part", pa.array((h.astype(np.uint64) % np.uint64(parts)).astype(np.int64))
+        )
+
+    return fn
 
 
-def _keep_first_exact(group: pd.DataFrame) -> pd.DataFrame:
-    # one hash bucket: dedup by exact text, keep smallest doc_id
+def _dedup_partition(group: pd.DataFrame) -> pd.DataFrame:
+    # one hash PARTITION (many texts): single vectorized drop_duplicates
     g = group.sort_values("doc_id").drop_duplicates(subset="text", keep="first")
-    return g.drop(columns="__h")
+    return g.drop(columns="__part")
 
 
-def dedup_exact(sf_dir: str) -> rd.Dataset:
-    """Exact text dedup; survivors keep all original columns."""
-    ds = _docs(sf_dir).map_batches(_add_text_hash, batch_format="pyarrow")
-    return ds.groupby("__h").map_groups(_keep_first_exact, batch_format="pandas")
+def dedup_exact(sf_dir: str, parts: int = 64) -> rd.Dataset:
+    """Exact text dedup; survivors keep all original columns.  Identical texts
+    hash to the same partition, so per-partition drop_duplicates is exact."""
+    ds = _docs(sf_dir).map_batches(_add_part_hash(parts), batch_format="pyarrow")
+    return ds.groupby("__part").map_groups(_dedup_partition, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# shingle hashing + vectorized exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(texts: pa.Array, k: int = SHINGLE) -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, shingles_per_doc) of char k-grams via vectorized rolling
+    polynomial hash; docs shorter than k get one hash of their own
+    (zero-padded) bytes — windows never read past a doc's end, so short-doc
+    signatures are independent of batch neighbors."""
+    from ..codecs.base import binary_parts
+
+    lengths, data = binary_parts(texts)
+    n = len(lengths)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    n_sh = np.maximum(lengths - k + 1, 1).astype(np.int64)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    total = int(n_sh.sum())
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_sh[:-1]))), n_sh
+    )
+    pos = np.repeat(starts, n_sh) + within
+    doc_end = np.repeat(ends, n_sh)  # byte end of each window's OWN doc
+    h = np.zeros(total, dtype=np.uint64)
+    B = np.uint64(1000003)
+    pad = np.zeros(len(data) + k, dtype=np.uint8)
+    pad[: len(data)] = data
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            # clip to the window's own doc: short/empty docs' single window
+            # must never read the next doc's bytes
+            byte = np.where(pos + j < doc_end, pad[pos + j], 0)
+            h = h * B + byte
+        # avalanche (splitmix-ish) so LSH band slices are well mixed
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return h, n_sh
+
+
+def _uniq_per_doc(doc: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unique (doc, hash) pairs, vectorized: lexsort + adjacent-diff mask."""
+    order = np.lexsort((h, doc))
+    d, hs = doc[order], h[order]
+    first = np.ones(len(d), bool)
+    first[1:] = (d[1:] != d[:-1]) | (hs[1:] != hs[:-1])
+    return d[first], hs[first]
+
+
+def jaccard_batch(texts_a: pa.Array, texts_b: pa.Array, k: int = SHINGLE) -> np.ndarray:
+    """Exact char-shingle Jaccard for aligned text pairs — fully vectorized:
+    per-doc unique shingle-hash sets via lexsort, intersection sizes via one
+    combined sort + adjacent-equality count.  No per-pair Python sets."""
+    if not isinstance(texts_a, (pa.Array, pa.ChunkedArray)):
+        texts_a = pa.array(list(texts_a), pa.string())
+    if not isinstance(texts_b, (pa.Array, pa.ChunkedArray)):
+        texts_b = pa.array(list(texts_b), pa.string())
+    if isinstance(texts_a, pa.ChunkedArray):
+        texts_a = texts_a.combine_chunks()
+    if isinstance(texts_b, pa.ChunkedArray):
+        texts_b = texts_b.combine_chunks()
+    n = len(texts_a)
+    if n == 0:
+        return np.empty(0, np.float64)
+    ha, na = _shingle_hashes(texts_a, k)
+    hb, nb = _shingle_hashes(texts_b, k)
+    da = np.repeat(np.arange(n, dtype=np.int64), na)
+    db = np.repeat(np.arange(n, dtype=np.int64), nb)
+    ua_d, ua_h = _uniq_per_doc(da, ha)
+    ub_d, ub_h = _uniq_per_doc(db, hb)
+    ca = np.bincount(ua_d, minlength=n)
+    cb = np.bincount(ub_d, minlength=n)
+    cd = np.concatenate([ua_d, ub_d])
+    ch = np.concatenate([ua_h, ub_h])
+    order = np.lexsort((ch, cd))
+    cds, chs = cd[order], ch[order]
+    dup = (cds[1:] == cds[:-1]) & (chs[1:] == chs[:-1])
+    inter = np.bincount(cds[1:][dup], minlength=n)
+    return inter / np.maximum(ca + cb - inter, 1)
+
+
+def jaccard(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
+    """Exact char-shingle Jaccard for candidate verification (list API)."""
+    return jaccard_batch(texts_a, texts_b)
 
 
 # ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------
 
-K_HASHES = 64
-BANDS = 16
-ROWS_PER_BAND = K_HASHES // BANDS
-SHINGLE = 5  # char shingle width
-
-
-def _shingle_hashes(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(hashes, doc_boundaries) of char SHINGLE-grams via vectorized rolling
-    polynomial hash; docs shorter than SHINGLE get one hash of the whole doc."""
-    from ..codecs.base import binary_parts
-
-    lengths, data = binary_parts(texts)
-    n = len(lengths)
-    n_sh = np.maximum(lengths - SHINGLE + 1, 1).astype(np.int64)
-    ends = np.cumsum(lengths)
-    starts = ends - lengths
-    # rolling hash: h[i] = sum(data[i+j] * B^j) over window, via cumulative
-    # polynomial trick on the whole buffer, per-doc restart handled by taking
-    # windows fully inside the doc (start offsets limited to n_sh per doc)
-    total = int(n_sh.sum())
-    doc_of = np.repeat(np.arange(n, dtype=np.int64), n_sh)
-    within = np.arange(total, dtype=np.int64) - np.repeat(
-        np.concatenate(([0], np.cumsum(n_sh[:-1]))), n_sh
-    )
-    pos = np.repeat(starts, n_sh) + within
-    h = np.zeros(total, dtype=np.uint64)
-    B = np.uint64(1000003)
-    pad = np.zeros(len(data) + SHINGLE, dtype=np.uint8)
-    pad[: len(data)] = data
-    for j in range(SHINGLE):
-        h = h * B + pad[pos + j]
-    # avalanche (splitmix-ish) so LSH band slices are well mixed
-    h ^= h >> np.uint64(33)
-    h *= np.uint64(0xFF51AFD7ED558CCD)
-    h ^= h >> np.uint64(33)
-    return h, n_sh
-
 
 def _minhash_sig(texts: pa.Array, seed: int = 0) -> np.ndarray:
     """(n_docs, K_HASHES) uint64 minhash signatures."""
     h, n_sh = _shingle_hashes(texts)
     n = len(n_sh)
+    if n == 0:
+        return np.empty((0, K_HASHES), dtype=np.uint64)
     offsets = np.concatenate(([0], np.cumsum(n_sh[:-1])))
     rng = np.random.default_rng(seed)
     A = rng.integers(1, MERSENNE, K_HASHES, dtype=np.uint64) | np.uint64(1)
@@ -120,12 +288,29 @@ def _minhash_sig(texts: pa.Array, seed: int = 0) -> np.ndarray:
     return sig
 
 
-def minhash_bands(sf_dir: str) -> rd.Dataset:
-    """(doc_id, band, key) LSH bucket rows — the shuffle-side payload is
-    3 ints per band, never the text."""
+def minhash_signatures(sf_dir: str) -> rd.Dataset:
+    """(doc_id, sig binary[512]) — computed once, reused by
+    both band generation and the pair prefilter join."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        sig = _minhash_sig(batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"])
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        sig = _minhash_sig(texts)
+        # binary rows, not list<int64>: signatures must survive acero joins
+        return pa.table({"doc_id": batch["doc_id"], "sig": _pack_rows(sig)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def minhash_bands(sf_dir: str, sigs: rd.Dataset | None = None) -> rd.Dataset:
+    """(doc_id, band, key) LSH bucket rows — the shuffle-side payload is
+    3 ints per band, never the text."""
+    if sigs is None:
+        sigs = minhash_signatures(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sig = _unpack_rows(batch["sig"], np.uint64)
         n = len(sig)
         bands = sig.reshape(n, BANDS, ROWS_PER_BAND)
         keys = np.zeros((n, BANDS), dtype=np.uint64)
@@ -142,7 +327,7 @@ def minhash_bands(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+    return sigs.map_batches(fn, batch_format="pyarrow")
 
 
 def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -166,148 +351,266 @@ def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)})
 
 
-def jaccard(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
-    """Exact char-shingle Jaccard for candidate verification."""
-    out = np.empty(len(texts_a))
-    for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
-        sa = {ta[j : j + SHINGLE] for j in range(max(len(ta) - SHINGLE + 1, 1))}
-        sb = {tb[j : j + SHINGLE] for j in range(max(len(tb) - SHINGLE + 1, 1))}
-        inter = len(sa & sb)
-        out[i] = inter / max(len(sa) + len(sb) - inter, 1)
-    return out
+def minhash_candidate_pairs_ds(
+    sf_dir: str, sigs: rd.Dataset | None = None, parts: int = DEFAULT_PARTS
+) -> rd.Dataset:
+    """Distinct candidate pairs (a < b) from LSH buckets, as a Dataset —
+    distinct runs as a hash-partitioned groupby, not a driver drop_duplicates."""
+    bands = minhash_bands(sf_dir, sigs=sigs)
+    pairs = bands.groupby("band").map_groups(_band_pairs, batch_format="pandas")
+    return _distinct(pairs, ["a", "b"], parts)
 
 
 def minhash_candidate_pairs(sf_dir: str) -> pd.DataFrame:
-    """Distinct candidate pairs from LSH buckets (a < b)."""
-    bands = minhash_bands(sf_dir)
-    pairs = bands.groupby("band").map_groups(_band_pairs, batch_format="pandas")
-    pdf = pairs.to_pandas()
-    return pdf.drop_duplicates().reset_index(drop=True)
+    """Distinct candidate pairs from LSH buckets (a < b) — pandas API."""
+    pdf = minhash_candidate_pairs_ds(sf_dir).to_pandas()
+    return pdf.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+def _sig_prefilter(threshold: float):
+    """Vectorized minhash-similarity prefilter over joined pairs: kills the
+    bulk of LSH false candidates before any text moves."""
+    tlow = max(threshold - 0.2, 0.0)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(["a", "b"])
+        sa = _unpack_rows(batch["sig_a"], np.uint64)
+        sb = _unpack_rows(batch["sig_b"], np.uint64)
+        est = (sa == sb).mean(axis=1)
+        return batch.select(["a", "b"]).filter(pa.array(est >= tlow))
+
+    return fn
+
+
+def _verify_jaccard(threshold: float, keep_score: bool = False):
+    """Exact-Jaccard verification over pairs with texts joined in; vectorized
+    via jaccard_batch."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_cols = ["a", "b"]
+        if batch.num_rows == 0:
+            t = batch.select(out_cols)
+            return t.append_column("jaccard", pa.array([], pa.float64())) if keep_score else t
+        j = jaccard_batch(batch["text_a"], batch["text_b"])
+        keep = j >= threshold
+        t = batch.select(out_cols).filter(pa.array(keep))
+        if keep_score:
+            t = t.append_column("jaccard", pa.array(np.round(j[keep], 6)))
+        return t
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# min-label connected components as iterated Dataset passes
+# ---------------------------------------------------------------------------
+
+
+def _min_label_components(edges: rd.Dataset, parts: int = DEFAULT_PARTS) -> rd.Dataset:
+    """(node, label) for every node in `edges`; label = min node id reachable.
+    Iterated min-label propagation: each round joins neighbor labels through
+    the symmetric edge list and folds with a groupby-min — no driver-side
+    union-find.  Converges in O(component diameter) rounds; the per-round
+    label-sum (monotonically non-increasing) detects the fixpoint cheaply."""
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a"], dtype=np.int64)
+        bb = np.asarray(b["b"], dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, bb])),
+                "dst": pa.array(np.concatenate([bb, a])),
+            }
+        )
+
+    parts = _clamp_parts(parts)
+    edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    nodes = _distinct(
+        _rename(edges_sym.select_columns(["src"]), src="node"), ["node"], parts
+    )
+    labels = nodes.map_batches(
+        lambda b: b.append_column("label", b["node"]), batch_format="pyarrow"
+    ).materialize()
+    prev = None
+    for _ in range(64):  # diameter cap; near-dup components are shallow
+        msgs = edges_sym.join(
+            _rename(labels, node="dst"), join_type="inner", on=("dst",), num_partitions=parts
+        )
+        msgs = _rename(msgs.select_columns(["src", "label"]), src="node")
+        folded = labels.union(msgs).groupby("node").min("label")
+        labels = _rename(folded, **{"min(label)": "label"}).materialize()
+        s = labels.sum("label")
+        if s == prev:
+            break
+        prev = s
+    return labels
+
+
+def _labels_to_clusters(
+    docs: rd.Dataset, labels: rd.Dataset, parts: int = DEFAULT_PARTS
+) -> rd.Dataset:
+    """LEFT JOIN docs(doc_id) with labels(node, label): cluster = label or self."""
+    joined = docs.join(
+        labels,
+        join_type="left_outer",
+        on=("doc_id",),
+        right_on=("node",),
+        num_partitions=_clamp_parts(parts),
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lab = b["label"] if "label" in b.column_names else pa.nulls(b.num_rows, pa.int64())
+        cluster = pc.coalesce(lab, b["doc_id"])
+        return pa.table({"doc_id": b["doc_id"], "cluster": cluster})
+
+    return joined.map_batches(fin, batch_format="pyarrow").sort("doc_id")
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8, parts: int = DEFAULT_PARTS) -> rd.Dataset:
     """Near-dup clusters: (doc_id, cluster) for ALL docs; cluster = min doc_id
-    reachable through verified near-dup pairs (iterated min-label propagation,
-    so transitive chains converge without a driver-side union-find).
+    reachable through verified near-dup pairs.
 
-    Candidate verification is two-stage: a vectorized minhash-signature
-    similarity PREFILTER kills the bulk of LSH false candidates for free, then
-    exact shingle-Jaccard runs only on survivors, fanned out over Ray tasks
-    with the needed texts broadcast once (ray.put)."""
-    cand = minhash_candidate_pairs(sf_dir)
-    docs = _docs(sf_dir, ["doc_id"]).to_pandas()
-    verified = cand
-    if len(cand):
-        # signatures for prefilter (driver-held; at 10^12-doc scale this
-        # becomes a signature join through the same band groupby instead)
-        sig_pdf = (
-            _docs(sf_dir, ["doc_id", "text"])
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "doc_id": b["doc_id"],
-                        "sig": pa.array(
-                            list(
-                                _minhash_sig(
-                                    b["text"].combine_chunks()
-                                    if isinstance(b["text"], pa.ChunkedArray)
-                                    else b["text"]
-                                ).astype(np.int64)
-                            )
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .to_pandas()
-        )
-        sig_of = {
-            int(d): np.asarray(s, dtype=np.int64)
-            for d, s in zip(sig_pdf.doc_id, sig_pdf.sig)
-        }
-        SA = np.stack([sig_of[a] for a in cand.a])
-        SB = np.stack([sig_of[b] for b in cand.b])
-        est = (SA == SB).mean(axis=1)
-        cand = cand[est >= max(threshold - 0.2, 0.0)].reset_index(drop=True)
-    if len(cand):
-        need = set(cand.a) | set(cand.b)
-        texts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            lambda b: b.filter(
-                pa.array(np.isin(np.asarray(b["doc_id"]), list(need) or [-1]))
-            ),
+    Fully distributed: signatures reach candidate pairs through hash joins,
+    exact-Jaccard verification runs vectorized over pair blocks with texts
+    joined in, and clustering is iterated min-label propagation over
+    Datasets.  The only materialized intermediates are the signature table
+    (~0.5% of corpus bytes, reused twice) and the verified pair list."""
+    sigs = minhash_signatures(sf_dir).materialize()
+    cand = minhash_candidate_pairs_ds(sf_dir, sigs=sigs, parts=parts).materialize()
+    docs = _docs(sf_dir, ["doc_id"])
+    if cand.count() == 0:
+        return docs.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"], "cluster": b["doc_id"]}),
             batch_format="pyarrow",
-        ).to_pandas()
-        text_of = dict(zip(texts.doc_id, texts.text))
-        if len(cand) > 20000:
-            # parallel exact verify: broadcast texts once, map over pair batches
-            import ray as _ray
-
-            ref = _ray.put(text_of)
-
-            class Verify:
-                def __init__(self):
-                    self.text_of = _ray.get(ref)
-
-                def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                    j = jaccard(
-                        [self.text_of[a] for a in b.a],
-                        [self.text_of[x] for x in b.b],
-                    )
-                    return b[j >= threshold]
-
-            verified = (
-                rd.from_pandas(cand)
-                .repartition(64)
-                .map_batches(Verify, batch_format="pandas", concurrency=(2, 16))
-                .to_pandas()
-            )
-        else:
-            j = jaccard([text_of[a] for a in cand.a], [text_of[b] for b in cand.b])
-            verified = cand[j >= threshold]
-    else:
-        verified = cand
-    # min-label propagation over the pair graph (small: pairs only)
-    label = {int(d): int(d) for d in docs.doc_id}
-    edges = list(zip(verified.a.astype(int), verified.b.astype(int)))
-    changed = True
-    while changed:
-        changed = False
-        for a, b in edges:
-            m = min(label[a], label[b])
-            if label[a] != m or label[b] != m:
-                label[a] = label[b] = m
-                changed = True
-    out = pd.DataFrame(
-        {"doc_id": list(label.keys()), "cluster": list(label.values())}
-    ).sort_values("doc_id")
-    return rd.from_pandas(out)
+        ).sort("doc_id")
+    pre = _attach_pair_values(cand, sigs, "sig", parts).map_batches(
+        _sig_prefilter(threshold), batch_format="pyarrow"
+    )
+    texts = _docs(sf_dir, ["doc_id", "text"])
+    verified = _attach_pair_values(pre, texts, "text", parts).map_batches(
+        _verify_jaccard(threshold), batch_format="pyarrow"
+    ).materialize()
+    if verified.count() == 0:
+        return docs.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"], "cluster": b["doc_id"]}),
+            batch_format="pyarrow",
+        ).sort("doc_id")
+    labels = _min_label_components(verified, parts)
+    return _labels_to_clusters(docs, labels, parts)
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, parts: int = DEFAULT_PARTS) -> pd.DataFrame:
     """Verified near-dup pairs with their exact char-n-gram Jaccard score
-    (a, b, jaccard).  Candidates come from the MinHash-LSH buckets, so the
-    exact O(len) set comparison only runs on plausible pairs — the standalone
-    n-gram-Jaccard operator from the training-data op list."""
-    cand = minhash_candidate_pairs(sf_dir)
-    if not len(cand):
+    (a, b, jaccard).  Candidates come from the MinHash-LSH buckets; the exact
+    set comparison runs vectorized over distributed pair blocks with texts
+    hash-joined in — the standalone n-gram-Jaccard operator."""
+    cand = minhash_candidate_pairs_ds(sf_dir, parts=parts).materialize()
+    if cand.count() == 0:
         return pd.DataFrame(
-            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64), "jaccard": pd.Series(dtype=np.float64)}
+            {
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "jaccard": pd.Series(dtype=np.float64),
+            }
         )
-    need = set(cand.a) | set(cand.b)
-    texts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        lambda b: b.filter(pa.array(np.isin(np.asarray(b["doc_id"]), list(need)))),
-        batch_format="pyarrow",
-    ).to_pandas()
-    text_of = dict(zip(texts.doc_id, texts.text))
-    j = jaccard([text_of[a] for a in cand.a], [text_of[b] for b in cand.b])
-    out = cand.assign(jaccard=np.round(j, 6))
-    out = out[out.jaccard >= threshold].sort_values(["a", "b"]).reset_index(drop=True)
-    return out
+    texts = _docs(sf_dir, ["doc_id", "text"])
+    pairs = _attach_pair_values(cand, texts, "text", parts).map_batches(
+        _verify_jaccard(threshold, keep_score=True), batch_format="pyarrow"
+    )
+    pdf = pairs.to_pandas()  # output-sized: verified pairs only
+    return pdf.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def dedup_minhash_survivors(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     lab = dedup_minhash(sf_dir, threshold).to_pandas()
     return lab[lab.doc_id == lab.cluster][["doc_id"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# exhaustive (LSH-free) variants — bounded subsets, fully SQL-oracle-able:
+# they exercise the same jaccard/CC kernels without LSH's probabilistic recall
+# ---------------------------------------------------------------------------
+
+
+def _subset_texts(sf_dir: str, max_doc_id: int) -> tuple[np.ndarray, list[str]]:
+    pdf = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .filter(expr=f"doc_id < {max_doc_id}")
+        .to_pandas()  # bounded subset by construction
+        .sort_values("doc_id")
+    )
+    return pdf.doc_id.to_numpy(), pdf.text.tolist()
+
+
+def ngram_jaccard_exhaustive(
+    sf_dir: str, threshold: float = 0.5, max_doc_id: int = 200
+) -> pd.DataFrame:
+    """ALL-pairs exact char-5-gram Jaccard on the doc_id < max_doc_id subset
+    (a, b, jaccard) — the fully-oracled kernel check.  Texts are broadcast
+    once (ray.put via fn_constructor_kwargs); pair blocks fan out over tasks."""
+    import ray
+
+    ids, texts = _subset_texts(sf_dir, max_doc_id)
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "jaccard": pd.Series(dtype=np.float64),
+            }
+        )
+    ai, bi = np.triu_indices(n, k=1)
+    ref = ray.put((ids, texts))
+
+    class Verify:
+        def __init__(self, ref):
+            self.ids, self.texts = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ta = [self.texts[i] for i in b.ai]
+            tb = [self.texts[i] for i in b.bi]
+            j = jaccard_batch(ta, tb)
+            keep = j >= threshold
+            return pd.DataFrame(
+                {
+                    "a": self.ids[b.ai.to_numpy()[keep]],
+                    "b": self.ids[b.bi.to_numpy()[keep]],
+                    "jaccard": np.round(j[keep], 6),
+                }
+            )
+
+    out = (
+        rd.from_pandas(pd.DataFrame({"ai": ai, "bi": bi}))
+        .repartition(8)
+        .map_batches(
+            Verify,
+            batch_format="pandas",
+            concurrency=(1, 8),
+            fn_constructor_kwargs={"ref": ref},
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def dedup_clusters_exhaustive(
+    sf_dir: str, threshold: float = 0.8, max_doc_id: int = 200, parts: int = 8
+) -> pd.DataFrame:
+    """(doc_id, cluster) on the doc_id < max_doc_id subset with EXHAUSTIVE
+    pair generation (recall 1 by construction) + the same distributed
+    min-label component machinery dedup_minhash uses — fully SQL-oracle-able
+    via a recursive-CTE reachability query."""
+    pairs = ngram_jaccard_exhaustive(sf_dir, threshold, max_doc_id)[["a", "b"]]
+    docs = _docs(sf_dir, ["doc_id"]).filter(expr=f"doc_id < {max_doc_id}")
+    if not len(pairs):
+        out = docs.to_pandas().sort_values("doc_id")
+        return out.assign(cluster=out.doc_id).reset_index(drop=True)
+    labels = _min_label_components(rd.from_pandas(pairs), parts)
+    return _labels_to_clusters(docs, labels, parts).to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -324,48 +627,85 @@ def simhash_signatures(sf_dir: str) -> rd.Dataset:
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         h, n_sh = _shingle_hashes(texts)
-        offsets = np.concatenate(([0], np.cumsum(n_sh[:-1])))
         n = len(n_sh)
+        if n == 0:
+            return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array([], pa.int64())})
+        offsets = np.concatenate(([0], np.cumsum(n_sh[:-1])))
         sig = np.zeros(n, dtype=np.uint64)
         for bit in range(64):
             bits = ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
             s = np.add.reduceat(bits, offsets)
             sig |= (s > 0).astype(np.uint64) << np.uint64(bit)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "simhash": pa.array(sig.astype(np.int64)),
-            }
-        )
+        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sig.astype(np.int64))})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
-def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
-    """Near-dup pairs (a, b, hamming) via 16-bit band buckets + verify."""
-    sig = simhash_signatures(sf_dir).to_pandas()
-    s = sig.simhash.to_numpy().astype(np.uint64)
-    ids = sig.doc_id.to_numpy()
-    cand = set()
-    for band in range(4):
-        key = (s >> np.uint64(16 * band)) & np.uint64(0xFFFF)
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of uint64 values (numpy<2 has no bitwise_count)."""
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+
+
+def dedup_simhash(
+    sf_dir: str, max_hamming: int = 3, parts: int = DEFAULT_PARTS
+) -> pd.DataFrame:
+    """Near-dup pairs (a, b, hamming) via 16-bit band buckets.  The 8-byte
+    signature travels with each band row, so Hamming verification is a
+    vectorized XOR+popcount inside the per-band task — the corpus is read
+    once and nothing per-document ever reaches the driver."""
+    sigs = simhash_signatures(sf_dir)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["simhash"]).astype(np.int64).view(np.uint64)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        n = len(s)
+        bands = np.arange(4, dtype=np.int64)
+        key = np.empty((n, 4), dtype=np.int64)
+        for b in bands:
+            key[:, b] = ((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(bands, n)),
+                "key": pa.array(key.reshape(-1)),
+                "doc_id": pa.array(ids.repeat(4)),
+                "sig": pa.array(np.repeat(s, 4).view(np.int64)),
+            }
+        )
+
+    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        keys = group["key"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        sg = group["sig"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.argsort(keys, kind="stable")
+        ks, di, sgo = keys[order], ids[order], sg[order]
         bounds = np.flatnonzero(np.diff(ks)) + 1
-        for grp in np.split(order, bounds):
-            if 2 <= len(grp) <= 2000:
-                gi = np.sort(ids[grp])
-                a, b = np.triu_indices(len(gi), k=1)
-                cand.update(zip(gi[a].tolist(), gi[b].tolist()))
-    if not cand:
-        return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype=np.int64)
-    arr = np.array(sorted(cand), dtype=np.int64)
-    id_to_sig = dict(zip(ids.tolist(), s.tolist()))
-    sa = np.array([id_to_sig[a] for a in arr[:, 0]], dtype=np.uint64)
-    sb = np.array([id_to_sig[b] for b in arr[:, 1]], dtype=np.uint64)
-    ham = np.array([bin(int(x)).count("1") for x in (sa ^ sb)])
-    keep = ham <= max_hamming
-    return pd.DataFrame({"a": arr[keep, 0], "b": arr[keep, 1], "hamming": ham[keep]})
+        pa_, pb_, sa_, sb_ = [], [], [], []
+        for grp in np.split(np.arange(len(ks)), bounds):
+            if 2 <= len(grp) <= 2000:  # skew guard
+                o = grp[np.argsort(di[grp])]
+                i, j = np.triu_indices(len(o), k=1)
+                pa_.append(di[o][i])
+                pb_.append(di[o][j])
+                sa_.append(sgo[o][i])
+                sb_.append(sgo[o][j])
+        if not pa_:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=np.int64),
+                    "b": pd.Series(dtype=np.int64),
+                    "hamming": pd.Series(dtype=np.int64),
+                }
+            )
+        A = np.concatenate(pa_)
+        Bv = np.concatenate(pb_)
+        ham = _popcount64(np.concatenate(sa_) ^ np.concatenate(sb_)).astype(np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": A[keep], "b": Bv[keep], "hamming": ham[keep]})
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+    pairs = bands.groupby("band").map_groups(band_pairs, batch_format="pandas")
+    pdf = _distinct(pairs, ["a", "b"], parts).to_pandas()  # output-sized
+    return pdf.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -373,43 +713,111 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def dedup_embedding(sf_dir: str, threshold: float = 0.95, planes: int = 8) -> pd.DataFrame:
-    """Near-dup vector pairs via random-hyperplane LSH buckets + in-bucket
-    cosine matmul.  The bucket key keeps the shuffle payload tiny at scale."""
+def dedup_embedding(
+    sf_dir: str,
+    threshold: float = 0.95,
+    planes: int = 8,
+    n_bands: int = 8,
+    parts: int = DEFAULT_PARTS,
+) -> pd.DataFrame:
+    """Near-dup vector pairs via BANDED random-hyperplane LSH: n_bands
+    independent tables of `planes` bits each.  Recall comes from the band
+    count (1-(1-p^planes)^n_bands); bucket population — hence in-bucket
+    O(size²) work — is controlled by `planes`, which should grow ~log2(n) at
+    scale.  Candidate pairs carry only ids; embeddings are hash-joined back
+    for the vectorized cosine verification."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    total_bits = planes * n_bands
 
-    def to_bucket(batch: pa.Table) -> pa.Table:
-        emb = np.stack(batch["embedding"].to_pandas().to_numpy())
+    def to_bands(batch: pa.Table) -> pa.Table:
+        emb = _list_np(batch["embedding"]).astype(np.float64)
+        n, dim = emb.shape
         # fixed-seed hyperplanes: deterministic across tasks, no broadcast needed
-        Hl = np.random.default_rng(11).normal(size=(emb.shape[1], planes))
+        Hl = np.random.default_rng(11).normal(size=(dim, total_bits))
         nrm = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         bits = (nrm @ Hl > 0).astype(np.uint64)
-        key = (bits << np.arange(planes, dtype=np.uint64)).sum(axis=1)
+        weights = np.uint64(1) << np.arange(planes, dtype=np.uint64)
+        keys = bits.reshape(n, n_bands, planes) @ weights  # (n, n_bands)
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
         return pa.table(
             {
-                "vec_id": batch["vec_id"],
-                "bucket": pa.array(key.astype(np.int64)),
-                "embedding": batch["embedding"],
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int64), n)),
+                "key": pa.array(keys.reshape(-1).astype(np.int64)),
+                "doc_id": pa.array(ids.repeat(n_bands)),
             }
         )
 
-    def in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        emb = np.stack(group["embedding"].to_numpy()).astype(np.float64)
-        ids = group["vec_id"].to_numpy()
-        nrm = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        cos = nrm @ nrm.T
-        a, b = np.triu_indices(len(ids), k=1)
-        m = cos[a, b] >= threshold
-        order = np.argsort(ids)
-        ids_s = ids  # already arbitrary order; emit canonical a<b
-        aa, bb = ids[a[m]], ids[b[m]]
-        lo, hi = np.minimum(aa, bb), np.maximum(aa, bb)
-        return pd.DataFrame({"a": lo, "b": hi, "cosine": np.round(cos[a, b][m], 6)})
+    bands = ds.map_batches(to_bands, batch_format="pyarrow")
+    pairs = bands.groupby("band").map_groups(_band_pairs, batch_format="pandas")
+    cand = _distinct(pairs, ["a", "b"], parts).materialize()
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series(dtype=np.int64),
+            "b": pd.Series(dtype=np.int64),
+            "cosine": pd.Series(dtype=np.float64),
+        }
+    )
+    if cand.count() == 0:
+        return empty
+    def pack(b: pa.Table) -> pa.Table:
+        mat = _list_np(b["embedding"]).astype(np.float32)
+        return pa.table({"doc_id": b["vec_id"], "embedding": _pack_rows(mat)})
 
-    buckets = ds.map_batches(to_bucket, batch_format="pyarrow")
-    pairs = buckets.groupby("bucket").map_groups(in_bucket, batch_format="pandas")
-    pdf = pairs.to_pandas()
-    if len(pdf) == 0 or "a" not in pdf.columns:
-        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64), "cosine": pd.Series(dtype=np.float64)})
-    pdf = pdf.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
+    vals = ds.map_batches(pack, batch_format="pyarrow")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        ea = _unpack_rows(batch["embedding_a"], np.float32).astype(np.float64)
+        eb = _unpack_rows(batch["embedding_b"], np.float32).astype(np.float64)
+        na = ea / np.maximum(np.linalg.norm(ea, axis=1, keepdims=True), 1e-12)
+        nb = eb / np.maximum(np.linalg.norm(eb, axis=1, keepdims=True), 1e-12)
+        cos = (na * nb).sum(axis=1)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "a": batch["a"].filter(pa.array(keep)),
+                "b": batch["b"].filter(pa.array(keep)),
+                "cosine": pa.array(np.round(cos[keep], 6)),
+            }
+        )
+
+    out = _attach_pair_values(cand, vals, "embedding", parts).map_batches(
+        verify, batch_format="pyarrow"
+    )
+    pdf = out.to_pandas()  # output-sized
+    if not len(pdf):
+        return empty
     return pdf.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def embedding_pairs_exhaustive(
+    sf_dir: str, threshold: float = 0.8, max_vec_id: int = 200
+) -> pd.DataFrame:
+    """ALL-pairs cosine on the vec_id < max_vec_id subset (a, b, cosine) —
+    the fully-oracled cosine kernel check (LSH-free)."""
+    pdf = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {max_vec_id}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids = pdf.vec_id.to_numpy()
+    emb = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    nrm = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    cos = nrm @ nrm.T
+    a, b = np.triu_indices(len(ids), k=1)
+    keep = cos[a, b] >= threshold
+    return (
+        pd.DataFrame(
+            {"a": ids[a[keep]], "b": ids[b[keep]], "cosine": np.round(cos[a, b][keep], 6)}
+        )
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )

@@ -32,11 +32,13 @@ def _chunk_may_match(meta: dict, op: str, value) -> bool:
         return True  # no stats -> cannot prune
     if meta.get("max_trunc") and op in (">", ">=", "=="):
         return True  # truncated max cannot safely prune upper-bound predicates
-    # stats are stored as strings; compare numerically when possible
-    try:
-        mn, mx, v = float(mn), float(mx), float(value)
-    except (TypeError, ValueError):
+    if isinstance(mn, str):
+        # non-numeric column: stats carry the str() encoding; compare likewise
         v = str(value)
+    else:
+        # numeric stats are native JSON numbers; Python int/float comparison
+        # is exact, so >53-bit ints prune correctly (no float round-trip)
+        v = value
     if op == "==":
         return mn <= v <= mx
     if op == "<":

@@ -81,7 +81,9 @@ def encode_table(table: pa.Table, cfg: EngineConfig = DEFAULT, part: int = 0) ->
             # candidates are cheap (snappy ~GB/s, arrow dict encode is C++)
             best_ref = None
             for rcodec, router in REFERENCE_POLICY:
-                if rcodec == "dict_rle" and stats.get("card_ratio", 1.0) > 0.9:
+                # under global planning stats is {} -> don't skip the dict_rle
+                # floor candidate blindly; only skip when cardinality is KNOWN high
+                if rcodec == "dict_rle" and stats.get("card_ratio", 0.0) > 0.9:
                     continue
                 try:
                     rrow = encode_column_chunk(col, rcodec, router, cfg)
