@@ -55,16 +55,78 @@ def _docs(sf_dir: str, columns=None) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def _clamp_parts(parts: int) -> int:
-    """Ray Data's hash-join runs num_partitions concurrent aggregators; more
-    partitions than cluster CPUs deadlocks a small cluster.  Clamp."""
-    import ray
+def _hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    parts: int = DEFAULT_PARTS,
+    how: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> rd.Dataset:
+    """Partition-hash equi-join on integer keys built from groupby/map_groups:
+    both sides are tagged and hash-partitioned on the key, then each partition
+    runs ONE vectorized pandas merge.  Used instead of Dataset.join because
+    (a) Ray 2.49's native join crashes on empty hash partitions (the
+    aggregator builds a zero-column table, and acero rejects the key ref) and
+    (b) acero rejects list-typed payload columns.  Output columns: left
+    columns + right's non-key columns; the key keeps the LEFT name."""
+    right_on = right_on or on
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", parts))
-    except Exception:
-        cpus = parts
-    return max(2, min(parts, cpus))
+    def _arrow_t(t):
+        if isinstance(t, pa.DataType):
+            return t
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    def _schema_of(ds: rd.Dataset, given: pa.Schema | None) -> tuple[list, dict]:
+        if given is None:
+            # probing executes part of the plan — callers with static schemas
+            # should pass them explicitly
+            sch = ds.schema()
+            names, types = sch.names, sch.types
+        else:
+            names, types = given.names, given.types
+        return list(names), {n: _arrow_t(t) for n, t in zip(names, types)}
+
+    lnames, ltypes = _schema_of(left, left_schema)
+    rnames, rtypes = _schema_of(right, right_schema)
+    l_payload = [c for c in lnames if c != on]
+    r_payload = [c for c in rnames if c != right_on]
+    overlap = set(l_payload) & set(r_payload)
+    if overlap:
+        raise ValueError(f"join column collision: {overlap}")
+
+    def prep(key: str, side: int, mine: list[str], theirs: list[str], their_types):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            k = np.asarray(b[key], dtype=np.int64)
+            with np.errstate(over="ignore"):
+                part = ((k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(parts)
+            cols = {"__key": pa.array(k)}
+            for c in mine:
+                cols[c] = b[c]
+            for c in theirs:
+                cols[c] = pa.nulls(n, their_types[c])
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            cols["__part"] = pa.array(part.astype(np.int64))
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left.map_batches(
+        prep(on, 0, l_payload, r_payload, rtypes), batch_format="pyarrow"
+    ).union(
+        right.map_batches(prep(right_on, 1, r_payload, l_payload, ltypes), batch_format="pyarrow")
+    )
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g.__side == 0][["__key"] + l_payload]
+        rf = g[g.__side == 1][["__key"] + r_payload]
+        m = lf.merge(rf, on="__key", how=how)
+        return m.rename(columns={"__key": on})
+
+    return tagged.groupby("__part").map_groups(join_part, batch_format="pandas")
 
 
 def _pack_rows(mat: np.ndarray) -> pa.Array:
@@ -88,6 +150,21 @@ def _unpack_rows(col, dtype) -> np.ndarray:
     if n == 0:
         return np.empty((0, 0), dtype=dtype)
     return data.view(dtype).reshape(n, -1)
+
+
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _conform(schema: pa.Schema):
+    """Coerce every block to `schema` — sparse map_groups outputs can emit
+    schema-less empty blocks that acero joins reject."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return schema.empty_table()
+        return pa.table({f.name: b[f.name].cast(f.type) for f in schema})
+
+    return fn
 
 
 def _rename(ds: rd.Dataset, **mapping: str) -> rd.Dataset:
@@ -134,15 +211,28 @@ def _list_np(col) -> np.ndarray:
 
 
 def _attach_pair_values(
-    pairs: rd.Dataset, values: rd.Dataset, col: str, parts: int = DEFAULT_PARTS
+    pairs: rd.Dataset,
+    values: rd.Dataset,
+    col: str,
+    parts: int = DEFAULT_PARTS,
+    value_type: pa.DataType | None = None,
 ) -> rd.Dataset:
     """pairs(a, b, ...) x values(doc_id, col) -> pairs + col_a + col_b via two
     Ray Data hash joins — the scale-safe replacement for a driver-side dict."""
-    parts = _clamp_parts(parts)
     va = _rename(values, doc_id="a", **{col: f"{col}_a"})
     vb = _rename(values, doc_id="b", **{col: f"{col}_b"})
-    out = pairs.join(va, join_type="inner", on=("a",), num_partitions=parts)
-    return out.join(vb, join_type="inner", on=("b",), num_partitions=parts)
+    vt = value_type if value_type is not None else pa.binary()
+    pair_s = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    out = _hash_join(
+        pairs, va, on="a", parts=parts,
+        left_schema=pair_s,
+        right_schema=pa.schema([("a", pa.int64()), (f"{col}_a", vt)]),
+    )
+    return _hash_join(
+        out, vb, on="b", parts=parts,
+        left_schema=pair_s.append(pa.field(f"{col}_a", vt)),
+        right_schema=pa.schema([("b", pa.int64()), (f"{col}_b", vt)]),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -358,7 +448,9 @@ def minhash_candidate_pairs_ds(
     distinct runs as a hash-partitioned groupby, not a driver drop_duplicates."""
     bands = minhash_bands(sf_dir, sigs=sigs)
     pairs = bands.groupby("band").map_groups(_band_pairs, batch_format="pandas")
-    return _distinct(pairs, ["a", "b"], parts)
+    return _distinct(pairs, ["a", "b"], parts).map_batches(
+        _conform(_PAIR_SCHEMA), batch_format="pyarrow"
+    )
 
 
 def minhash_candidate_pairs(sf_dir: str) -> pd.DataFrame:
@@ -407,12 +499,68 @@ def _verify_jaccard(threshold: float, keep_score: bool = False):
 # ---------------------------------------------------------------------------
 
 
+_SMALL_EDGE_LIMIT = 2_000_000
+
+
+def _uf_labels(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Union-find with path halving over an edge list; returns (nodes, label)
+    with label = min node id in each component."""
+    nodes = np.unique(np.concatenate([a, b]))
+    idx_a = np.searchsorted(nodes, a)
+    idx_b = np.searchsorted(nodes, b)
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(idx_a, idx_b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by smaller node id keeps label = component min for free
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    return nodes, nodes[roots]
+
+
+def _components_single_task(edges: rd.Dataset) -> rd.Dataset:
+    """Union-find in ONE Ray worker task (not the driver): correct and fast
+    for output-sized edge sets."""
+
+    def run(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"node": pd.Series(dtype=np.int64), "label": pd.Series(dtype=np.int64)}
+            )
+        nodes, labels = _uf_labels(
+            batch["a"].to_numpy(np.int64), batch["b"].to_numpy(np.int64)
+        )
+        return pd.DataFrame({"node": nodes, "label": labels})
+
+    return edges.repartition(1).map_batches(
+        run, batch_format="pandas", batch_size=None
+    ).materialize()
+
+
 def _min_label_components(edges: rd.Dataset, parts: int = DEFAULT_PARTS) -> rd.Dataset:
     """(node, label) for every node in `edges`; label = min node id reachable.
-    Iterated min-label propagation: each round joins neighbor labels through
-    the symmetric edge list and folds with a groupby-min — no driver-side
-    union-find.  Converges in O(component diameter) rounds; the per-round
-    label-sum (monotonically non-increasing) detects the fixpoint cheaply."""
+
+    Size-adaptive: the edge set is OUTPUT-sized (verified near-dup pairs),
+    so up to _SMALL_EDGE_LIMIT edges a single Ray task runs path-compressed
+    union-find at C-ish speed — one worker, zero shuffles.  Above that, falls
+    back to iterated min-label propagation: each round joins neighbor labels
+    through the symmetric edge list and folds with a groupby-min — no
+    driver-side union-find.  That path converges in O(component diameter)
+    rounds; the per-round label-sum (monotonically non-increasing) detects
+    the fixpoint cheaply."""
+    n_edges = edges.count()
+    if n_edges <= _SMALL_EDGE_LIMIT:
+        return _components_single_task(edges)
 
     def sym(b: pa.Table) -> pa.Table:
         a = np.asarray(b["a"], dtype=np.int64)
@@ -424,7 +572,6 @@ def _min_label_components(edges: rd.Dataset, parts: int = DEFAULT_PARTS) -> rd.D
             }
         )
 
-    parts = _clamp_parts(parts)
     edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
     nodes = _distinct(
         _rename(edges_sym.select_columns(["src"]), src="node"), ["node"], parts
@@ -434,8 +581,10 @@ def _min_label_components(edges: rd.Dataset, parts: int = DEFAULT_PARTS) -> rd.D
     ).materialize()
     prev = None
     for _ in range(64):  # diameter cap; near-dup components are shallow
-        msgs = edges_sym.join(
-            _rename(labels, node="dst"), join_type="inner", on=("dst",), num_partitions=parts
+        msgs = _hash_join(
+            edges_sym, labels, on="dst", right_on="node", parts=parts,
+            left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+            right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
         )
         msgs = _rename(msgs.select_columns(["src", "label"]), src="node")
         folded = labels.union(msgs).groupby("node").min("label")
@@ -450,23 +599,54 @@ def _min_label_components(edges: rd.Dataset, parts: int = DEFAULT_PARTS) -> rd.D
 def _labels_to_clusters(
     docs: rd.Dataset, labels: rd.Dataset, parts: int = DEFAULT_PARTS
 ) -> rd.Dataset:
-    """LEFT JOIN docs(doc_id) with labels(node, label): cluster = label or self."""
-    joined = docs.join(
-        labels,
-        join_type="left_outer",
-        on=("doc_id",),
-        right_on=("node",),
-        num_partitions=_clamp_parts(parts),
+    """LEFT JOIN docs(doc_id) with labels(node, label): cluster = label or
+    self.  The label table is bounded by the near-dup node count, so up to
+    _SMALL_EDGE_LIMIT entries it is broadcast once (ray.put) and applied with
+    a vectorized searchsorted inside map_batches — the corpus-sized `docs`
+    side streams and never shuffles.  Larger label sets fall back to the
+    distributed hash join."""
+    import ray
+
+    n_labels = labels.count()
+    if n_labels <= _SMALL_EDGE_LIMIT:
+        pdf = labels.to_pandas()
+        nodes = pdf["node"].to_numpy(np.int64)
+        labs = pdf["label"].to_numpy(np.int64)
+        order = np.argsort(nodes)
+        ref = ray.put((nodes[order], labs[order]))
+
+        class Apply:
+            def __init__(self, ref):
+                self.nodes, self.labs = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                doc = np.asarray(b["doc_id"], dtype=np.int64)
+                idx = np.searchsorted(self.nodes, doc).clip(0, max(len(self.nodes) - 1, 0))
+                if len(self.nodes):
+                    hit = self.nodes[idx] == doc
+                    cluster = np.where(hit, self.labs[idx], doc)
+                else:
+                    cluster = doc
+                return pa.table({"doc_id": pa.array(doc), "cluster": pa.array(cluster)})
+
+        return docs.map_batches(
+            Apply, batch_format="pyarrow", concurrency=(1, 8), fn_constructor_kwargs={"ref": ref}
+        )
+
+    joined = _hash_join(
+        docs, labels, on="doc_id", right_on="node", parts=parts, how="left",
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
     )
 
     def fin(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        # pandas left-merge leaves NaN (float) for unmatched labels
+        lab = np.asarray(b["label"], dtype=np.float64) if "label" in b.column_names else np.full(b.num_rows, np.nan)
+        doc = np.asarray(b["doc_id"], dtype=np.int64)
+        cluster = np.where(np.isnan(lab), doc, lab).astype(np.int64)
+        return pa.table({"doc_id": pa.array(doc), "cluster": pa.array(cluster)})
 
-        lab = b["label"] if "label" in b.column_names else pa.nulls(b.num_rows, pa.int64())
-        cluster = pc.coalesce(lab, b["doc_id"])
-        return pa.table({"doc_id": b["doc_id"], "cluster": cluster})
-
-    return joined.map_batches(fin, batch_format="pyarrow").sort("doc_id")
+    return joined.map_batches(fin, batch_format="pyarrow")
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8, parts: int = DEFAULT_PARTS) -> rd.Dataset:
@@ -490,7 +670,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, parts: int = DEFAULT_PART
         _sig_prefilter(threshold), batch_format="pyarrow"
     )
     texts = _docs(sf_dir, ["doc_id", "text"])
-    verified = _attach_pair_values(pre, texts, "text", parts).map_batches(
+    verified = _attach_pair_values(pre, texts, "text", parts, value_type=pa.string()).map_batches(
         _verify_jaccard(threshold), batch_format="pyarrow"
     ).materialize()
     if verified.count() == 0:
@@ -517,7 +697,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, parts: int = DEFAUL
             }
         )
     texts = _docs(sf_dir, ["doc_id", "text"])
-    pairs = _attach_pair_values(cand, texts, "text", parts).map_batches(
+    pairs = _attach_pair_values(cand, texts, "text", parts, value_type=pa.string()).map_batches(
         _verify_jaccard(threshold, keep_score=True), batch_format="pyarrow"
     )
     pdf = pairs.to_pandas()  # output-sized: verified pairs only
@@ -749,7 +929,11 @@ def dedup_embedding(
 
     bands = ds.map_batches(to_bands, batch_format="pyarrow")
     pairs = bands.groupby("band").map_groups(_band_pairs, batch_format="pandas")
-    cand = _distinct(pairs, ["a", "b"], parts).materialize()
+    cand = (
+        _distinct(pairs, ["a", "b"], parts)
+        .map_batches(_conform(_PAIR_SCHEMA), batch_format="pyarrow")
+        .materialize()
+    )
     empty = pd.DataFrame(
         {
             "a": pd.Series(dtype=np.int64),
