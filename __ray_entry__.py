@@ -166,9 +166,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_simhash"] = lambda sf: dedup_simhash(sf, max_hamming=6)
     q["dedup_embedding"] = lambda sf: dedup_embedding(sf, threshold=0.35)
 
-    from parquet_go_ray.pipelines.dedup import ngram_jaccard_pairs
+    from parquet_go_ray.pipelines.dedup import (
+        dedup_clusters_exhaustive,
+        embedding_pairs_exhaustive,
+        ngram_jaccard_exhaustive,
+        ngram_jaccard_pairs,
+    )
 
     q["ngram_jaccard_pairs"] = lambda sf: ngram_jaccard_pairs(sf, threshold=0.5)
+    # exhaustive LSH-free variants on bounded subsets: fully SQL-oracled
+    # checks of the jaccard / components / cosine kernels
+    q["ngram_jaccard_exhaustive"] = lambda sf: ngram_jaccard_exhaustive(
+        sf, threshold=0.5, max_doc_id=200
+    )
+    q["dedup_clusters_exhaustive"] = lambda sf: dedup_clusters_exhaustive(
+        sf, threshold=0.8, max_doc_id=200
+    )
+    q["embedding_pairs_exhaustive"] = lambda sf: embedding_pairs_exhaustive(
+        sf, threshold=0.3, max_vec_id=200
+    )
 
     # -- similarity search --
     from parquet_go_ray.pipelines.similarity import knn_bruteforce, knn_ivf
@@ -195,7 +211,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import parquet_go_ray.functions.windows as _windows
     from parquet_go_ray.functions.stats import stats_oracle_sql
+    from parquet_go_ray.pipelines.textstats import lang_id_oracle_sql
+
+    _SHINGLE_SQL = (
+        "d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200), "
+        "sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s "
+        "FROM d, LATERAL (SELECT unnest(range(1, GREATEST(length(text) - 4, 1) + 1)) AS i) g), "
+        "c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS k "
+        "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)"
+    )
 
     o = {
         "rt_documents_auto": "SELECT * FROM documents",
@@ -210,9 +237,8 @@ def oracle_sql() -> dict[str, str]:
         "rt_orders_auto": "SELECT * FROM orders",
         "rt_embeddings": "SELECT vec_id, label, LEN(embedding) AS dim FROM embeddings",
         "scan_pruned_lineitem": "SELECT l_orderkey FROM lineitem WHERE l_orderkey >= 12000",
-        "window_tumbling_events": __import__(
-            "parquet_go_ray.functions.windows", fromlist=["x"]
-        ).tumbling_oracle_sql(900),
+        "window_tumbling_events": _windows.tumbling_oracle_sql(900),
+        "window_sessions_events": _windows.sessions_oracle_sql(1800),
         "stats_lineitem": stats_oracle_sql(
             "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),
@@ -235,6 +261,34 @@ def oracle_sql() -> dict[str, str]:
             "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS ws_tokens, "
             "LEN(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens "
             "FROM documents"
+        ),
+        "lang_id": lang_id_oracle_sql(),
+        "ngram_jaccard_exhaustive": (
+            "WITH " + _SHINGLE_SQL + " "
+            "SELECT a, b, ROUND(CAST(k AS DOUBLE) / (ca.n + cb.n - k), 6) AS jaccard "
+            "FROM inter JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b "
+            "WHERE CAST(k AS DOUBLE) / (ca.n + cb.n - k) >= 0.5"
+        ),
+        "dedup_clusters_exhaustive": (
+            "WITH RECURSIVE " + _SHINGLE_SQL + ", "
+            "e AS (SELECT a, b FROM inter JOIN c ca ON ca.doc_id = a "
+            "JOIN c cb ON cb.doc_id = b "
+            "WHERE CAST(k AS DOUBLE) / (ca.n + cb.n - k) >= 0.8), "
+            "edges AS (SELECT a AS src, b AS dst FROM e "
+            "UNION ALL SELECT b, a FROM e), "
+            "walk(node, label) AS ("
+            "SELECT doc_id, doc_id FROM d "
+            "UNION "
+            "SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node) "
+            "SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster "
+            "FROM walk GROUP BY node"
+        ),
+        "embedding_pairs_exhaustive": (
+            "SELECT a, b, ROUND(cos, 6) AS cosine FROM ("
+            "SELECT x.vec_id AS a, y.vec_id AS b, "
+            "list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])) AS cos "
+            "FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id "
+            "WHERE x.vec_id < 200 AND y.vec_id < 200) WHERE cos >= 0.3"
         ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8) "

@@ -2,10 +2,11 @@
 
 The reference is a pure batch storage library (SURVEY §1.1: no
 streaming/watermarks anywhere), but a data-processing engine at corpus scale
-needs stream-shaped batch operators.  Ray Data idiom: treat events as an
-ordered, partitioned log — window keys are computed vectorized per batch
-(tumbling) or per sorted key-group (session), and the wide step is a plain
-groupby over (window, key) with order-independent aggregates.
+needs stream-shaped batch operators.  Ray Data idiom: window keys are
+computed vectorized per batch; the wide step is PARTIAL-aggregated inside
+map_batches first (one row per (batch, window, key)), then folded with a
+hash-partitioned groupby where each partition runs ONE vectorized pandas
+aggregation — never one pandas call per window group.
 """
 
 from __future__ import annotations
@@ -16,63 +17,104 @@ import pyarrow as pa
 
 import ray.data as rd
 
+FOLD_PARTS = 16
+
 
 def tumbling_window_agg(sf_dir: str, window_sec: int = 900) -> rd.Dataset:
     """(window, event_type) -> count/min/max over tumbling windows.
 
     Aggregates chosen to be bit-exact regardless of reduction order
-    (COUNT/MIN/MAX, not float SUM), so the DuckDB oracle hash-matches."""
+    (COUNT/MIN/MAX, not float SUM), so the DuckDB oracle hash-matches.
+    Per-batch partial aggregation shrinks the shuffle to one row per
+    (batch, window, type); the fold is per-PARTITION vectorized."""
 
-    def add_window(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         w = ts // (window_sec * 1_000_000)
-        return pa.table(
+        pdf = pd.DataFrame(
             {
-                "w": pa.array(w, pa.int64()),
-                "event_type": batch["event_type"],
-                "value": batch["value"],
+                "w": w,
+                "event_type": batch["event_type"].to_pandas(),
+                "value": batch["value"].to_pandas(),
             }
         )
-
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
-    ).map_batches(add_window, batch_format="pyarrow")
-
-    def agg(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "w": [group.w.iloc[0]],
-                "event_type": [group.event_type.iloc[0]],
-                "n": [len(group)],
-                "min_v": [group.value.min()],
-                "max_v": [group.value.max()],
-            }
+        agg = (
+            pdf.groupby(["w", "event_type"], sort=False)
+            .agg(n=("value", "size"), min_v=("value", "min"), max_v=("value", "max"))
+            .reset_index()
         )
+        part = (
+            pd.util.hash_pandas_object(agg[["w", "event_type"]], index=False).to_numpy()
+            % FOLD_PARTS
+        )
+        agg["__part"] = part.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return ds.groupby(["w", "event_type"]).map_groups(agg, batch_format="pandas")
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["w", "event_type"], sort=False)
+            .agg(n=("n", "sum"), min_v=("min_v", "min"), max_v=("max_v", "max"))
+            .reset_index()
+        )
+        return out
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("__part").map_groups(fold, batch_format="pandas")
 
 
 def session_windows(sf_dir: str, gap_sec: int = 1800) -> rd.Dataset:
     """Per-user session windows: events closer than gap_sec chain into one
-    session (groupby user -> sort by ts -> vectorized gap split).  Returns
-    (user_id, session_start_us, session_end_us, n_events)."""
+    session.  Users are hash-PARTITIONED (all events of a user land in one
+    partition); each partition sorts once by (user, ts) and splits sessions
+    with one vectorized gap/user-change scan — no per-user pandas calls.
+    Returns (user_id, session_start_us, session_end_us, n_events)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch["user_id"], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            part = (uid.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "__part": pa.array((part % np.uint64(FOLD_PARTS)).astype(np.int64)),
+            }
+        )
+
+    gap_us = gap_sec * 1_000_000
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts")
+        if not len(group):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=np.int64),
+                    "session_start_us": pd.Series(dtype=np.int64),
+                    "session_end_us": pd.Series(dtype=np.int64),
+                    "n_events": pd.Series(dtype=np.int64),
+                }
+            )
+        g = group.sort_values(["user_id", "ts"])
+        uid = g.user_id.to_numpy(np.int64)
         ts = g.ts.astype("int64").to_numpy()
-        new = np.concatenate(([True], np.diff(ts) > gap_sec * 1_000_000))
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (np.diff(ts) > gap_us)
         sid = np.cumsum(new) - 1
-        out = (
-            pd.DataFrame({"sid": sid, "ts": ts})
-            .groupby("sid")
-            .agg(session_start_us=("ts", "min"), session_end_us=("ts", "max"), n_events=("ts", "size"))
-            .reset_index(drop=True)
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:] - 1, [len(g) - 1]])
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "session_start_us": ts[starts],
+                "session_end_us": ts[ends],
+                "n_events": (ends - starts + 1).astype(np.int64),
+            }
         )
-        out.insert(0, "user_id", g.user_id.iloc[0])
-        return out
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    return ds.groupby("__part").map_groups(sessions, batch_format="pandas")
 
 
 def tumbling_oracle_sql(window_sec: int = 900) -> str:
@@ -81,4 +123,19 @@ def tumbling_oracle_sql(window_sec: int = 900) -> str:
         f"SELECT CAST(FLOOR(EPOCH_US(ts) / {us}) AS BIGINT) AS w, event_type, "
         "COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v "
         "FROM events GROUP BY 1, 2"
+    )
+
+
+def sessions_oracle_sql(gap_sec: int = 1800) -> str:
+    """Gaps-and-islands twin of session_windows."""
+    gap_us = gap_sec * 1_000_000
+    return (
+        "WITH o AS (SELECT user_id, EPOCH_US(ts) AS ts, "
+        "LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+        f"f AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR ts - prev > {gap_us} "
+        "THEN 1 ELSE 0 END AS brk FROM o), "
+        "g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM f) "
+        "SELECT user_id, MIN(ts) AS session_start_us, MAX(ts) AS session_end_us, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, sid"
     )

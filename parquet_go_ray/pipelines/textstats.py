@@ -24,20 +24,29 @@ LANG_MARKERS = {
 
 
 class LangId:
-    """Actor stage: marker tables built once per actor."""
+    """Actor stage: one compiled marker regex per language, applied with the
+    vectorized pandas .str.count kernel — no per-row Python.  Scores are
+    whole-word marker occurrences; prediction is the first language with the
+    max score (langs order breaks ties), confidence = score / word count.
+    Semantics are deliberately SQL-expressible (regexp_extract_all lengths)
+    so the driver can oracle this query."""
 
     def __init__(self):
         self.word_re = re.compile(r"[a-zA-Z]+")
         self.langs = list(LANG_MARKERS)
-        self.markers = [LANG_MARKERS[l] for l in self.langs]
+        self.marker_res = [
+            re.compile(r"\b(?:" + "|".join(sorted(LANG_MARKERS[l])) + r")\b")
+            for l in self.langs
+        ]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.findall(self.word_re)
+        low = batch["text"].str.lower()
         scores = np.zeros((len(batch), len(self.langs)))
-        for j, mk in enumerate(self.markers):
-            scores[:, j] = toks.map(lambda ws: sum(w in mk for w in ws)).to_numpy()
+        for j, mk_re in enumerate(self.marker_res):
+            scores[:, j] = low.str.count(mk_re).to_numpy()
+        words = batch["text"].str.count(self.word_re).to_numpy()
         best = scores.argmax(axis=1)
-        conf = scores.max(axis=1) / np.maximum(toks.str.len().to_numpy(), 1)
+        conf = scores.max(axis=1) / np.maximum(words, 1)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
@@ -45,6 +54,28 @@ class LangId:
                 "lang_conf": np.round(conf, 6),
             }
         )
+
+
+def lang_id_oracle_sql() -> str:
+    """ANSI-SQL twin of LangId for the DuckDB oracle (RE2 \\b == re \\b)."""
+    exprs = []
+    for l in LANG_MARKERS:
+        pat = r"\b(?:" + "|".join(sorted(LANG_MARKERS[l])) + r")\b"
+        exprs.append(f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{l}")
+    langs = list(LANG_MARKERS)
+    cases = []
+    for i, l in enumerate(langs):
+        conds = " AND ".join(f"s_{l} >= s_{m}" for m in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{l}'" if conds else f"ELSE '{l}'")
+    case = "CASE " + " ".join(cases) + " END"
+    greatest = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    return (
+        "WITH s AS (SELECT doc_id, "
+        + ", ".join(exprs)
+        + ", len(regexp_extract_all(text, '[a-zA-Z]+')) AS words FROM documents) "
+        + f"SELECT doc_id, {case} AS lang_pred, "
+        + f"ROUND(CAST({greatest} AS DOUBLE) / GREATEST(words, 1), 6) AS lang_conf FROM s"
+    )
 
 
 def lang_id(sf_dir: str) -> rd.Dataset:
@@ -113,35 +144,55 @@ def token_count(sf_dir: str) -> rd.Dataset:
 
 def fingerprint(sf_dir: str, k: int = 7, window: int = 4) -> rd.Dataset:
     """Winnowing document fingerprints: rolling k-gram hashes, per-window
-    minimum (standard winnowing), emit per-doc fingerprint count + digest."""
+    minimum (standard winnowing), emit per-doc count of distinct window-min
+    hashes + an order-independent XOR digest.  Fully vectorized: ONE global
+    sliding-window-min over the concatenated hash buffer with boundary
+    masking for docs shorter than the window — no per-document Python loop."""
     from .dedup import _shingle_hashes
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch["text"]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        h, n_sh = _shingle_hashes(texts)
-        offsets = np.concatenate(([0], np.cumsum(n_sh[:-1])))
+        h, n_sh = _shingle_hashes(texts, k)
         n = len(n_sh)
-        counts = np.zeros(n, dtype=np.int64)
-        digests = np.zeros(n, dtype=np.uint64)
-        # winnow per doc: sliding-window min over the hash sequence
-        pos = 0
-        for i in range(n):
-            hs = h[offsets[i] : offsets[i] + n_sh[i]]
-            if len(hs) <= window:
-                mins = np.array([hs.min()]) if len(hs) else np.empty(0, np.uint64)
-            else:
-                sw = np.lib.stride_tricks.sliding_window_view(hs, window)
-                mins = sw.min(axis=1)
-                mins = np.unique(mins)
-            counts[i] = len(mins)
-            with np.errstate(over="ignore"):
-                digests[i] = (
-                    np.bitwise_xor.reduce(mins * np.uint64(0x100000001B3))
-                    if len(mins)
-                    else np.uint64(0)
-                )
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_fingerprints": pa.array([], pa.int64()),
+                    "digest": pa.array([], pa.int64()),
+                }
+            )
+        offsets = np.concatenate(([0], np.cumsum(n_sh[:-1])))
+        # windows fully inside each doc; short docs (< window hashes) get one
+        # window covering the whole doc
+        n_w = np.maximum(n_sh - window + 1, 1)
+        w_off = np.concatenate(([0], np.cumsum(n_w[:-1])))
+        total_w = int(n_w.sum())
+        doc_of_w = np.repeat(np.arange(n, dtype=np.int64), n_w)
+        within = np.arange(total_w, dtype=np.int64) - np.repeat(w_off, n_w)
+        pos = np.repeat(offsets, n_w) + within
+        # global sliding min (pad tail so every start position has a window)
+        padded = np.concatenate([h, np.full(window, np.uint64(0xFFFFFFFFFFFFFFFF))])
+        sw_min = np.lib.stride_tricks.sliding_window_view(padded, window).min(axis=1)
+        mins = sw_min[pos]
+        # short docs: that single window crossed into the neighbor — replace
+        # with the doc's own segment min
+        short = n_sh < window
+        if short.any():
+            seg_min = np.minimum.reduceat(h, offsets)
+            first_w = w_off[short]
+            mins[first_w] = seg_min[short]
+        # distinct mins per doc: lexsort + first-occurrence flags
+        order = np.lexsort((mins, doc_of_w))
+        dws, msorted = doc_of_w[order], mins[order]
+        first = np.ones(total_w, bool)
+        first[1:] = (dws[1:] != dws[:-1]) | (msorted[1:] != msorted[:-1])
+        counts = np.add.reduceat(first.astype(np.int64), w_off)
+        with np.errstate(over="ignore"):
+            contrib = np.where(first, msorted * np.uint64(0x100000001B3), np.uint64(0))
+        digests = np.bitwise_xor.reduceat(contrib, w_off)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

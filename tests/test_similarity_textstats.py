@@ -141,3 +141,38 @@ def test_tools(tmp_path):
         {"a": 2, "s": "y"},
         {"a": 3, "s": "z"},
     ]
+
+
+def test_fingerprint_vectorized_matches_naive(ray_session, tmp_path):
+    """The one-pass global winnowing must equal per-doc sliding-window-min."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.pipelines.dedup import _shingle_hashes
+    from parquet_go_ray.pipelines.textstats import fingerprint
+
+    rng = random.Random(0)
+    texts = ["", "ab", "abcdefg", "hello"] + [
+        "".join(rng.choice("abcd ") for _ in range(rng.randrange(1, 200))) for _ in range(40)
+    ]
+    d = tmp_path / "fp"
+    d.mkdir()
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    pq.write_table(tbl, d / "documents.parquet")
+    got = fingerprint(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    k, window = 7, 4
+    for i, t in enumerate(texts):
+        h, _ = _shingle_hashes(pa.array([t]), k)
+        if len(h) <= window:
+            mins = np.array([h.min()]) if len(h) else np.empty(0, np.uint64)
+        else:
+            mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+        mins = np.unique(mins)
+        dig = (
+            np.bitwise_xor.reduce(mins * np.uint64(0x100000001B3)) if len(mins) else np.uint64(0)
+        )
+        assert got.n_fingerprints[i] == len(mins)
+        assert got.digest[i] == np.int64(dig.astype(np.int64))
