@@ -104,6 +104,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["rt_orders_auto"] = lambda sf: roundtrip_table(sf, "orders")
 
+    # nested struct / map chunk round-trips (Dremel-analog §2.4 coverage)
+    from parquet_go_ray.pipelines.roundtrip import roundtrip_map, roundtrip_struct
+
+    q["rt_nested_struct"] = roundtrip_struct
+    q["rt_map"] = roundtrip_map
+
     def rt_embeddings(sf):
         # list<float> column round-trip (nested/Dremel-equivalent path);
         # the oracle compares the SQL-expressible projection, bit-identity of
@@ -235,6 +241,10 @@ def oracle_sql() -> dict[str, str]:
         "rt_documents_delta_ba": "SELECT doc_id, source, lang FROM documents",
         "rt_events_timestamps": "SELECT event_id, ts, event_type, value FROM events",
         "rt_orders_auto": "SELECT * FROM orders",
+        "rt_nested_struct": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM orders"
+        ),
+        "rt_map": "SELECT doc_id, lang, n_chars FROM documents",
         "rt_embeddings": "SELECT vec_id, label, LEN(embedding) AS dim FROM embeddings",
         "scan_pruned_lineitem": "SELECT l_orderkey FROM lineitem WHERE l_orderkey >= 12000",
         "window_tumbling_events": _windows.tumbling_oracle_sql(900),

@@ -175,8 +175,13 @@ def encode_list_chunk(arr, cfg: EngineConfig = DEFAULT, outer: str = "none") -> 
     child = dense.flatten()
     lcodec, louter, _ = select_codec(lengths, cfg)
     lengths_row = encode_column_chunk(lengths, lcodec, louter, cfg)
-    if pa.types.is_list(child.type) or pa.types.is_large_list(child.type):
-        child_row = encode_list_chunk(child, cfg, outer)
+    if (
+        pa.types.is_list(child.type)
+        or pa.types.is_large_list(child.type)
+        or pa.types.is_struct(child.type)
+        or pa.types.is_map(child.type)
+    ):
+        child_row = encode_any_chunk(child, cfg, outer)
     else:
         cvals = child.drop_null() if child.null_count else child
         ccodec, couter, cstats = select_codec(cvals, cfg)
@@ -238,11 +243,195 @@ def _decode_list_chunk(meta: dict, blob: bytes, pos: int) -> pa.Array:
         return dense
     dl, _ = rle_mod.decode_levels(levels_buf, 1, n)
     validity = dl.astype(bool)
-    if nulls == n:
-        return pa.nulls(n, type=dense.type)
+    # rebuild with nulls as zero-length slots + validity bitmap — works for
+    # ANY child type (pc.if_else does not support nested children)
+    off_t2 = np.int64 if meta.get("large") else np.int32
+    full_lengths = np.zeros(n, dtype=off_t2)
+    full_lengths[validity] = lengths.astype(off_t2)
+    full_offsets = np.zeros(n + 1, dtype=off_t2)
+    np.cumsum(full_lengths, out=full_offsets[1:])
+    vbuf = pa.array(validity).buffers()[1]
+    return pa.Array.from_buffers(
+        dense.type, n, [vbuf, pa.py_buffer(full_offsets.tobytes())],
+        null_count=nulls, children=[child],
+    )
+
+
+def _expand_with_nulls(dense: pa.Array, validity: np.ndarray) -> pa.Array:
+    """Stretch a null-free dense array to full length with nulls where
+    validity is False.  take() with a null index yields null for EVERY arrow
+    type (incl. nested), unlike pc.if_else."""
     idx = np.maximum(np.cumsum(validity) - 1, 0)
-    taken = dense.take(pa.array(idx, type=pa.int64()))
-    return pc.if_else(pa.array(validity), taken, pa.scalar(None, type=dense.type))
+    idx_arr = pa.array(np.where(validity, idx, 0), mask=~validity, type=pa.int64())
+    return dense.take(idx_arr)
+
+
+def _type_to_b64(t: pa.DataType) -> str:
+    import base64
+
+    return base64.b64encode(pa.schema([pa.field("x", t)]).serialize().to_pybytes()).decode()
+
+
+def _type_from_b64(s: str) -> pa.DataType:
+    import base64
+
+    return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(s))).field(0).type
+
+
+def encode_any_chunk(arr, cfg: EngineConfig = DEFAULT, outer: str = "none") -> dict:
+    """Dispatch on arrow type: scalar / list / struct / map chunks.
+
+    The reference shreds arbitrary nesting into Dremel level streams
+    (marshal/marshal.go:69-224, maps expanded as list<struct<key,value>> at
+    schema/schemahandler.go:343-386); here each nesting level is its own
+    recursively-encoded child chunk and validity travels as levels."""
+    from .selector import select_codec
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_map(t):
+        return encode_map_chunk(arr, cfg, outer)
+    if pa.types.is_struct(t):
+        return encode_struct_chunk(arr, cfg, outer)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return encode_list_chunk(arr, cfg, outer)
+    vals = arr.drop_null() if arr.null_count else arr
+    codec, couter, stats = select_codec(vals, cfg)
+    return encode_column_chunk(arr, codec, couter, cfg, precomputed=stats.get("full_payload"))
+
+
+def encode_struct_chunk(arr, cfg: EngineConfig = DEFAULT, outer: str = "none") -> dict:
+    """Struct chunk: outer validity as levels + one independently encoded
+    (and independently compressed) length-prefixed child chunk per field —
+    so a subtree read (`decode_column_chunk(blob, path=...)`, the
+    reader/reader.go:225-289 ReadPartial analog) skips sibling fields without
+    decompressing them."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    assert pa.types.is_struct(t), t
+    n, null_count = len(arr), arr.null_count
+    if null_count:
+        validity = np.asarray(arr.is_valid()).astype(np.uint64)
+        levels = rle_mod.encode_levels(validity, 1)
+        dense = arr.drop_null()
+    else:
+        levels = rle_mod.encode_levels(np.empty(0, dtype=np.uint64), 1)
+        dense = arr
+    names = [t.field(i).name for i in range(t.num_fields)]
+    child_rows = [encode_any_chunk(dense.field(i), cfg, outer) for i in range(t.num_fields)]
+    meta = {
+        "codec": "struct",
+        "outer": "none",
+        "n": n,
+        "nulls": null_count,
+        "fields": names,
+        "type_b64": _type_to_b64(t),
+        "raw_body": 0,
+    }
+    meta_json = json.dumps(meta, separators=(",", ":")).encode()
+    body = write_uvarint(len(levels)) + levels
+    for row in child_rows:
+        body += write_uvarint(len(row["blob"])) + row["blob"]
+    blob = MAGIC + write_uvarint(len(meta_json)) + meta_json + body
+    return {
+        "codec": "struct<" + ",".join(r["codec"] for r in child_rows) + ">",
+        "outer": outer,
+        "rows": n,
+        "nulls": null_count,
+        "raw_bytes": raw_nbytes(arr),
+        "enc_bytes": len(blob),
+        "blob": blob,
+        "sha256": column_sha256(arr) if cfg.verify_sha256 else "",
+    }
+
+
+def _decode_struct_chunk(meta: dict, blob: bytes, pos: int, path: list[str] | None = None):
+    body = blob[pos:]
+    llen, p = read_uvarint(body, 0)
+    levels_buf = body[p : p + llen]
+    p += llen
+    names = meta["fields"]
+    n, nulls = meta["n"], meta["nulls"]
+    t = _type_from_b64(meta["type_b64"])
+    if path:
+        # subtree projection: skip sibling child blobs by their length prefix
+        # (never decompressed), decode only the requested field
+        head, rest = path[0], path[1:]
+        for name in names:
+            blen, p = read_uvarint(body, p)
+            if name == head:
+                child = decode_column_chunk(body[p : p + blen], path=rest or None)
+                break
+            p += blen
+        else:
+            raise KeyError(f"struct field {head!r} not in {names}")
+        if nulls == 0:
+            return child
+        dl, _ = rle_mod.decode_levels(levels_buf, 1, n)
+        validity = dl.astype(bool)
+        return _expand_with_nulls(child, validity)
+    children = []
+    for _ in names:
+        blen, p = read_uvarint(body, p)
+        children.append(decode_column_chunk(body[p : p + blen]))
+        p += blen
+    dense = pa.StructArray.from_arrays(children, names=names)
+    if nulls == 0:
+        return dense
+    dl, _ = rle_mod.decode_levels(levels_buf, 1, n)
+    validity = dl.astype(bool)
+    return _expand_with_nulls(dense, validity)
+
+
+def encode_map_chunk(arr, cfg: EngineConfig = DEFAULT, outer: str = "none") -> dict:
+    """Map chunk: parquet's MAP = repeated group(key, value)
+    (schema/schemahandler.go:343-386); arrow-side we encode the
+    list<struct<key, value>> view and rebuild the MapArray from buffers on
+    decode."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    assert pa.types.is_map(t), t
+    ls_type = pa.list_(pa.struct([t.key_field, t.item_field]))
+    inner = encode_list_chunk(arr.cast(ls_type), cfg, outer)
+    meta = {
+        "codec": "map",
+        "outer": "none",
+        "n": len(arr),
+        "nulls": arr.null_count,
+        "type_b64": _type_to_b64(t),
+        "raw_body": 0,
+    }
+    meta_json = json.dumps(meta, separators=(",", ":")).encode()
+    blob = MAGIC + write_uvarint(len(meta_json)) + meta_json + inner["blob"]
+    return {
+        "codec": f"map<{inner['codec']}>",
+        "outer": inner["outer"],
+        "rows": len(arr),
+        "nulls": arr.null_count,
+        "raw_bytes": raw_nbytes(arr),
+        "enc_bytes": len(blob),
+        "blob": blob,
+        "sha256": column_sha256(arr) if cfg.verify_sha256 else "",
+    }
+
+
+def _decode_map_chunk(meta: dict, blob: bytes, pos: int) -> pa.Array:
+    t = _type_from_b64(meta["type_b64"])
+    ls = decode_column_chunk(blob[pos:])
+    if isinstance(ls, pa.ChunkedArray):
+        ls = ls.combine_chunks()
+    # rebuild map from the list<struct> buffers (cast map->list exists, the
+    # reverse doesn't)
+    return pa.Array.from_buffers(
+        t,
+        len(ls),
+        [ls.buffers()[0], ls.buffers()[1]],
+        null_count=ls.null_count,
+        children=[ls.values],
+    )
 
 
 def encode_column_chunk(
@@ -301,11 +490,20 @@ def encode_column_chunk(
     }
 
 
-def decode_column_chunk(blob: bytes) -> pa.Array:
+def decode_column_chunk(blob: bytes, path: list[str] | None = None) -> pa.Array:
+    """Decode a chunk blob.  `path` selects a struct subtree (ReadPartial
+    analog, reader/reader.go:225-289): sibling fields are skipped by length
+    prefix without decompression."""
     assert blob[:4] == MAGIC, "bad chunk magic"
     mlen, pos = read_uvarint(blob, 4)
     meta = json.loads(blob[pos : pos + mlen])
     pos += mlen
+    if meta["codec"] == "struct":
+        return _decode_struct_chunk(meta, blob, pos, path=path)
+    if path:
+        raise TypeError(f"path projection requires a struct chunk, got {meta['codec']}")
+    if meta["codec"] == "map":
+        return _decode_map_chunk(meta, blob, pos)
     if meta["codec"] == "list":
         return _decode_list_chunk(meta, blob, pos)
     body = _outer_decompress(blob[pos:], meta["outer"], meta["raw_body"])
@@ -371,7 +569,12 @@ def column_sha256(arr) -> str:
     else:
         vals = arr
     t = vals.type
-    if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+    if not (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_struct(t)
+        or pa.types.is_map(t)
+    ):
         vals, _ = _physical(vals)  # decimals/timestamps -> physical view
         t = vals.type
     if (
@@ -401,6 +604,13 @@ def column_sha256(arr) -> str:
         )
         h.update(np.diff(offsets).astype(np.int64).tobytes())
         h.update(column_sha256(vals.flatten()).encode())
+    elif pa.types.is_struct(t):
+        for i in range(t.num_fields):
+            h.update(t.field(i).name.encode())
+            h.update(column_sha256(vals.field(i)).encode())
+    elif pa.types.is_map(t):
+        ls = vals.cast(pa.list_(pa.struct([t.key_field, t.item_field])))
+        h.update(column_sha256(ls).encode())
     else:
         phys, _ = _physical(vals)
         h.update(np.ascontiguousarray(phys.to_numpy(zero_copy_only=True)).tobytes())

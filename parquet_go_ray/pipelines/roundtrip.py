@@ -12,7 +12,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..config import EngineConfig
-from ..stages.encode import reassemble_chunk
+from ..stages.encode import reassemble_blocks
 from .encode_pipeline import encode_dataset
 
 
@@ -29,9 +29,9 @@ def roundtrip_table(
         cfg.per_column_codec = dict(codec_map)
     ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
     chunks = encode_dataset(ds, cfg)
-    return chunks.groupby("chunk_id").map_groups(
-        reassemble_chunk, batch_format="pyarrow"
-    )
+    # no shuffle: encode emits all of a chunk's column rows in one block, so
+    # within-block regrouping reunites them (VERDICT r1 #10)
+    return chunks.map_batches(reassemble_blocks, batch_format="pyarrow", batch_size=None)
 
 
 def encode_stats(
@@ -43,3 +43,62 @@ def encode_stats(
     ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
     chunks = encode_dataset(ds, cfg)
     return chunks.drop_columns(["blob"])
+
+
+def roundtrip_struct(sf_dir: str, cfg: EngineConfig | None = None) -> rd.Dataset:
+    """Nested STRUCT round-trip over real data: pack orders columns into one
+    struct column, chunk-encode (struct = per-field child chunks + validity
+    levels, the marshal/marshal.go:69-147 Dremel analog), decode, unpack back
+    to flat columns so the driver's plain-SELECT oracle hash-checks it."""
+    cfg = cfg or EngineConfig()
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def pack(b: pa.Table) -> pa.Table:
+        arrays = [
+            b[c].combine_chunks() if isinstance(b[c], pa.ChunkedArray) else b[c] for c in cols
+        ]
+        return pa.table({"s": pa.StructArray.from_arrays(arrays, names=cols)})
+
+    chunks = encode_dataset(ds.map_batches(pack, batch_format="pyarrow"), cfg)
+    out = chunks.map_batches(reassemble_blocks, batch_format="pyarrow", batch_size=None)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        s = b["s"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        return pa.table({c: s.field(c) for c in cols})
+
+    return out.map_batches(unpack, batch_format="pyarrow")
+
+
+def roundtrip_map(sf_dir: str, cfg: EngineConfig | None = None) -> rd.Dataset:
+    """Nested MAP round-trip over real data: one {lang: n_chars} entry per
+    document (MAP = repeated group<key,value>, schema/schemahandler.go:343-386
+    analog), encode + decode, then unnest back to flat columns."""
+    cfg = cfg or EngineConfig()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        offsets = pa.array(range(n + 1), pa.int32())
+        keys = b["lang"].combine_chunks() if isinstance(b["lang"], pa.ChunkedArray) else b["lang"]
+        items = (
+            b["n_chars"].combine_chunks()
+            if isinstance(b["n_chars"], pa.ChunkedArray)
+            else b["n_chars"]
+        )
+        m = pa.MapArray.from_arrays(offsets, keys, items)
+        return pa.table({"doc_id": b["doc_id"], "m": m})
+
+    chunks = encode_dataset(ds.map_batches(pack, batch_format="pyarrow"), cfg)
+    out = chunks.map_batches(reassemble_blocks, batch_format="pyarrow", batch_size=None)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        m = b["m"]
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        # one entry per row by construction: keys/items align with rows
+        return pa.table({"doc_id": b["doc_id"], "lang": m.keys, "n_chars": m.items})
+
+    return out.map_batches(unpack, batch_format="pyarrow")

@@ -45,10 +45,15 @@ def encode_table(table: pa.Table, cfg: EngineConfig = DEFAULT, part: int = 0) ->
         col = table[name]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
-            from ..chunk import encode_list_chunk
+        if (
+            pa.types.is_list(col.type)
+            or pa.types.is_large_list(col.type)
+            or pa.types.is_struct(col.type)
+            or pa.types.is_map(col.type)
+        ):
+            from ..chunk import encode_any_chunk
 
-            row = encode_list_chunk(col, cfg)
+            row = encode_any_chunk(col, cfg)
             # reference floor for nested: its default policy is PLAIN+snappy
             # over the value stream; approximate with snappy(raw buffers)
             ref = len(
@@ -177,3 +182,22 @@ def reassemble_chunk(group: pa.Table) -> pa.Table:
         cols[name] = arr
         n = len(arr)
     return pa.table(cols)
+
+
+def reassemble_blocks(batch: pa.Table) -> pa.Table:
+    """Within-block reassembly: encode_table emits every column row of a
+    chunk in the same block, so regrouping needs NO shuffle — split the batch
+    into chunk_id runs and reassemble each (pass batch_size=None so blocks
+    arrive whole)."""
+    import numpy as np
+
+    if batch.num_rows == 0:
+        return pa.table({})
+    ids = batch["chunk_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    bounds = np.flatnonzero(sorted_ids[1:] != sorted_ids[:-1]) + 1
+    parts = []
+    for run in np.split(order, bounds):
+        parts.append(reassemble_chunk(batch.take(pa.array(run, pa.int64()))))
+    return pa.concat_tables(parts)
