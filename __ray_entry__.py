@@ -146,6 +146,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["scan_pruned_lineitem"] = scan_pruned
 
+    def skip_rows_q(sf):
+        # SkipRows analog: rows [30000, 30500) of l_orderkey in file order —
+        # whole chunks before the offset skipped undecoded, the boundary
+        # chunk decoded only for its in-chunk range
+        import ray.data as rd
+
+        from parquet_go_ray.config import EngineConfig
+        from parquet_go_ray.pipelines.encode_pipeline import encode_dataset
+        from parquet_go_ray.pipelines.scan import skip_read
+
+        ds = rd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_orderkey"])
+        chunks = encode_dataset(ds, EngineConfig(batch_size_rows=4096))
+        return skip_read(chunks, "l_orderkey", row_offset=30000, row_count=500)
+
+    q["skip_rows_lineitem"] = skip_rows_q
+
     # -- aggregation (§2.6) --
     LI_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     q["stats_lineitem"] = lambda sf: numeric_column_stats(sf, "lineitem", LI_NUM)
@@ -247,6 +263,10 @@ def oracle_sql() -> dict[str, str]:
         "rt_map": "SELECT doc_id, lang, n_chars FROM documents",
         "rt_embeddings": "SELECT vec_id, label, LEN(embedding) AS dim FROM embeddings",
         "scan_pruned_lineitem": "SELECT l_orderkey FROM lineitem WHERE l_orderkey >= 12000",
+        "skip_rows_lineitem": (
+            "SELECT l_orderkey FROM (SELECT l_orderkey, ROW_NUMBER() OVER () AS rn "
+            "FROM lineitem) WHERE rn > 30000 AND rn <= 30500"
+        ),
         "window_tumbling_events": _windows.tumbling_oracle_sql(900),
         "window_sessions_events": _windows.sessions_oracle_sql(1800),
         "stats_lineitem": stats_oracle_sql(

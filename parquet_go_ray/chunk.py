@@ -490,22 +490,64 @@ def encode_column_chunk(
     }
 
 
-def decode_column_chunk(blob: bytes, path: list[str] | None = None) -> pa.Array:
+_FIXED_WIDTH = {
+    "int8": 1, "uint8": 1, "int16": 2, "uint16": 2, "int32": 4, "uint32": 4,
+    "int64": 8, "uint64": 8, "float": 4, "double": 8, "halffloat": 2,
+}
+
+
+def decode_column_chunk(
+    blob: bytes,
+    path: list[str] | None = None,
+    row_offset: int = 0,
+    row_count: int | None = None,
+) -> pa.Array:
     """Decode a chunk blob.  `path` selects a struct subtree (ReadPartial
     analog, reader/reader.go:225-289): sibling fields are skipped by length
-    prefix without decompression."""
+    prefix without decompression.  `row_offset`/`row_count` select a row
+    range (the within-chunk half of SkipRows, reader/columnbuffer.go:158-230):
+    PLAIN fixed-width null-free chunks slice the payload bytes directly and
+    never build the skipped values; other codecs decode and slice (delta/RLE
+    streams are sequential by construction — same as the reference, which
+    decodes pages it skips through)."""
     assert blob[:4] == MAGIC, "bad chunk magic"
     mlen, pos = read_uvarint(blob, 4)
     meta = json.loads(blob[pos : pos + mlen])
     pos += mlen
+    n_rows = meta["n"]
+    if row_count is None and row_offset == 0:
+        sel = None
+    else:
+        cnt = n_rows - row_offset if row_count is None else row_count
+        sel = (max(row_offset, 0), max(min(cnt, n_rows - row_offset), 0))
     if meta["codec"] == "struct":
-        return _decode_struct_chunk(meta, blob, pos, path=path)
+        out = _decode_struct_chunk(meta, blob, pos, path=path)
+        return out.slice(*sel) if sel else out
     if path:
         raise TypeError(f"path projection requires a struct chunk, got {meta['codec']}")
     if meta["codec"] == "map":
-        return _decode_map_chunk(meta, blob, pos)
+        out = _decode_map_chunk(meta, blob, pos)
+        return out.slice(*sel) if sel else out
     if meta["codec"] == "list":
-        return _decode_list_chunk(meta, blob, pos)
+        out = _decode_list_chunk(meta, blob, pos)
+        return out.slice(*sel) if sel else out
+    if (
+        sel
+        and meta["codec"] == "plain"
+        and meta["nulls"] == 0
+        and meta["outer"] == "none"
+        and meta.get("logical") is None
+        and meta["type"] in _FIXED_WIDTH
+    ):
+        # true row skip: slice payload bytes, decode only the selected range
+        body = blob[pos:]
+        llen, bpos = read_uvarint(body, 0)
+        w = _FIXED_WIDTH[meta["type"]]
+        off, cnt = sel
+        payload = body[bpos + llen + off * w : bpos + llen + (off + cnt) * w]
+        sub_meta = dict(meta, n=cnt, nulls=0, rows=cnt)
+        typ = _chunk_type(sub_meta)
+        return codecs.decode(payload, sub_meta, _value_type(typ))
     body = _outer_decompress(blob[pos:], meta["outer"], meta["raw_body"])
     llen, bpos = read_uvarint(body, 0)
     levels_buf = body[bpos : bpos + llen]
@@ -525,7 +567,7 @@ def decode_column_chunk(blob: bytes, path: list[str] | None = None) -> pa.Array:
         out = values
     if meta["logical"] is not None:
         out = out.view(_parse_t(meta["logical"]))
-    return out
+    return out.slice(*sel) if sel else out
 
 
 def _chunk_type(meta: dict) -> pa.DataType:

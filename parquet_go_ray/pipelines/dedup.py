@@ -37,6 +37,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..sources.io import read_parquet_any as _read_parquet_any
+
 MERSENNE = (1 << 61) - 1
 K_HASHES = 64
 BANDS = 16
@@ -46,7 +48,7 @@ DEFAULT_PARTS = 16  # join/distinct fan-out; size ~= cluster cores at scale
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return _read_parquet_any(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -906,7 +908,7 @@ def dedup_embedding(
     O(size²) work — is controlled by `planes`, which should grow ~log2(n) at
     scale.  Candidate pairs carry only ids; embeddings are hash-joined back
     for the vectorized cosine verification."""
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_parquet_any(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     total_bits = planes * n_bands
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -987,7 +989,7 @@ def embedding_pairs_exhaustive(
     """ALL-pairs cosine on the vec_id < max_vec_id subset (a, b, cosine) —
     the fully-oracled cosine kernel check (LSH-free)."""
     pdf = (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        _read_parquet_any(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .filter(expr=f"vec_id < {max_vec_id}")
         .to_pandas()
         .sort_values("vec_id")

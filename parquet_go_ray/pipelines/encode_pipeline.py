@@ -32,6 +32,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..sources.io import read_parquet_any as _read_parquet_any
+
 from ..config import DEFAULT, EngineConfig
 from ..stages.encode import encode_table
 from ..state import lineage as lin
@@ -237,4 +239,4 @@ def decode_partitions(out_dir: str, parts: list[int] | None = None) -> rd.Datase
     if parts is None:
         parts = sorted(lin.done_parts(out_dir))
     files = [os.path.join(lin.part_dir(out_dir, p), "chunks.parquet") for p in parts]
-    return rd.read_parquet(files)
+    return _read_parquet_any(files)

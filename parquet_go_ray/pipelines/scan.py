@@ -129,3 +129,68 @@ def count_pruned(chunks: rd.Dataset, column: str, predicate: tuple[str, object])
             else:
                 pruned += 1
     return {"pruned": pruned, "decoded": decoded}
+
+
+def skip_read(
+    chunks: rd.Dataset, column: str, row_offset: int, row_count: int
+) -> pa.Table:
+    """SkipRows analog (reference: reader/reader.go:178-222 +
+    reader/columnbuffer.go:158-230): return rows [row_offset,
+    row_offset+row_count) of `column` in chunk order.
+
+    Two passes: a metadata pass (no blobs leave the workers) builds the
+    cumulative row index and picks the overlapping chunks; the decode pass
+    touches ONLY those chunks and decodes ONLY the in-chunk row range
+    (byte-sliced for PLAIN fixed-width).  Whole chunks before the offset are
+    skipped without decompression."""
+    import ray.data as _rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        meta_pdf = (
+            chunks.select_columns(["chunk_id", "column", "rows"])
+            .filter(expr=f"column == '{column}'")
+            .to_pandas()  # chunk COUNT rows, not data rows: tiny
+        )
+        import numpy as _np
+
+        ns = meta_pdf["rows"].to_numpy()
+        starts = _np.concatenate(([0], _np.cumsum(ns)[:-1]))
+        lo, hi = row_offset, row_offset + row_count
+        wanted = {}
+        for cid, st, n in zip(meta_pdf["chunk_id"], starts, ns):
+            a, b = max(lo, st), min(hi, st + n)
+            if a < b:
+                wanted[cid] = (int(a - st), int(b - a))
+
+        def fn(batch: pa.Table) -> pa.Table:
+            outs = []
+            for i in range(batch.num_rows):
+                if batch["column"][i].as_py() != column:
+                    continue
+                cid = batch["chunk_id"][i].as_py()
+                if cid not in wanted:
+                    continue
+                off, cnt = wanted[cid]
+                arr = decode_column_chunk(batch["blob"][i].as_py(), row_offset=off, row_count=cnt)
+                outs.append(pa.table({column: arr}))
+            if not outs:
+                # typed empty so block schemas stay consistent
+                return pa.table({column: pa.array([], pa.null())}).cast(
+                    pa.schema([(column, pa.null())])
+                )
+            return pa.concat_tables(outs)
+
+        parts = [
+            b
+            for b in chunks.map_batches(fn, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+        return pa.concat_tables(parts) if parts else pa.table({column: []})
+    finally:
+        ctx.execution_options.preserve_order = old

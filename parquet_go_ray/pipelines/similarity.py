@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..sources.io import read_parquet_any as _read_parquet_any
+
 
 def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = np.asarray(batch["vec_id"])
@@ -59,7 +61,7 @@ class _BatchTopK:
 
 
 def load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    qds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qds = _read_parquet_any(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qpdf = (
         qds.filter(expr=f"vec_id < {n_queries}")
         .to_pandas()
@@ -73,7 +75,7 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 16) -> pd.DataFram
     tie-break (cosine desc, vec_id asc)."""
     queries = load_queries(sf_dir, n_queries)
     ref = ray.put(queries)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_parquet_any(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     cands = ds.map_batches(
         _BatchTopK,
         fn_constructor_args=(ref, k),
@@ -99,7 +101,7 @@ def knn_ivf(
     Qn = _normalize(Q)
 
     # deterministic centroids: strided sample of the table
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_parquet_any(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     n_total = ds.count()
     step = max(n_total // n_centroids, 1)
     cent_pdf = (

@@ -13,6 +13,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..sources.io import read_parquet_any as _read_parquet_any
+
 # tiny marker-word profiles (n-gram heuristic langid); the synthetic corpus is
 # English-ish word soup, real profiles would be char-trigram tables
 LANG_MARKERS = {
@@ -79,7 +81,7 @@ def lang_id_oracle_sql() -> str:
 
 
 def lang_id(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
 
 
@@ -110,7 +112,7 @@ class QualityScore:
 
 
 def text_quality(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(QualityScore, batch_format="pandas", concurrency=(1, 4))
 
 
@@ -138,7 +140,7 @@ class TokenCount:
 
 
 def token_count(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(TokenCount, batch_format="pandas", concurrency=(1, 4))
 
 
@@ -201,5 +203,5 @@ def fingerprint(sf_dir: str, k: int = 7, window: int = 4) -> rd.Dataset:
             }
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import ray.data as rd
 
+from ..sources.io import read_parquet_any as _read_parquet_any
+
 from ..config import DEFAULT, EngineConfig
 from ..stages.encode import reassemble_chunk
 from .encode_pipeline import decode_partitions, encode_partitioned
@@ -14,7 +16,7 @@ from .encode_pipeline import decode_partitions, encode_partitioned
 
 def parquet_to_chunks(src, out_dir: str, cfg: EngineConfig = DEFAULT, **kw) -> rd.Dataset:
     """read_parquet -> salted partitioned encode -> chunk checkpoints."""
-    return encode_partitioned(rd.read_parquet(src), out_dir, cfg, **kw)
+    return encode_partitioned(_read_parquet_any(src), out_dir, cfg, **kw)
 
 
 def chunks_to_parquet(chunk_dir: str, dest: str, min_rows_per_file: int = 100_000) -> None:

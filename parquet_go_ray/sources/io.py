@@ -1,0 +1,45 @@
+"""Storage-pluggable parquet reads — the analog of the reference's swappable
+source backends (source/source.go:9-16: local/S3/HDFS/GCS/mem behind one
+interface).  Paths may be plain local paths or URIs; URIs resolve to a
+pyarrow FileSystem (s3://, gs://, hdfs://) with an fsspec bridge fallback for
+anything pyarrow doesn't speak natively (e.g. memory://)."""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+
+def resolve_filesystem(path: str):
+    """(filesystem, path-without-scheme) for a URI; (None, path) for local."""
+    if "://" not in path:
+        return None, path
+    if path.startswith("file://"):
+        return None, path[len("file://") :]
+    import pyarrow.fs as pafs
+
+    try:
+        return pafs.FileSystem.from_uri(path)
+    except Exception:  # pyarrow doesn't speak this scheme: fsspec bridge
+        import fsspec
+        from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+        fs, plain = fsspec.core.url_to_fs(path)
+        return PyFileSystem(FSSpecHandler(fs)), plain
+
+
+def read_parquet_any(paths, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
+    """ray.data.read_parquet over local paths OR remote URIs."""
+    if isinstance(paths, str):
+        fs, plain = resolve_filesystem(paths)
+        if fs is not None:
+            return rd.read_parquet(plain, filesystem=fs, columns=columns, **kwargs)
+        return rd.read_parquet(plain, columns=columns, **kwargs)
+    resolved = [resolve_filesystem(p) for p in paths]
+    fss = {id(r[0]) for r in resolved}
+    if len(fss) > 1:
+        raise ValueError("mixed filesystems in one read")
+    fs = resolved[0][0]
+    plain = [r[1] for r in resolved]
+    if fs is not None:
+        return rd.read_parquet(plain, filesystem=fs, columns=columns, **kwargs)
+    return rd.read_parquet(plain, columns=columns, **kwargs)

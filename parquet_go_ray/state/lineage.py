@@ -2,8 +2,7 @@
 
 The reference has no checkpointing (SURVEY §4); the north rule requires it.
 Layout (resumable-output pattern): one directory per partition, written
-atomically (tmp + rename), holding the partition's chunk table and a lineage
-record:
+atomically, holding the partition's chunk table and a lineage record:
 
     out_dir/
       part=00042/
@@ -12,7 +11,14 @@ record:
       _manifest.json         # driver-side roll-up after the run
 
 On resume, partitions with a lineage.json are skipped (their metrics are
-loaded from the checkpoint instead of recomputed)."""
+loaded from the checkpoint instead of recomputed).
+
+`out_dir` may be a local path or any fsspec URI (s3://, gs://, hdfs://,
+memory://, file://) — the storage-pluggability analog of the reference's
+source backends (source/source.go:9-16).  Atomicity: local paths use
+tmp-dir + rename; object stores have no atomic rename, so the completion
+MARKER (lineage.json) is written last — a partition without its marker is
+recomputed on resume, never half-read."""
 
 from __future__ import annotations
 
@@ -22,15 +28,40 @@ import shutil
 import tempfile
 
 
+def _is_uri(path: str) -> bool:
+    return "://" in path and not path.startswith("file://")
+
+
+def _fs(path):
+    import fsspec
+
+    return fsspec.core.url_to_fs(path)
+
+
 def part_dir(out_dir: str, part: int) -> str:
+    if _is_uri(out_dir):
+        return out_dir.rstrip("/") + f"/part={part:05d}"
     return os.path.join(out_dir, f"part={part:05d}")
 
 
 def is_done(out_dir: str, part: int) -> bool:
+    if _is_uri(out_dir):
+        fs, root = _fs(part_dir(out_dir, part))
+        return fs.exists(root + "/lineage.json")
     return os.path.exists(os.path.join(part_dir(out_dir, part), "lineage.json"))
 
 
 def done_parts(out_dir: str) -> set[int]:
+    if _is_uri(out_dir):
+        fs, root = _fs(out_dir)
+        if not fs.exists(root):
+            return set()
+        out = set()
+        for entry in fs.ls(root, detail=False):
+            name = entry.rstrip("/").rsplit("/", 1)[-1]
+            if name.startswith("part=") and fs.exists(entry.rstrip("/") + "/lineage.json"):
+                out.add(int(name.split("=")[1]))
+        return out
     if not os.path.isdir(out_dir):
         return set()
     out = set()
@@ -47,6 +78,18 @@ def write_partition(out_dir: str, part: int, chunk_table, lineage: dict) -> str:
     import pyarrow.parquet as pq
 
     final = part_dir(out_dir, part)
+    if _is_uri(out_dir):
+        fs, froot = _fs(final)
+        if fs.exists(froot + "/lineage.json"):  # idempotent retry
+            return final
+        fs.makedirs(froot, exist_ok=True)
+        with fs.open(froot + "/chunks.parquet", "wb") as f:
+            pq.write_table(chunk_table, f)
+        # marker LAST: presence == partition complete (object stores have no
+        # atomic directory rename)
+        with fs.open(froot + "/lineage.json", "w") as f:
+            f.write(json.dumps(lineage, indent=1))
+        return final
     os.makedirs(out_dir, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=f".part{part}-", dir=out_dir)
     try:
@@ -64,11 +107,20 @@ def write_partition(out_dir: str, part: int, chunk_table, lineage: dict) -> str:
 
 
 def read_lineage(out_dir: str, part: int) -> dict:
+    if _is_uri(out_dir):
+        fs, root = _fs(part_dir(out_dir, part))
+        with fs.open(root + "/lineage.json", "r") as f:
+            return json.load(f)
     with open(os.path.join(part_dir(out_dir, part), "lineage.json")) as f:
         return json.load(f)
 
 
 def write_manifest(out_dir: str, manifest: dict) -> None:
+    if _is_uri(out_dir):
+        fs, root = _fs(out_dir)
+        with fs.open(root + "/_manifest.json", "w") as f:
+            f.write(json.dumps(manifest, indent=1))
+        return
     tmp = os.path.join(out_dir, "_manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
