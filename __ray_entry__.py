@@ -225,6 +225,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     q["text_quality"] = text_quality
+
+    # -- multimodal stages over documents-backed media (stubbed decode,
+    # real vectorized plumbing; sha-derived outputs are SQL-reproducible) --
+    from parquet_go_ray.pipelines.multimodal import audio_frames_docs, image_features_docs
+
+    q["image_features_docs"] = image_features_docs
+    q["audio_frames_docs"] = audio_frames_docs
+
+    # -- INT96 legacy-timestamp round-trip (types/converter.go:94-112) --
+    def rt_int96(sf):
+        import pyarrow as _pa
+
+        import ray.data as rd
+
+        from parquet_go_ray.config import EngineConfig
+        from parquet_go_ray.functions.converters import (
+            int96_to_timestamp,
+            timestamp_to_int96,
+        )
+        from parquet_go_ray.pipelines.encode_pipeline import encode_dataset
+        from parquet_go_ray.stages.encode import reassemble_blocks
+
+        ds = rd.read_parquet(f"{sf}/events.parquet", columns=["event_id", "ts"])
+
+        def pack(b):
+            return _pa.table({"event_id": b["event_id"], "i96": timestamp_to_int96(b["ts"])})
+
+        chunks = encode_dataset(ds.map_batches(pack, batch_format="pyarrow"), EngineConfig())
+        out = chunks.map_batches(reassemble_blocks, batch_format="pyarrow", batch_size=None)
+
+        def unpack(b):
+            col = b["i96"]
+            if isinstance(col, _pa.ChunkedArray):
+                col = col.combine_chunks()
+            return _pa.table({"event_id": b["event_id"], "ts": int96_to_timestamp(col, "us")})
+
+        return out.map_batches(unpack, batch_format="pyarrow")
+
+    q["rt_int96_events"] = rt_int96
     q["token_count"] = token_count
     q["lang_id"] = lang_id
     q["fingerprint"] = fingerprint
@@ -261,6 +300,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM orders"
         ),
         "rt_map": "SELECT doc_id, lang, n_chars FROM documents",
+        "rt_int96_events": "SELECT event_id, ts FROM events",
+        "audio_frames_docs": (
+            "SELECT doc_id AS media_id, (doc_id % 3) = 2 AS is_audio, "
+            "CAST(CASE WHEN (doc_id % 3) = 2 AND LENGTH(text) > 0 THEN 16 ELSE 0 END "
+            "AS BIGINT) AS n_frames FROM documents"
+        ),
+        "image_features_docs": (
+            "SELECT doc_id AS media_id, (doc_id % 3) < 2 AS decoded_ok, "
+            "CASE WHEN (doc_id % 3) < 2 THEN sha256(text) ELSE '' END AS payload_sha "
+            "FROM documents"
+        ),
         "rt_embeddings": "SELECT vec_id, label, LEN(embedding) AS dim FROM embeddings",
         "scan_pruned_lineitem": "SELECT l_orderkey FROM lineitem WHERE l_orderkey >= 12000",
         "skip_rows_lineitem": (

@@ -96,9 +96,12 @@ def encode_table(table: pa.Table, cfg: EngineConfig = DEFAULT, part: int = 0) ->
                     continue
                 if best_ref is None or rrow["enc_bytes"] < best_ref["enc_bytes"]:
                     best_ref = rrow
+            forced = name in (cfg.per_column_codec or {})
             if best_ref is not None:
                 ref_bytes = best_ref["enc_bytes"]
-                if best_ref["enc_bytes"] < row["enc_bytes"]:
+                # the <=-reference guarantee applies to AUTO-selected codecs;
+                # an explicit per-column override is honored as-is
+                if not forced and best_ref["enc_bytes"] < row["enc_bytes"]:
                     row = best_ref
         rows["chunk_id"].append(chunk_id)
         rows["part"].append(part)
