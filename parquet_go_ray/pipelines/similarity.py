@@ -24,7 +24,11 @@ from ..sources.io import read_parquet_any as _read_parquet_any
 
 def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = np.asarray(batch["vec_id"])
-    emb = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # zero-copy flatten + reshape (uniform dim), no per-row object conversion
+    emb = np.asarray(col.flatten()).reshape(len(col), -1).astype(np.float64)
     return ids, emb
 
 
@@ -74,11 +78,13 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 16) -> pd.DataFram
     """Exact top-k cosine neighbors (self-match excluded); deterministic
     tie-break (cosine desc, vec_id asc)."""
     queries = load_queries(sf_dir, n_queries)
-    ref = ray.put(queries)
+    # small query set: ship by value in the actor ctor (no object-store ref —
+    # avoids Ray's actor-restart warning).  For a LARGE query matrix, switch
+    # to ray.put + ray.get inside __init__ (the class handles both forms).
     ds = _read_parquet_any(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     cands = ds.map_batches(
         _BatchTopK,
-        fn_constructor_args=(ref, k),
+        fn_constructor_args=(queries, k),
         batch_format="pyarrow",
         concurrency=(1, 8),
     ).to_pandas()

@@ -176,3 +176,18 @@ def test_fingerprint_vectorized_matches_naive(ray_session, tmp_path):
         )
         assert got.n_fingerprints[i] == len(mins)
         assert got.digest[i] == np.int64(dig.astype(np.int64))
+
+
+def test_knn_ivf_recall_vs_bruteforce(ray_session):
+    """IVF with nprobe=4/16 lists must keep high recall vs the exact oracle."""
+    from parquet_go_ray.pipelines.similarity import knn_bruteforce, knn_ivf
+
+    bf = knn_bruteforce(SF_DIR, k=10, n_queries=8)
+    ivf = knn_ivf(SF_DIR, k=10, n_queries=8)
+    hits = total = 0
+    for q in bf.query_id.unique():
+        exact = set(bf[bf.query_id == q].vec_id)
+        approx = set(ivf[ivf.query_id == q].vec_id)
+        hits += len(exact & approx)
+        total += len(exact)
+    assert hits / total >= 0.6, f"recall {hits/total:.2f}"
