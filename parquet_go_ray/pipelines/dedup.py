@@ -444,15 +444,42 @@ def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
 
 
 def minhash_candidate_pairs_ds(
-    sf_dir: str, sigs: rd.Dataset | None = None, parts: int = DEFAULT_PARTS
+    sf_dir: str,
+    sigs: rd.Dataset | None = None,
+    parts: int = DEFAULT_PARTS,
+    with_counts: bool = False,
 ) -> rd.Dataset:
     """Distinct candidate pairs (a < b) from LSH buckets, as a Dataset —
-    distinct runs as a hash-partitioned groupby, not a driver drop_duplicates."""
+    distinct runs as a hash-partitioned groupby, not a driver drop_duplicates.
+
+    with_counts=True keeps n_bands = how many of the 16 bands the pair
+    collided in — a FREE similarity estimate (E[n_bands] = BANDS * J^r), used
+    to prune candidates before any signature or text moves."""
     bands = minhash_bands(sf_dir, sigs=sigs)
     pairs = bands.groupby("band").map_groups(_band_pairs, batch_format="pandas")
-    return _distinct(pairs, ["a", "b"], parts).map_batches(
-        _conform(_PAIR_SCHEMA), batch_format="pyarrow"
+    if not with_counts:
+        return _distinct(pairs, ["a", "b"], parts).map_batches(
+            _conform(_PAIR_SCHEMA), batch_format="pyarrow"
+        )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = np.zeros(b.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in ("a", "b"):
+                h = h * np.uint64(0x9E3779B97F4A7C15) + np.asarray(b[c]).astype(np.uint64)
+        return b.append_column("__part", pa.array((h % np.uint64(parts)).astype(np.int64)))
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], sort=False).size().reset_index(name="n_bands")
+        return out
+
+    counted = (
+        pairs.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(count_pairs, batch_format="pandas")
     )
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("n_bands", pa.int64())])
+    return counted.map_batches(_conform(schema), batch_format="pyarrow")
 
 
 def minhash_candidate_pairs(sf_dir: str) -> pd.DataFrame:
@@ -661,16 +688,28 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, parts: int = DEFAULT_PART
     Datasets.  The only materialized intermediates are the signature table
     (~0.5% of corpus bytes, reused twice) and the verified pair list."""
     sigs = minhash_signatures(sf_dir).materialize()
-    cand = minhash_candidate_pairs_ds(sf_dir, sigs=sigs, parts=parts).materialize()
+    counted = minhash_candidate_pairs_ds(
+        sf_dir, sigs=sigs, parts=parts, with_counts=True
+    )
+    # band-collision prefilter, FREE (no extra shuffle): E[n_bands] =
+    # BANDS * J^ROWS_PER_BAND, so requiring est-J >= threshold - 0.25 maps to
+    # a minimum collision count; random one-band coincidences die here
+    min_bands = max(1, int(np.ceil(BANDS * max(threshold - 0.25, 0.0) ** ROWS_PER_BAND)))
+    cand = counted.filter(expr=f"n_bands >= {min_bands}").select_columns(["a", "b"]).materialize()
     docs = _docs(sf_dir, ["doc_id"])
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return docs.map_batches(
             lambda b: pa.table({"doc_id": b["doc_id"], "cluster": b["doc_id"]}),
             batch_format="pyarrow",
         ).sort("doc_id")
-    pre = _attach_pair_values(cand, sigs, "sig", parts).map_batches(
-        _sig_prefilter(threshold), batch_format="pyarrow"
-    )
+    if n_cand > 500_000:
+        # residual signature prefilter for very large surviving sets
+        pre = _attach_pair_values(cand, sigs, "sig", parts).map_batches(
+            _sig_prefilter(threshold), batch_format="pyarrow"
+        )
+    else:
+        pre = cand
     texts = _docs(sf_dir, ["doc_id", "text"])
     verified = _attach_pair_values(pre, texts, "text", parts, value_type=pa.string()).map_batches(
         _verify_jaccard(threshold), batch_format="pyarrow"

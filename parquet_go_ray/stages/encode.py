@@ -86,10 +86,18 @@ def encode_table(table: pa.Table, cfg: EngineConfig = DEFAULT, part: int = 0) ->
             # candidates are cheap (snappy ~GB/s, arrow dict encode is C++)
             best_ref = None
             for rcodec, router in REFERENCE_POLICY:
-                # under global planning stats is {} -> don't skip the dict_rle
-                # floor candidate blindly; only skip when cardinality is KNOWN high
-                if rcodec == "dict_rle" and stats.get("card_ratio", 0.0) > 0.9:
-                    continue
+                if rcodec == "dict_rle":
+                    # skip the dict floor trial for high-cardinality columns;
+                    # under global planning stats is {} -> measure cheaply on
+                    # a slice instead of always paying a full dict encode
+                    cr = stats.get("card_ratio")
+                    if cr is None:
+                        import pyarrow.compute as pc
+
+                        sample = values.slice(0, min(len(values), 2048))
+                        cr = pc.count_distinct(sample).as_py() / max(len(sample), 1)
+                    if cr > 0.9:
+                        continue
                 try:
                     rrow = encode_column_chunk(col, rcodec, router, cfg)
                 except Exception:
