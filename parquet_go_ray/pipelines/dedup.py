@@ -687,10 +687,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, parts: int = DEFAULT_PART
     joined in, and clustering is iterated min-label propagation over
     Datasets.  The only materialized intermediates are the signature table
     (~0.5% of corpus bytes, reused twice) and the verified pair list."""
-    sigs = minhash_signatures(sf_dir).materialize()
-    counted = minhash_candidate_pairs_ds(
-        sf_dir, sigs=sigs, parts=parts, with_counts=True
-    )
+    counted = minhash_candidate_pairs_ds(sf_dir, parts=parts, with_counts=True)
     # band-collision prefilter, FREE (no extra shuffle): E[n_bands] =
     # BANDS * J^ROWS_PER_BAND, so requiring est-J >= threshold - 0.25 maps to
     # a minimum collision count; random one-band coincidences die here
@@ -704,7 +701,9 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, parts: int = DEFAULT_PART
             batch_format="pyarrow",
         ).sort("doc_id")
     if n_cand > 500_000:
-        # residual signature prefilter for very large surviving sets
+        # residual signature prefilter for very large surviving sets — only
+        # now is the signature table worth materializing
+        sigs = minhash_signatures(sf_dir).materialize()
         pre = _attach_pair_values(cand, sigs, "sig", parts).map_batches(
             _sig_prefilter(threshold), batch_format="pyarrow"
         )
