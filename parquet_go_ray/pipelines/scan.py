@@ -143,12 +143,17 @@ def skip_read(
     touches ONLY those chunks and decodes ONLY the in-chunk row range
     (byte-sliced for PLAIN fixed-width).  Whole chunks before the offset are
     skipped without decompression."""
-    import ray.data as _rd
     from ray.data import DataContext
 
+    # a Dataset snapshots its DataContext at creation: the global flag alone
+    # does NOT affect `chunks` — set preserve_order on BOTH so the metadata
+    # pass and the decode pass walk blocks in the same (file) order
     ctx = DataContext.get_current()
     old = ctx.execution_options.preserve_order
+    ds_ctx = chunks.context
+    ds_old = ds_ctx.execution_options.preserve_order
     ctx.execution_options.preserve_order = True
+    ds_ctx.execution_options.preserve_order = True
     try:
         meta_pdf = (
             chunks.select_columns(["chunk_id", "column", "rows"])
@@ -194,3 +199,4 @@ def skip_read(
         return pa.concat_tables(parts) if parts else pa.table({column: []})
     finally:
         ctx.execution_options.preserve_order = old
+        ds_ctx.execution_options.preserve_order = ds_old

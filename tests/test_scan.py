@@ -52,3 +52,35 @@ def test_truncated_max_never_prunes():
     assert _chunk_may_match(meta, "<=", "b" * 100)
     # and pruning where truly no value can match is still allowed
     assert not _chunk_may_match(meta, "<", "a")
+
+
+def test_skip_read_row_ranges(ray_session, tmp_path):
+    """skip_read returns exactly rows [offset, offset+count) in chunk order,
+    decoding only overlapping chunks (whole skipped chunks stay compressed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from parquet_go_ray.config import EngineConfig
+    from parquet_go_ray.pipelines.encode_pipeline import encode_dataset
+    from parquet_go_ray.pipelines.scan import skip_read
+
+    from parquet_go_ray.chunk import decode_column_chunk
+
+    n = 10_000
+    vals = pa.table({"v": pa.array(range(n), pa.int64())})
+    f = tmp_path / "t.parquet"
+    pq.write_table(vals, f)
+    ds = rd.read_parquet(str(f))
+    chunks = encode_dataset(ds, EngineConfig(batch_size_rows=1024)).materialize()
+    # the contract: skip_read(off, cnt) == full decode in the SAME dataset
+    # chunk order, sliced — a materialized dataset's order is baked, so the
+    # reference sequence is built by walking it identically
+    full = []
+    for b in chunks.iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            full.extend(decode_column_chunk(b["blob"][i].as_py()).to_pylist())
+    for off, cnt in [(0, 5), (1024, 10), (5000, 2048), (9995, 100), (0, n)]:
+        out = skip_read(chunks, "v", off, cnt)
+        assert out["v"].to_pylist() == full[off : off + cnt], (off, cnt)
+    assert skip_read(chunks, "v", n + 5, 10).num_rows == 0
