@@ -179,11 +179,22 @@ def run_bench() -> dict:
     except ImportError:
         pass
     try:
-        from parquet_go_ray.pipelines.textstats import text_quality
+        from parquet_go_ray.pipelines.textstats import lang_id, text_quality
 
         t0 = time.time()
         text_quality(SF_DIR).count()
         queries["text_quality"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        lang_id(SF_DIR).count()
+        queries["lang_id"] = round(time.time() - t0, 3)
+    except ImportError:
+        pass
+    try:
+        from parquet_go_ray.functions.windows import tumbling_window_agg
+
+        t0 = time.time()
+        tumbling_window_agg(SF_DIR).count()
+        queries["window_tumbling"] = round(time.time() - t0, 3)
     except ImportError:
         pass
 
