@@ -172,6 +172,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["window_tumbling_events"] = lambda sf: tumbling_window_agg(sf, window_sec=900)
     q["window_sessions_events"] = lambda sf: session_windows(sf, gap_sec=1800)
 
+    from parquet_go_ray.functions.windows import hopping_window_agg
+
+    q["window_hopping_events"] = lambda sf: hopping_window_agg(sf, 1800, 600)
+
+    # relational wide-ops (absent in the reference, SURVEY §2.7)
+    from parquet_go_ray.functions.relational import grouped_agg, top_k
+
+    q["topk_lineitem_price"] = lambda sf: top_k(sf, "lineitem", "l_extendedprice", k=100)
+    q["agg_orders_by_status"] = lambda sf: grouped_agg(sf, "orders", "o_orderstatus", "o_totalprice")
+
     # -- sizetool analog (§2.1), rows-only check --
     q["sizetool_documents"] = lambda sf: encode_stats(sf, "documents")
 
@@ -319,6 +329,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "window_tumbling_events": _windows.tumbling_oracle_sql(900),
         "window_sessions_events": _windows.sessions_oracle_sql(1800),
+        "window_hopping_events": _windows.hopping_oracle_sql(1800, 600),
+        "topk_lineitem_price": (
+            "SELECT l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC LIMIT 100"
+        ),
+        "agg_orders_by_status": (
+            "SELECT o_orderstatus, COUNT(*) AS n, MIN(o_totalprice) AS min_v, "
+            "MAX(o_totalprice) AS max_v FROM orders GROUP BY 1"
+        ),
         "stats_lineitem": stats_oracle_sql(
             "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),

@@ -17,6 +17,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..sources.io import read_parquet_any as _read_parquet_any
+
 FOLD_PARTS = 16
 
 
@@ -58,7 +60,7 @@ def tumbling_window_agg(sf_dir: str, window_sec: int = 900) -> rd.Dataset:
         )
         return out
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = _read_parquet_any(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("__part").map_groups(fold, batch_format="pandas")
 
@@ -111,7 +113,7 @@ def session_windows(sf_dir: str, gap_sec: int = 1800) -> rd.Dataset:
             }
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).map_batches(
+    ds = _read_parquet_any(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).map_batches(
         add_part, batch_format="pyarrow"
     )
     return ds.groupby("__part").map_groups(sessions, batch_format="pandas")
@@ -139,3 +141,58 @@ def sessions_oracle_sql(gap_sec: int = 1800) -> str:
         "SELECT user_id, MIN(ts) AS session_start_us, MAX(ts) AS session_end_us, "
         "CAST(COUNT(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, sid"
     )
+
+
+def hopping_window_agg(sf_dir: str, window_sec: int = 1800, hop_sec: int = 600) -> rd.Dataset:
+    """(window, event_type) -> count/min/max over HOPPING windows (window
+    covers [w*hop, w*hop + window)); each event replicates into
+    window_sec/hop_sec windows vectorized (np.repeat), then the same
+    partial-agg + partitioned fold as tumbling."""
+    assert window_sec % hop_sec == 0, "window must be a multiple of hop"
+    nwin = window_sec // hop_sec
+    hop_us = hop_sec * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        last = ts // hop_us  # newest window containing the event
+        w = np.repeat(last, nwin) - np.tile(np.arange(nwin, dtype=np.int64), len(ts))
+        pdf = pd.DataFrame(
+            {
+                "w": w,
+                "event_type": batch["event_type"].to_pandas().repeat(nwin).to_numpy(),
+                "value": batch["value"].to_pandas().repeat(nwin).to_numpy(),
+            }
+        )
+        agg = (
+            pdf.groupby(["w", "event_type"], sort=False)
+            .agg(n=("value", "size"), min_v=("value", "min"), max_v=("value", "max"))
+            .reset_index()
+        )
+        part = (
+            pd.util.hash_pandas_object(agg[["w", "event_type"]], index=False).to_numpy()
+            % FOLD_PARTS
+        )
+        agg["__part"] = part.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["w", "event_type"], sort=False)
+            .agg(n=("n", "sum"), min_v=("min_v", "min"), max_v=("max_v", "max"))
+            .reset_index()
+        )
+
+    ds = _read_parquet_any(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("__part").map_groups(
+        fold, batch_format="pandas"
+    )
+
+
+def hopping_oracle_sql(window_sec: int = 1800, hop_sec: int = 600) -> str:
+    nwin = window_sec // hop_sec
+    hop_us = hop_sec * 1_000_000
+    return (
+        "SELECT w, event_type, COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v "
+        "FROM (SELECT CAST(FLOOR(EPOCH_US(ts) / {h}) AS BIGINT) - unnest(range({n})) AS w, "
+        "event_type, value FROM events) GROUP BY 1, 2"
+    ).format(h=hop_us, n=nwin)
