@@ -727,14 +727,26 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, parts: int = DEFAUL
     (a, b, jaccard).  Candidates come from the MinHash-LSH buckets; the exact
     set comparison runs vectorized over distributed pair blocks with texts
     hash-joined in — the standalone n-gram-Jaccard operator."""
-    cand = minhash_candidate_pairs_ds(sf_dir, parts=parts).materialize()
-    if cand.count() == 0:
+    counted = minhash_candidate_pairs_ds(sf_dir, parts=parts, with_counts=True)
+    min_bands = max(1, int(np.ceil(BANDS * max(threshold - 0.25, 0.0) ** ROWS_PER_BAND)))
+    cand = (
+        counted.filter(expr=f"n_bands >= {min_bands}").select_columns(["a", "b"]).materialize()
+    )
+    n_cand = cand.count()
+    if n_cand == 0:
         return pd.DataFrame(
             {
                 "a": pd.Series(dtype=np.int64),
                 "b": pd.Series(dtype=np.int64),
                 "jaccard": pd.Series(dtype=np.float64),
             }
+        )
+    if n_cand > 500_000:
+        # low thresholds defeat the band-count cut; estimate from signatures
+        # before moving candidate texts
+        sigs = minhash_signatures(sf_dir).materialize()
+        cand = _attach_pair_values(cand, sigs, "sig", parts).map_batches(
+            _sig_prefilter(threshold), batch_format="pyarrow"
         )
     texts = _docs(sf_dir, ["doc_id", "text"])
     pairs = _attach_pair_values(cand, texts, "text", parts, value_type=pa.string()).map_batches(
