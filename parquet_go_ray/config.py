@@ -31,7 +31,11 @@ class EngineConfig:
     batch_size_rows: int = 8192      # rows per encode batch (chunk granularity;
                                      # sized so a chunk stays cache-resident)
     target_chunk_bytes: int = 64 << 20
-    salt_buckets: int = 8            # giant-repo salting fan-out
+    salt_buckets: int | None = None  # repo salting fan-out; None = full spread
+                                     # (= partitions): near-uniform partition
+                                     # load (measured -31%% wall for ~2%% ratio
+                                     # on the code corpus); set small to favor
+                                     # repo locality over balance
     partitions: int | None = None    # override output partition count
     sort_within_partition: bool = True  # sort by (repo, path) to help delta_ba
     # verification
