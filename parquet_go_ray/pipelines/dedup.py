@@ -523,12 +523,103 @@ def _verify_jaccard(threshold: float, keep_score: bool = False):
     return fn
 
 
+
+
+def _broadcast_pair_verify(
+    pairs_pdf: pd.DataFrame,
+    values: rd.Dataset,
+    col: str,
+    reduce_fn,
+    parts: int = DEFAULT_PARTS,
+):
+    """Verify candidate pairs against a big value table with ONE pass over
+    the values and ONE shuffle: the (small, output-sized) pair list is
+    broadcast via ray.put; each value batch emits (pair_idx, side, value)
+    rows only for docs that appear in some pair; pair partitions reunite both
+    sides and run `reduce_fn(merged_df) -> verified pairs df` vectorized.
+
+    Replaces two union+groupby hash joins with a single exchange whose
+    payload is exactly the values the pairs need."""
+    import ray
+
+    a = pairs_pdf["a"].to_numpy(np.int64)
+    b = pairs_pdf["b"].to_numpy(np.int64)
+    oa, ob = np.argsort(a, kind="stable"), np.argsort(b, kind="stable")
+    ref = ray.put((a, b, a[oa], oa.astype(np.int64), b[ob], ob.astype(np.int64)))
+
+    class Emit:
+        def __init__(self, ref):
+            self.a, self.b, self.sa, self.ia, self.sb, self.ib = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc = np.asarray(batch["doc_id"], np.int64)
+            vals = batch[col]
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            pid_all, side_all, row_all = [], [], []
+            for side, (skeys, sidx) in enumerate(
+                ((self.sa, self.ia), (self.sb, self.ib))
+            ):
+                lo = np.searchsorted(skeys, doc, "left")
+                hi = np.searchsorted(skeys, doc, "right")
+                counts = hi - lo
+                nz = np.flatnonzero(counts)
+                if not len(nz):
+                    continue
+                reps = counts[nz]
+                total = int(reps.sum())
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(reps) - reps, reps
+                )
+                pos = np.repeat(lo[nz], reps) + within
+                pid_all.append(sidx[pos])
+                side_all.append(np.full(total, side, dtype=np.int8))
+                row_all.append(np.repeat(nz, reps))
+            if not pid_all:
+                return pa.table(
+                    {
+                        "pid": pa.array([], pa.int64()),
+                        "side": pa.array([], pa.int8()),
+                        "val": pa.array([], vals.type),
+                        "__part": pa.array([], pa.int64()),
+                    }
+                )
+            pid = np.concatenate(pid_all)
+            return pa.table(
+                {
+                    "pid": pa.array(pid),
+                    "side": pa.array(np.concatenate(side_all)),
+                    "val": vals.take(pa.array(np.concatenate(row_all))),
+                    "__part": pa.array(pid % np.int64(parts)),
+                }
+            )
+
+    emitted = values.map_batches(
+        Emit, batch_format="pyarrow", concurrency=(1, 8), fn_constructor_kwargs={"ref": ref}
+    )
+
+    def reunite(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        a_arr, b_arr = _ray.get(ref)[:2]
+        ga = g[g.side == 0][["pid", "val"]]
+        gb = g[g.side == 1][["pid", "val"]]
+        m = ga.merge(gb, on="pid", suffixes=("_a", "_b"))
+        if not len(m):
+            return reduce_fn(m.assign(a=[], b=[]))
+        m = m.assign(a=a_arr[m.pid.to_numpy()], b=b_arr[m.pid.to_numpy()])
+        return reduce_fn(m)
+
+    return emitted.groupby("__part").map_groups(reunite, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # min-label connected components as iterated Dataset passes
 # ---------------------------------------------------------------------------
 
 
 _SMALL_EDGE_LIMIT = 2_000_000
+_VERIFY_BROADCAST_LIMIT = 2_000_000  # pairs <= this: broadcast-verify path
 
 
 def _uf_labels(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -704,15 +795,29 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, parts: int = DEFAULT_PART
         # residual signature prefilter for very large surviving sets — only
         # now is the signature table worth materializing
         sigs = minhash_signatures(sf_dir).materialize()
-        pre = _attach_pair_values(cand, sigs, "sig", parts).map_batches(
+        cand = _attach_pair_values(cand, sigs, "sig", parts).map_batches(
             _sig_prefilter(threshold), batch_format="pyarrow"
-        )
-    else:
-        pre = cand
+        ).materialize()
+        n_cand = cand.count()
     texts = _docs(sf_dir, ["doc_id", "text"])
-    verified = _attach_pair_values(pre, texts, "text", parts, value_type=pa.string()).map_batches(
-        _verify_jaccard(threshold), batch_format="pyarrow"
-    ).materialize()
+    if n_cand <= _VERIFY_BROADCAST_LIMIT:
+        # broadcast the pair list; one pass over texts + one shuffle
+        def keep_pairs(m: pd.DataFrame) -> pd.DataFrame:
+            if not len(m):
+                return pd.DataFrame(
+                    {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+                )
+            j = jaccard_batch(m.val_a.tolist(), m.val_b.tolist())
+            keep = j >= threshold
+            return pd.DataFrame({"a": m.a.to_numpy()[keep], "b": m.b.to_numpy()[keep]})
+
+        verified = _broadcast_pair_verify(
+            cand.to_pandas(), texts, "text", keep_pairs, parts
+        ).materialize()
+    else:
+        verified = _attach_pair_values(
+            cand, texts, "text", parts, value_type=pa.string()
+        ).map_batches(_verify_jaccard(threshold), batch_format="pyarrow").materialize()
     if verified.count() == 0:
         return docs.map_batches(
             lambda b: pa.table({"doc_id": b["doc_id"], "cluster": b["doc_id"]}),
@@ -747,11 +852,34 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, parts: int = DEFAUL
         sigs = minhash_signatures(sf_dir).materialize()
         cand = _attach_pair_values(cand, sigs, "sig", parts).map_batches(
             _sig_prefilter(threshold), batch_format="pyarrow"
-        )
+        ).materialize()
+        n_cand = cand.count()
     texts = _docs(sf_dir, ["doc_id", "text"])
-    pairs = _attach_pair_values(cand, texts, "text", parts, value_type=pa.string()).map_batches(
-        _verify_jaccard(threshold, keep_score=True), batch_format="pyarrow"
-    )
+    if n_cand <= _VERIFY_BROADCAST_LIMIT:
+        def score_pairs(m: pd.DataFrame) -> pd.DataFrame:
+            if not len(m):
+                return pd.DataFrame(
+                    {
+                        "a": pd.Series(dtype=np.int64),
+                        "b": pd.Series(dtype=np.int64),
+                        "jaccard": pd.Series(dtype=np.float64),
+                    }
+                )
+            j = jaccard_batch(m.val_a.tolist(), m.val_b.tolist())
+            keep = j >= threshold
+            return pd.DataFrame(
+                {
+                    "a": m.a.to_numpy()[keep],
+                    "b": m.b.to_numpy()[keep],
+                    "jaccard": np.round(j[keep], 6),
+                }
+            )
+
+        pairs = _broadcast_pair_verify(cand.to_pandas(), texts, "text", score_pairs, parts)
+    else:
+        pairs = _attach_pair_values(
+            cand, texts, "text", parts, value_type=pa.string()
+        ).map_batches(_verify_jaccard(threshold, keep_score=True), batch_format="pyarrow")
     pdf = pairs.to_pandas()  # output-sized: verified pairs only
     return pdf.sort_values(["a", "b"]).reset_index(drop=True)
 
