@@ -1121,13 +1121,32 @@ def dedup_embedding(
             "cosine": pd.Series(dtype=np.float64),
         }
     )
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return empty
+
     def pack(b: pa.Table) -> pa.Table:
         mat = _list_np(b["embedding"]).astype(np.float32)
         return pa.table({"doc_id": b["vec_id"], "embedding": _pack_rows(mat)})
 
     vals = ds.map_batches(pack, batch_format="pyarrow")
+
+    def cos_pairs(m: pd.DataFrame) -> pd.DataFrame:
+        if not len(m):
+            return empty
+        ea = np.frombuffer(b"".join(m.val_a), dtype=np.float32).reshape(len(m), -1).astype(np.float64)
+        eb = np.frombuffer(b"".join(m.val_b), dtype=np.float32).reshape(len(m), -1).astype(np.float64)
+        na = ea / np.maximum(np.linalg.norm(ea, axis=1, keepdims=True), 1e-12)
+        nb = eb / np.maximum(np.linalg.norm(eb, axis=1, keepdims=True), 1e-12)
+        cos = (na * nb).sum(axis=1)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "a": m.a.to_numpy()[keep],
+                "b": m.b.to_numpy()[keep],
+                "cosine": np.round(cos[keep], 6),
+            }
+        )
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -1152,9 +1171,12 @@ def dedup_embedding(
             }
         )
 
-    out = _attach_pair_values(cand, vals, "embedding", parts).map_batches(
-        verify, batch_format="pyarrow"
-    )
+    if n_cand <= _VERIFY_BROADCAST_LIMIT:
+        out = _broadcast_pair_verify(cand.to_pandas(), vals, "embedding", cos_pairs, parts)
+    else:
+        out = _attach_pair_values(cand, vals, "embedding", parts).map_batches(
+            verify, batch_format="pyarrow"
+        )
     pdf = out.to_pandas()  # output-sized
     if not len(pdf):
         return empty
