@@ -225,11 +225,13 @@ def run_scaling() -> dict:
 
     lo_n, hi_n = 8, 32
     # this host's memory subsystem throughput swings 2-4x between runs
-    # (shared hypervisor); the headline itself is best-of-2 inside each
-    # subprocess, one subprocess per level
+    # (shared hypervisor); the headline is best-of-2 inside each subprocess
+    # AND levels alternate across 2 subprocesses each, keeping the per-level
+    # minimum — one slow host phase can then hit at most one sample per level
     runs = {lo_n: [], hi_n: []}
-    for n in (lo_n, hi_n):
-        runs[n].append(one(n))
+    for _ in range(2):
+        for n in (lo_n, hi_n):
+            runs[n].append(one(n))
     lo = min(runs[lo_n], key=lambda d: d["value"])
     hi = min(runs[hi_n], key=lambda d: d["value"])
     t_lo, t_hi = lo["value"], hi["value"]
