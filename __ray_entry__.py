@@ -176,6 +176,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["window_hopping_events"] = lambda sf: hopping_window_agg(sf, 1800, 600)
 
+    # stateful streaming with watermarks: with lateness >= the stream's
+    # disorder the closed+flushed windows equal the batch tumbling aggregate
+    # (oracled against the same SQL)
+    from parquet_go_ray.functions.streaming import streaming_tumbling
+
+    q["window_streaming_events"] = lambda sf: streaming_tumbling(sf, 900, lateness_sec=10**7)
+
     # relational wide-ops (absent in the reference, SURVEY §2.7)
     from parquet_go_ray.functions.relational import grouped_agg, top_k
 
@@ -330,6 +337,7 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling_events": _windows.tumbling_oracle_sql(900),
         "window_sessions_events": _windows.sessions_oracle_sql(1800),
         "window_hopping_events": _windows.hopping_oracle_sql(1800, 600),
+        "window_streaming_events": _windows.tumbling_oracle_sql(900),
         "topk_lineitem_price": (
             "SELECT l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC LIMIT 100"
         ),

@@ -36,3 +36,60 @@ def test_session_windows_gap(ray_session):
         g = g.sort_values("session_start_us")
         gaps = g.session_start_us.values[1:] - g.session_end_us.values[:-1]
         assert (gaps > 1800 * 1_000_000).all()
+
+
+def test_streaming_tumbling_equals_batch(ray_session):
+    """With lateness covering the disorder, the streaming aggregate must
+    equal the batch tumbling aggregate exactly."""
+    import pandas as pd
+
+    from parquet_go_ray.functions.streaming import streaming_tumbling
+    from parquet_go_ray.functions.windows import tumbling_window_agg
+    from tests.conftest import SF_DIR
+
+    batch = (
+        tumbling_window_agg(SF_DIR, 900)
+        .to_pandas()
+        .sort_values(["w", "event_type"])
+        .reset_index(drop=True)
+    )
+    stream = (
+        streaming_tumbling(SF_DIR, 900, lateness_sec=10 ** 7)
+        .to_pandas()
+        .sort_values(["w", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        batch[["w", "event_type", "n", "min_v", "max_v"]],
+        stream[["w", "event_type", "n", "min_v", "max_v"]],
+        check_dtype=False,
+    )
+
+
+def test_streaming_watermark_drops_late_events():
+    """Events behind the watermark are dropped and counted."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_ray.functions.streaming import TumblingStreamAggregator
+
+    agg = TumblingStreamAggregator(window_sec=10, lateness_sec=5)
+    us = 1_000_000
+
+    def mk(ts_list):
+        return pa.table(
+            {
+                "ts": pa.array(np.array(ts_list) * us, pa.int64()),
+                "event_type": pa.array(["a"] * len(ts_list)),
+                "value": pa.array([1.0] * len(ts_list)),
+            }
+        )
+
+    closed = agg.feed(mk([0, 3, 12, 100]))  # watermark -> 95s
+    assert agg.late_dropped == 0
+    assert closed.num_rows >= 2  # windows [0,10) and [10,20) closed
+    agg.feed(mk([4]))  # 4s < watermark 95s -> dropped
+    assert agg.late_dropped == 1
+    tail = agg.flush()
+    total_n = closed["n"].to_pylist() + tail["n"].to_pylist()
+    assert sum(total_n) == 4  # the late event never counted
