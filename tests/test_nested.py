@@ -113,3 +113,34 @@ def test_struct_hypothesis(rows):
 def test_map_hypothesis(rows):
     arr = pa.array(rows, pa.map_(pa.string(), pa.int64()))
     _rt(arr)
+
+
+def test_map_with_struct_values():
+    t = pa.map_(pa.string(), pa.struct([("x", pa.int64()), ("y", pa.string())]))
+    arr = pa.array(
+        [
+            [("k1", {"x": 1, "y": "a"}), ("k2", {"x": None, "y": None})],
+            None,
+            [],
+            [("k3", None)],
+        ]
+        * 15,
+        t,
+    )
+    _rt(arr)
+
+
+def test_struct_with_map_field():
+    t = pa.struct([("m", pa.map_(pa.string(), pa.int64())), ("z", pa.int64())])
+    arr = pa.array(
+        [{"m": [("a", 1)], "z": 5}, None, {"m": None, "z": 6}, {"m": [], "z": None}] * 15, t
+    )
+    _rt(arr)
+
+
+def test_deep_nesting_list_of_map():
+    t = pa.list_(pa.map_(pa.string(), pa.list_(pa.int64())))
+    arr = pa.array(
+        [[[("a", [1, 2])], [("b", None)]], None, [], [None]] * 10, t
+    )
+    _rt(arr)
