@@ -49,6 +49,41 @@ def chunk_dir_size(out_dir: str) -> dict:
     return lin.collect_manifest(out_dir)
 
 
+def chunk_cat(out_dir: str, column: str, limit: int = 10, skip: int = 0) -> list:
+    """cat over an encoded chunk directory: decode rows [skip, skip+limit) of
+    `column` — whole chunks before the offset are skipped undecompressed
+    (SkipRows over OUR format, not parquet)."""
+    import pyarrow.parquet as pq
+
+    from .chunk import decode_column_chunk
+    from .state import lineage as lin
+
+    out = []
+    remaining_skip, remaining = skip, limit
+    for part in sorted(lin.done_parts(out_dir)):
+        t = pq.read_table(
+            f"{lin.part_dir(out_dir, part)}/chunks.parquet",
+            columns=["column", "rows", "blob"],
+        )
+        for i in range(t.num_rows):
+            if t["column"][i].as_py() != column:
+                continue
+            n = t["rows"][i].as_py()
+            if remaining_skip >= n:
+                remaining_skip -= n  # skipped: blob never decompressed
+                continue
+            take = min(n - remaining_skip, remaining)
+            arr = decode_column_chunk(
+                t["blob"][i].as_py(), row_offset=remaining_skip, row_count=take
+            )
+            out.extend(arr.to_pylist())
+            remaining_skip = 0
+            remaining -= take
+            if remaining <= 0:
+                return out
+    return out
+
+
 def main(argv=None):
     argv = argv or sys.argv[1:]
     cmd, path = argv[0], argv[1]
@@ -63,6 +98,9 @@ def main(argv=None):
         out = cat(path, limit=int(opts[0]) if opts else 10, skip=int(opts[1]) if len(opts) > 1 else 0)
     elif cmd == "chunkdir":
         out = chunk_dir_size(path)
+    elif cmd == "chunkcat":
+        out = chunk_cat(path, opts[0], limit=int(opts[1]) if len(opts) > 1 else 10,
+                        skip=int(opts[2]) if len(opts) > 2 else 0)
     else:
         raise SystemExit(f"unknown subcommand {cmd}")
     print(json.dumps(out, indent=1, default=str))

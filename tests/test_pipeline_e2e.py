@@ -169,3 +169,33 @@ def test_salting_bounds_giant_repo_skew(ray_session):
     # largest partition holds ~1/8 of the giant repo, not all of it
     counts = np.bincount(parts, minlength=64)
     assert counts.max() < 0.85 * n * 0.8 / 4  # far below unsalted worst case
+
+
+def test_chunkcat_tool(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from parquet_go_ray.config import EngineConfig
+    from parquet_go_ray.pipelines.encode_pipeline import encode_partitioned
+    from parquet_go_ray.tools import chunk_cat
+
+    n = 5000
+    f = tmp_path / "src.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "repo": pa.array([f"r{i%7}" for i in range(n)]),
+                "path": pa.array([f"p/{i}" for i in range(n)]),
+                "lang": pa.array(["py"] * n),
+                "content": pa.array([f"line {i}" for i in range(n)]),
+            }
+        ),
+        f,
+    )
+    out = tmp_path / "enc"
+    ds = rd.read_parquet(str(f))
+    encode_partitioned(ds, str(out), EngineConfig(batch_size_rows=512), num_parts=4).to_pandas()
+    got = chunk_cat(str(out), "content", limit=5, skip=1000)
+    assert len(got) == 5 and all(g.startswith("line ") for g in got)
+    assert chunk_cat(str(out), "content", limit=10, skip=10**6) == []
