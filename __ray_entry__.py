@@ -243,6 +243,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["text_quality"] = text_quality
 
+    # composite staged cleaning pipeline (quality -> exact -> near dedup);
+    # the oracled output is the deterministic quality+exact stage
+    from parquet_go_ray.pipelines.clean_corpus import clean_corpus_query
+
+    q["clean_corpus"] = clean_corpus_query
+
     # -- multimodal stages over documents-backed media (stubbed decode,
     # real vectorized plumbing; sha-derived outputs are SQL-reproducible) --
     from parquet_go_ray.pipelines.multimodal import audio_frames_docs, image_features_docs
@@ -369,6 +375,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "lang_id": lang_id_oracle_sql(),
+        "clean_corpus": (
+            "WITH q AS (SELECT doc_id, text FROM documents WHERE "
+            "(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+            "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END) >= 5 "
+            "AND ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;:]', '', 'g'))) "
+            "/ GREATEST(LENGTH(text), 1), 9) <= 0.2) "
+            "SELECT doc_id FROM q "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1"
+        ),
         "ngram_jaccard_exhaustive": (
             "WITH " + _SHINGLE_SQL + " "
             "SELECT a, b, ROUND(CAST(k AS DOUBLE) / (ca.n + cb.n - k), 6) AS jaccard "

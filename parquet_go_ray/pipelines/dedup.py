@@ -48,7 +48,14 @@ DEFAULT_PARTS = 16  # join/distinct fan-out; size ~= cluster cores at scale
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
-    return _read_parquet_any(f"{sf_dir}/documents.parquet", columns=columns)
+    """documents table from a testdata dir, OR any plain parquet file/dir
+    (staged pipelines feed intermediate outputs through the same operators)."""
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    if "://" not in sf_dir and not os.path.exists(path):
+        path = sf_dir
+    return _read_parquet_any(path, columns=columns)
 
 
 # ---------------------------------------------------------------------------
