@@ -68,7 +68,12 @@ def _plan_codecs(ds: rd.Dataset, cfg: EngineConfig) -> EngineConfig:
         col = sample[name]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        if (
+            pa.types.is_list(col.type)
+            or pa.types.is_large_list(col.type)
+            or pa.types.is_struct(col.type)
+            or pa.types.is_map(col.type)
+        ):
             continue  # nested columns keep per-chunk selection
         values = col.drop_null() if col.null_count else col
         codec, outer, _ = select_codec(values, cfg, column=name)

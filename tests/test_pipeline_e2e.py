@@ -199,3 +199,53 @@ def test_chunkcat_tool(ray_session, tmp_path):
     got = chunk_cat(str(out), "content", limit=5, skip=1000)
     assert len(got) == 5 and all(g.startswith("line ") for g in got)
     assert chunk_cat(str(out), "content", limit=10, skip=10**6) == []
+
+
+def test_encode_partitioned_with_struct_column(ray_session, tmp_path):
+    """Nested columns flow through the partitioned pipeline unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from parquet_go_ray.chunk import decode_column_chunk
+    from parquet_go_ray.config import EngineConfig
+    from parquet_go_ray.pipelines.encode_pipeline import encode_partitioned
+
+    n = 2000
+    f = tmp_path / "src.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "repo": pa.array([f"r{i%5}" for i in range(n)]),
+                "path": pa.array([f"p/{i}" for i in range(n)]),
+                "lang": pa.array(["py"] * n),
+                "content": pa.array([f"c{i}" for i in range(n)]),
+                "meta": pa.array(
+                    [{"stars": i % 50, "fork": i % 2 == 0} for i in range(n)],
+                    pa.struct([("stars", pa.int64()), ("fork", pa.bool_())]),
+                ),
+            }
+        ),
+        f,
+    )
+    out = tmp_path / "enc"
+    m = encode_partitioned(
+        rd.read_parquet(str(f)), str(out), EngineConfig(batch_size_rows=512), num_parts=4
+    ).to_pandas()
+    assert m.rows.sum() == n
+    # decode one struct chunk back out of the checkpoint
+    import pyarrow.parquet as pq2
+
+    found = False
+    for part in sorted((out).glob("part=*")):
+        t = pq2.read_table(part / "chunks.parquet")
+        for i in range(t.num_rows):
+            if t["column"][i].as_py() == "meta":
+                arr = decode_column_chunk(t["blob"][i].as_py())
+                assert pa.types.is_struct(arr.type)
+                assert arr.field("stars")[0].as_py() is not None
+                found = True
+                break
+        if found:
+            break
+    assert found
