@@ -44,6 +44,7 @@ K_HASHES = 64
 BANDS = 16
 ROWS_PER_BAND = K_HASHES // BANDS
 SHINGLE = 5  # char shingle width
+_BAND_SUBGROUPS = 8  # pair-generation fan-out per band (buckets stay whole)
 DEFAULT_PARTS = 16  # join/distinct fan-out; size ~= cluster cores at scale
 
 
@@ -418,11 +419,16 @@ def minhash_bands(sf_dir: str, sigs: rd.Dataset | None = None) -> rd.Dataset:
                 keys = keys * np.uint64(0x9E3779B97F4A7C15) + bands[:, :, r]
         doc = np.asarray(batch["doc_id"]).repeat(BANDS)
         band = np.tile(np.arange(BANDS, dtype=np.int64), n)
+        key = keys.reshape(-1)
+        # grouping key = (band, key mod SUBGROUPS): buckets are (band, key),
+        # so key-hash subgrouping keeps every bucket whole while lifting the
+        # pair-generation parallelism from BANDS tasks to BANDS*SUBGROUPS
+        grp = band * np.int64(_BAND_SUBGROUPS) + (key % np.uint64(_BAND_SUBGROUPS)).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(doc, pa.int64()),
-                "band": pa.array(band, pa.int64()),
-                "key": pa.array(keys.reshape(-1).astype(np.int64)),
+                "band": pa.array(grp),
+                "key": pa.array(key.astype(np.int64)),
             }
         )
 
@@ -1030,10 +1036,12 @@ def dedup_simhash(
         key = np.empty((n, 4), dtype=np.int64)
         for b in bands:
             key[:, b] = ((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        kflat = key.reshape(-1)
+        grp = np.tile(bands, n) * np.int64(_BAND_SUBGROUPS) + (kflat % _BAND_SUBGROUPS)
         return pa.table(
             {
-                "band": pa.array(np.tile(bands, n)),
-                "key": pa.array(key.reshape(-1)),
+                "band": pa.array(grp),
+                "key": pa.array(kflat),
                 "doc_id": pa.array(ids.repeat(4)),
                 "sig": pa.array(np.repeat(s, 4).view(np.int64)),
             }
