@@ -456,6 +456,34 @@ def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)})
 
 
+def minhash_bucket_stats(sf_dir: str, cap: int = 2000) -> pd.DataFrame:
+    """Diagnostic for the mega-bucket skew guard ("no silent caps"): per-band
+    bucket-size distribution and how many buckets/docs the cap would drop.
+    Run this when dedup recall matters — dropped mega-buckets are usually
+    boilerplate (license headers, empty docs) but that's a per-corpus call."""
+    bands = minhash_bands(sf_dir)
+
+    def stats(group: pd.DataFrame) -> pd.DataFrame:
+        sizes = group.groupby("key", sort=False).size()
+        return pd.DataFrame(
+            {
+                "band": [int(group["band"].iloc[0])],
+                "buckets": [len(sizes)],
+                "max_bucket": [int(sizes.max())],
+                "dropped_buckets": [int((sizes > cap).sum())],
+                "dropped_docs": [int(sizes[sizes > cap].sum())],
+            }
+        )
+
+    return (
+        bands.groupby("band")
+        .map_groups(stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("band")
+        .reset_index(drop=True)
+    )
+
+
 def minhash_candidate_pairs_ds(
     sf_dir: str,
     sigs: rd.Dataset | None = None,
