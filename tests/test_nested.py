@@ -144,3 +144,58 @@ def test_deep_nesting_list_of_map():
         [[[("a", [1, 2])], [("b", None)]], None, [], [None]] * 10, t
     )
     _rt(arr)
+
+
+# -- randomized schema fuzz: any nesting of scalars/list/struct/map ---------
+
+_SCALARS = [pa.int64(), pa.int32(), pa.float64(), pa.string(), pa.bool_()]
+
+
+def _rand_type(rng, depth: int) -> pa.DataType:
+    if depth <= 0 or rng.random() < 0.45:
+        return _SCALARS[rng.integers(0, len(_SCALARS))]
+    kind = rng.integers(0, 3)
+    if kind == 0:
+        return pa.list_(_rand_type(rng, depth - 1))
+    if kind == 1:
+        n_fields = int(rng.integers(1, 4))
+        return pa.struct(
+            [(f"f{i}", _rand_type(rng, depth - 1)) for i in range(n_fields)]
+        )
+    return pa.map_(pa.string(), _rand_type(rng, depth - 1))
+
+
+def _rand_value(rng, t: pa.DataType, depth=0):
+    if depth > 6 or (rng.random() < 0.15):
+        return None
+    if pa.types.is_int64(t) or pa.types.is_int32(t):
+        return int(rng.integers(-(2**30), 2**30))
+    if pa.types.is_float64(t):
+        return float(rng.normal())
+    if pa.types.is_string(t):
+        return "".join(chr(97 + int(c)) for c in rng.integers(0, 26, rng.integers(0, 8)))
+    if pa.types.is_boolean(t):
+        return bool(rng.integers(0, 2))
+    if pa.types.is_list(t):
+        return [
+            _rand_value(rng, t.value_type, depth + 1) for _ in range(rng.integers(0, 4))
+        ]
+    if pa.types.is_struct(t):
+        return {
+            t.field(i).name: _rand_value(rng, t.field(i).type, depth + 1)
+            for i in range(t.num_fields)
+        }
+    if pa.types.is_map(t):
+        n = int(rng.integers(0, 3))
+        keys = [f"k{j}" for j in range(n)]
+        return [(k, _rand_value(rng, t.item_type, depth + 1)) for k in keys]
+    raise AssertionError(t)
+
+
+def test_random_schema_fuzz_roundtrip():
+    rng = np.random.default_rng(12345)
+    for trial in range(30):
+        t = _rand_type(rng, depth=3)
+        rows = [_rand_value(rng, t) for _ in range(int(rng.integers(0, 60)))]
+        arr = pa.array(rows, t)
+        _rt(arr)
