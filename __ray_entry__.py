@@ -4,12 +4,22 @@ Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ray.init()/ray.shutdown().
 
 queries() keys map to SURVEY.md §2 operators:
-  rt_*           — encode->decode round-trips per codec family (§2.2); the
-                   oracle SELECT proves bit-identical decode via the driver's
-                   value-hash
-  stats_lineitem — min/max/null-count aggregation (§2.6)
-  sizetool_*     — encoded-size accounting (§2.1 sizetool), rows-only
-  dedup_* / knn_* / text_* — training-data ops (dedup, similarity, analysis)
+  rt_*            — encode->decode round-trips per codec family (§2.2) incl.
+                    nested struct/map (rt_nested_struct, rt_map) and INT96
+                    (rt_int96_events); the oracle SELECT proves bit-identical
+                    decode via the driver's value-hash
+  scan_/skip_*    — chunk-stat pruning + row-range SkipRows (§2.4)
+  stats_/agg_/topk_ — aggregation + relational wide-ops (§2.6-2.7)
+  window_*        — tumbling / sessions / hopping / streaming-with-watermarks
+  sizetool_*      — encoded-size accounting (§2.1 sizetool), rows-only
+  dedup_* / ngram_* / embedding_* / knn_* — dedup + similarity family;
+                    *_exhaustive are LSH-free bounded-subset variants that
+                    fully SQL-oracle the jaccard/cosine/component kernels
+  text_* / lang_id / fingerprint / image_* / audio_* — text + multimodal
+  clean_corpus    — composite staged pipeline (quality -> exact -> near)
+Rows-only (no_oracle) queries are exactly the inherently-approximate or
+non-SQL ops: LSH-recall-dependent pair sets, IVF, winnowing digests,
+engine-internal size accounting.
 """
 
 from __future__ import annotations

@@ -205,13 +205,6 @@ def _distinct(ds: rd.Dataset, key_cols: list[str], parts: int = DEFAULT_PARTS) -
     )
 
 
-def _fsl_np(col) -> np.ndarray:
-    """(n, width) view of a fixed_size_list column."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return np.asarray(col.flatten()).reshape(len(col), col.type.list_size)
-
-
 def _list_np(col) -> np.ndarray:
     """(n, dim) from a list<float> column with uniform dim."""
     if isinstance(col, pa.ChunkedArray):
