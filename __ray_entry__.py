@@ -199,6 +199,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["topk_lineitem_price"] = lambda sf: top_k(sf, "lineitem", "l_extendedprice", k=100)
     q["agg_orders_by_status"] = lambda sf: grouped_agg(sf, "orders", "o_orderstatus", "o_totalprice")
 
+    # joins/lookups (absent in the reference): distributed hash join + a
+    # broadcast dimension lookup that never shuffles the fact side
+    def join_orders_customer(sf):
+        import pyarrow as _pa
+
+        import ray.data as rd
+
+        from parquet_go_ray.functions.joins import hash_join
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = rd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+        return hash_join(
+            orders, cust, on="o_custkey", right_on="c_custkey",
+            left_schema=_pa.schema(
+                [("o_orderkey", _pa.int64()), ("o_custkey", _pa.int64()), ("o_totalprice", _pa.float64())]
+            ),
+            right_schema=_pa.schema([("c_custkey", _pa.int64()), ("c_mktsegment", _pa.string())]),
+        )
+
+    q["join_orders_customer"] = join_orders_customer
+
+    def lookup_customer_nation(sf):
+        import ray.data as rd
+
+        from parquet_go_ray.functions.joins import broadcast_join
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+        nation = rd.read_parquet(f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+        nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+        return broadcast_join(cust, nation, on="c_nationkey")
+
+    q["lookup_customer_nation"] = lookup_customer_nation
+
+    def distinct_flags(sf):
+        import ray.data as rd
+
+        from parquet_go_ray.pipelines.dedup import _distinct
+
+        ds = rd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_linenumber", "l_suppkey"])
+        # distinct over int keys via the hash-partitioned DISTINCT primitive
+        return _distinct(ds, ["l_linenumber"], parts=8).select_columns(["l_linenumber"])
+
+    q["distinct_lineitem_linenumbers"] = lambda sf: distinct_flags(sf)
+
     # -- sizetool analog (§2.1), rows-only check --
     q["sizetool_documents"] = lambda sf: encode_stats(sf, "documents")
 
@@ -357,6 +401,15 @@ def oracle_sql() -> dict[str, str]:
         "topk_lineitem_price": (
             "SELECT l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC LIMIT 100"
         ),
+        "join_orders_customer": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        "lookup_customer_nation": (
+            "SELECT c_custkey, c_nationkey, n_name FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "distinct_lineitem_linenumbers": "SELECT DISTINCT l_linenumber FROM lineitem",
         "agg_orders_by_status": (
             "SELECT o_orderstatus, COUNT(*) AS n, MIN(o_totalprice) AS min_v, "
             "MAX(o_totalprice) AS max_v FROM orders GROUP BY 1"

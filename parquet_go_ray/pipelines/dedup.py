@@ -130,9 +130,21 @@ def _hash_join(
         right.map_batches(prep(right_on, 1, r_payload, l_payload, ltypes), batch_format="pyarrow")
     )
 
+    def _restore(df: pd.DataFrame, cols: list[str], types: dict) -> pd.DataFrame:
+        # the union pads the OTHER side's columns with nulls, so pandas blocks
+        # demote int/bool columns to float/object; once side-filtered the
+        # values are complete again — cast back to the declared types
+        for c in cols:
+            t = types[c]
+            if pa.types.is_integer(t) and df[c].dtype.kind == "f":
+                df[c] = df[c].astype(t.to_pandas_dtype())
+            elif pa.types.is_boolean(t) and df[c].dtype.kind != "b":
+                df[c] = df[c].astype(bool)
+        return df
+
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g.__side == 0][["__key"] + l_payload]
-        rf = g[g.__side == 1][["__key"] + r_payload]
+        lf = _restore(g[g.__side == 0][["__key"] + l_payload].copy(), l_payload, ltypes)
+        rf = _restore(g[g.__side == 1][["__key"] + r_payload].copy(), r_payload, rtypes)
         m = lf.merge(rf, on="__key", how=how)
         return m.rename(columns={"__key": on})
 

@@ -1,0 +1,57 @@
+"""Join / lookup operators (engine-introduced, SURVEY §2.7)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_hash_join_inner_types_preserved(ray_session):
+    from parquet_go_ray.functions.joins import hash_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [2, 3, 5], "w": ["b", "c", "e"]}))
+    out = (
+        hash_join(
+            left, right, on="k",
+            left_schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+            right_schema=pa.schema([("k", pa.int64()), ("w", pa.string())]),
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("list") == {"k": [2, 3], "v": [20, 30], "w": ["b", "c"]}
+    # the null-padding union must NOT demote ints to float
+    assert out.v.dtype == np.int64 and out.k.dtype == np.int64
+
+
+def test_hash_join_left_outer(ray_session):
+    from parquet_go_ray.functions.joins import hash_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": [10, 20]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [2], "w": [99]}))
+    out = (
+        hash_join(
+            left, right, on="k", how="left",
+            left_schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+            right_schema=pa.schema([("k", pa.int64()), ("w", pa.int64())]),
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert np.isnan(out.w[0]) and out.w[1] == 99
+
+
+def test_broadcast_join_inner_and_left(ray_session):
+    from parquet_go_ray.functions.joins import broadcast_join
+
+    big = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4, 2], "x": [1.0, 2.0, 3.0, 4.0, 5.0]}))
+    small = pd.DataFrame({"k": [2, 4], "name": ["two", "four"]})
+    inner = broadcast_join(big, small, on="k").to_pandas().sort_values(["k", "x"])
+    assert list(inner.k) == [2, 2, 4]
+    assert list(inner.name) == ["two", "two", "four"]
+    left = broadcast_join(big, small, on="k", how="left").to_pandas()
+    assert len(left) == 5 and left.name.isna().sum() == 2
