@@ -172,6 +172,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["skip_rows_lineitem"] = skip_rows_q
 
+    def transcode_q(sf):
+        # full writer+reader loop: parquet -> partitioned chunk checkpoints
+        # -> parquet -> read back (NewParquetWriter/NewParquetReader analog)
+        import shutil
+        import tempfile
+
+        import ray.data as rd
+
+        from parquet_go_ray.config import EngineConfig
+        from parquet_go_ray.pipelines.transcode import chunks_to_parquet, parquet_to_chunks
+
+        work = tempfile.mkdtemp(prefix="pgr_transcode_")
+        try:
+            parquet_to_chunks(
+                f"{sf}/customer.parquet", f"{work}/chunks",
+                EngineConfig(batch_size_rows=2048), num_parts=4,
+            ).to_pandas()
+            chunks_to_parquet(f"{work}/chunks", f"{work}/out")
+            return rd.read_parquet(f"{work}/out").to_pandas()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["transcode_customer"] = transcode_q
+
     # -- aggregation (§2.6) --
     LI_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     q["stats_lineitem"] = lambda sf: numeric_column_stats(sf, "lineitem", LI_NUM)
@@ -390,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rt_embeddings": "SELECT vec_id, label, LEN(embedding) AS dim FROM embeddings",
         "scan_pruned_lineitem": "SELECT l_orderkey FROM lineitem WHERE l_orderkey >= 12000",
+        "transcode_customer": "SELECT * FROM customer",
         "skip_rows_lineitem": (
             "SELECT l_orderkey FROM (SELECT l_orderkey, ROW_NUMBER() OVER () AS rn "
             "FROM lineitem) WHERE rn > 30000 AND rn <= 30500"

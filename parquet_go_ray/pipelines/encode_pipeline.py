@@ -89,10 +89,17 @@ def add_partition_key(num_parts: int, salt_buckets: int):
         import polars as pl
 
         # polars hash is vectorized C over the Arrow buffers — never convert
-        # string columns to Python objects in this hot path
-        df = pl.from_arrow(batch.select(["repo", "path"]))
-        h = df["repo"].hash(seed=17).to_numpy().astype(np.uint64)
-        ph = df["path"].hash(seed=29).to_numpy().astype(np.uint64)
+        # string columns to Python objects in this hot path.  Tables without
+        # the code-corpus (repo, path) key partition by their first column.
+        if "repo" in batch.column_names and "path" in batch.column_names:
+            df = pl.from_arrow(batch.select(["repo", "path"]))
+            h = df["repo"].hash(seed=17).to_numpy().astype(np.uint64)
+            ph = df["path"].hash(seed=29).to_numpy().astype(np.uint64)
+        else:
+            key = batch.column_names[0]
+            df = pl.from_arrow(batch.select([key]))
+            h = df[key].hash(seed=17).to_numpy().astype(np.uint64)
+            ph = df[key].hash(seed=29).to_numpy().astype(np.uint64)
         # salt: spread each repo over salt_buckets sub-partitions by path hash
         salt = ph % np.uint64(max(salt_buckets, 1))
         with np.errstate(over="ignore"):
@@ -249,4 +256,6 @@ def decode_partitions(out_dir: str, parts: list[int] | None = None) -> rd.Datase
     if parts is None:
         parts = sorted(lin.done_parts(out_dir))
     files = [os.path.join(lin.part_dir(out_dir, p), "chunks.parquet") for p in parts]
-    return _read_parquet_any(files)
+    # one block per file: a chunk's column rows MUST stay co-located so the
+    # shuffle-free reassemble_blocks path can reunite them within-block
+    return _read_parquet_any(files, override_num_blocks=max(len(files), 1))

@@ -10,7 +10,7 @@ import ray.data as rd
 from ..sources.io import read_parquet_any as _read_parquet_any
 
 from ..config import DEFAULT, EngineConfig
-from ..stages.encode import reassemble_chunk
+from ..stages.encode import reassemble_blocks
 from .encode_pipeline import decode_partitions, encode_partitioned
 
 
@@ -23,5 +23,6 @@ def chunks_to_parquet(chunk_dir: str, dest: str, min_rows_per_file: int = 100_00
     """Decode chunk checkpoints back to standard Parquet (a directory of
     part files — the resumable-output layout)."""
     ds = decode_partitions(chunk_dir)
-    tables = ds.groupby("chunk_id").map_groups(reassemble_chunk, batch_format="pyarrow")
+    # no shuffle: chunk rows are co-located per block by construction
+    tables = ds.map_batches(reassemble_blocks, batch_format="pyarrow", batch_size=None)
     tables.write_parquet(dest, min_rows_per_file=min_rows_per_file)

@@ -209,6 +209,16 @@ def reassemble_blocks(batch: pa.Table) -> pa.Table:
     sorted_ids = ids[order]
     bounds = np.flatnonzero(sorted_ids[1:] != sorted_ids[:-1]) + 1
     parts = []
+    colsets = set()
     for run in np.split(order, bounds):
-        parts.append(reassemble_chunk(batch.take(pa.array(run, pa.int64()))))
+        t = reassemble_chunk(batch.take(pa.array(run, pa.int64())))
+        colsets.add(tuple(sorted(t.column_names)))
+        parts.append(t)
+    if len(colsets) > 1:
+        # a chunk's column rows were split across blocks — reassembling the
+        # fragments would silently union mismatched schemas
+        raise ValueError(
+            f"chunk rows not co-located within blocks (saw column sets {colsets}); "
+            "read chunk tables with one block per file"
+        )
     return pa.concat_tables(parts)
