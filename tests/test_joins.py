@@ -55,3 +55,32 @@ def test_broadcast_join_inner_and_left(ray_session):
     assert list(inner.name) == ["two", "two", "four"]
     left = broadcast_join(big, small, on="k", how="left").to_pandas()
     assert len(left) == 5 and left.name.isna().sum() == 2
+
+
+def test_hash_join_randomized_vs_pandas(ray_session):
+    """hash_join must agree with a pandas merge on random multisets
+    (duplicate keys on both sides => cross-product multiplicities)."""
+    rng = np.random.default_rng(3)
+    from parquet_go_ray.functions.joins import hash_join
+
+    for trial in range(3):
+        lk = rng.integers(0, 20, 200)
+        rk = rng.integers(0, 25, 80)
+        left = pd.DataFrame({"k": lk, "v": rng.integers(0, 1000, len(lk))})
+        right = pd.DataFrame({"k": rk, "w": rng.integers(0, 1000, len(rk))})
+        exp = (
+            left.merge(right, on="k")
+            .sort_values(["k", "v", "w"])
+            .reset_index(drop=True)
+        )
+        got = (
+            hash_join(
+                rd.from_pandas(left), rd.from_pandas(right), on="k", parts=7,
+                left_schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+                right_schema=pa.schema([("k", pa.int64()), ("w", pa.int64())]),
+            )
+            .to_pandas()
+            .sort_values(["k", "v", "w"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["k", "v", "w"]], exp, check_dtype=False)

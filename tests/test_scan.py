@@ -84,3 +84,28 @@ def test_skip_read_row_ranges(ray_session, tmp_path):
         out = skip_read(chunks, "v", off, cnt)
         assert out["v"].to_pylist() == full[off : off + cnt], (off, cnt)
     assert skip_read(chunks, "v", n + 5, 10).num_rows == 0
+
+
+def test_skip_read_forced_codecs(ray_session, tmp_path):
+    """Row-range decode agrees across codec families (byte-sliced PLAIN vs
+    decode+slice delta/dict paths)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from parquet_go_ray.config import EngineConfig
+    from parquet_go_ray.pipelines.encode_pipeline import encode_dataset
+    from parquet_go_ray.pipelines.scan import skip_read
+
+    n = 4000
+    f = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"v": pa.array(range(n), pa.int64())}), f)
+    results = {}
+    for codec in ("plain", "delta_bp", "dict_rle", "rle_bp"):
+        cfg = EngineConfig(batch_size_rows=700, per_column_codec={"v": (codec, "none")})
+        chunks = encode_dataset(rd.read_parquet(str(f)), cfg).materialize()
+        out = skip_read(chunks, "v", 1500, 900)
+        results[codec] = sorted(out["v"].to_pylist())
+        assert len(results[codec]) == 900
+    vals = list(results.values())
+    assert all(v == vals[0] for v in vals[1:])
