@@ -110,10 +110,23 @@ def _hash_join(
     def prep(key: str, side: int, mine: list[str], theirs: list[str], their_types):
         def fn(b: pa.Table) -> pa.Table:
             n = b.num_rows
-            k = np.asarray(b[key], dtype=np.int64)
-            with np.errstate(over="ignore"):
-                part = ((k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(parts)
-            cols = {"__key": pa.array(k)}
+            kcol = b[key]
+            if isinstance(kcol, pa.ChunkedArray):
+                kcol = kcol.combine_chunks()
+            if pa.types.is_integer(kcol.type):
+                k = np.asarray(kcol, dtype=np.int64)
+                with np.errstate(over="ignore"):
+                    part = ((k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(parts)
+                key_arr = pa.array(k)
+            else:
+                # string/other keys: vectorized polars hash for partitioning,
+                # original values travel as the merge key
+                import polars as pl
+
+                h = pl.from_arrow(pa.table({"k": kcol}))["k"].hash(seed=13).to_numpy()
+                part = h.astype(np.uint64) % np.uint64(parts)
+                key_arr = kcol
+            cols = {"__key": key_arr}
             for c in mine:
                 cols[c] = b[c]
             for c in theirs:
@@ -206,7 +219,16 @@ def _distinct(ds: rd.Dataset, key_cols: list[str], parts: int = DEFAULT_PARTS) -
         h = np.zeros(b.num_rows, dtype=np.uint64)
         with np.errstate(over="ignore"):
             for c in key_cols:
-                h = h * np.uint64(0x9E3779B97F4A7C15) + np.asarray(b[c]).astype(np.uint64)
+                col = b[c]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if pa.types.is_integer(col.type):
+                    hc = np.asarray(col).astype(np.uint64)
+                else:
+                    import polars as pl
+
+                    hc = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=13).to_numpy().astype(np.uint64)
+                h = h * np.uint64(0x9E3779B97F4A7C15) + hc
         return b.append_column("__part", pa.array((h % np.uint64(parts)).astype(np.int64)))
 
     def dedupe(g: pd.DataFrame) -> pd.DataFrame:

@@ -84,3 +84,21 @@ def test_hash_join_randomized_vs_pandas(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got[["k", "v", "w"]], exp, check_dtype=False)
+
+
+def test_hash_join_string_keys(ray_session):
+    from parquet_go_ray.functions.joins import hash_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": ["x", "y", "z"], "v": [1, 2, 3]}))
+    right = rd.from_pandas(pd.DataFrame({"k": ["y", "z", "w"], "w": [20, 30, 40]}))
+    out = (
+        hash_join(
+            left, right, on="k", parts=5,
+            left_schema=pa.schema([("k", pa.string()), ("v", pa.int64())]),
+            right_schema=pa.schema([("k", pa.string()), ("w", pa.int64())]),
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("list") == {"k": ["y", "z"], "v": [2, 3], "w": [20, 30]}
