@@ -132,3 +132,21 @@ def test_int96_units():
     i96 = timestamp_to_int96(ts_ms)
     back = int96_to_timestamp(i96, "ms")
     assert back.cast(pa.int64()).to_pylist() == [1_700_000_000_000]
+
+
+def test_int96_property_random():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        ticks=st.lists(
+            st.one_of(st.none(), st.integers(-(2**52), 2**52)), min_size=0, max_size=50
+        )
+    )
+    def inner(ticks):
+        ts = pa.array(ticks, pa.timestamp("us"))
+        back = int96_to_timestamp(timestamp_to_int96(ts), "us")
+        assert back.equals(ts)
+
+    inner()
