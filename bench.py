@@ -117,28 +117,42 @@ def run_bench() -> dict:
             **extras,
         }
 
-    # -- fast profile: snappy-class outer only (the reference's own policy
-    # space) — demonstrates reference-throughput encoding when ratio parity
-    # (3.4x) rather than max ratio is the goal --
-    out_fast = out + "_fast"
-    shutil.rmtree(out_fast, ignore_errors=True)
-    cfg_fast = EngineConfig(
-        target_chunk_bytes=32 << 20,
-        partitions=64,
-        outer_codecs=("none", "snappy"),
-        enforce_reference_floor=False,
-        verify_sha256=False,
-    )
-    t0 = time.time()
-    mf = encode_partitioned(
-        rd.read_parquet(corpus, override_num_blocks=64), out_fast, cfg_fast,
-        total_bytes=total_bytes,
-    ).to_pandas()
-    t_fast = time.time() - t0
-    queries["encode_fast_profile"] = round(t_fast, 3)
-    extras["fast_gbps"] = round(int(mf.raw_bytes.sum()) / 1e9 / t_fast, 3)
-    extras["fast_ratio"] = round(int(mf.raw_bytes.sum()) / int(mf.enc_bytes.sum()), 2)
-    shutil.rmtree(out_fast, ignore_errors=True)
+    # -- profile sweep: the default is cost-aware (size_tolerance=1.3);
+    # record both ends of the tradeoff — snappy-class fast profile
+    # (reference's own policy space) and the max-ratio profile
+    # (size_tolerance=1.0, zstd9 allowed to win on size alone) --
+    for prof, cfg_p in (
+        (
+            "fast",
+            EngineConfig(
+                target_chunk_bytes=32 << 20,
+                partitions=64,
+                outer_codecs=("none", "snappy"),
+                enforce_reference_floor=False,
+                verify_sha256=False,
+            ),
+        ),
+        (
+            "ratio",
+            EngineConfig(
+                target_chunk_bytes=32 << 20, partitions=64, size_tolerance=1.0
+            ),
+        ),
+    ):
+        out_p = f"{out}_{prof}"
+        shutil.rmtree(out_p, ignore_errors=True)
+        t0 = time.time()
+        mf = encode_partitioned(
+            rd.read_parquet(corpus, override_num_blocks=64), out_p, cfg_p,
+            total_bytes=total_bytes,
+        ).to_pandas()
+        t_p = time.time() - t0
+        queries[f"encode_{prof}_profile"] = round(t_p, 3)
+        extras[f"{prof}_gbps"] = round(int(mf.raw_bytes.sum()) / 1e9 / t_p, 3)
+        extras[f"{prof}_ratio"] = round(
+            int(mf.raw_bytes.sum()) / int(mf.enc_bytes.sum()), 2
+        )
+        shutil.rmtree(out_p, ignore_errors=True)
 
     # -- decode-verify the checkpointed chunks --
     t0 = time.time()

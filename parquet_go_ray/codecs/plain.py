@@ -23,22 +23,21 @@ def encode_plain(arr: pa.Array) -> tuple[bytes, dict]:
         v = arr.to_numpy(zero_copy_only=False).astype(np.uint8)
         return np.packbits(v, bitorder="little").tobytes(), {}
     if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        # interleave u32-LE length prefixes with value bytes via memoryview
+        # slices + one join: per-byte index arrays would allocate 16 bytes of
+        # int64 scratch per data byte, which anti-scales on memory-bound hosts
         lengths, data = binary_parts(arr)
         n = len(lengths)
-        total = int(lengths.sum())
-        out = np.empty(total + 4 * n, dtype=np.uint8)
-        # scatter the 4-byte LE length prefixes
-        starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(lengths[:-1], out=starts[1:])
-        len_pos = starts + 4 * np.arange(n, dtype=np.int64)
-        len_bytes = lengths.astype("<u4").view(np.uint8).reshape(n, 4)
-        out[(len_pos[:, None] + np.arange(4)).reshape(-1)] = len_bytes.reshape(-1)
-        # scatter the data bytes: byte j of value i lands at j + 4*(i+1)
-        if total:
-            val_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
-            dest = np.arange(total, dtype=np.int64) + 4 * (val_idx + 1)
-            out[dest] = data
-        return out.tobytes(), {}
+        len_bytes = memoryview(lengths.astype("<u4").tobytes())
+        dmv = memoryview(data)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=starts[1:])
+        pieces = []
+        ap = pieces.append
+        for i in range(n):
+            ap(len_bytes[4 * i : 4 * i + 4])
+            ap(dmv[starts[i] : starts[i + 1]])
+        return b"".join(pieces), {}
     if pa.types.is_fixed_size_binary(t):
         buffers = arr.buffers()
         w = t.byte_width
@@ -55,27 +54,21 @@ def decode_plain(payload: bytes, meta: dict, typ: pa.DataType) -> pa.Array:
         bits = np.unpackbits(np.frombuffer(payload, np.uint8), bitorder="little")[:n]
         return pa.array(bits.astype(bool), type=pa.bool_())
     if pa.types.is_string(typ) or pa.types.is_binary(typ) or pa.types.is_large_string(typ) or pa.types.is_large_binary(typ):
-        buf = np.frombuffer(payload, dtype=np.uint8)
         lengths = np.empty(n, dtype=np.int64)
         # the length-prefix chain is sequential (pos_{i+1} = pos_i + 4 + len_i);
-        # walk it once with a cheap scalar loop, then gather data vectorized.
+        # walk it once with a cheap scalar loop, slicing each value's bytes,
+        # then join once (1x copy — no per-byte gather index arrays).
         mv = memoryview(payload)
+        pieces = []
+        ap = pieces.append
         pos = 0
         ifb = int.from_bytes
         for i in range(n):
             l = ifb(mv[pos : pos + 4], "little")
             lengths[i] = l
+            ap(mv[pos + 4 : pos + 4 + l])
             pos += 4 + l
-        total = int(lengths.sum())
-        if total:
-            starts = np.zeros(n, dtype=np.int64)
-            np.cumsum(lengths[:-1], out=starts[1:])
-            src = np.arange(total, dtype=np.int64) + 4 * (
-                np.repeat(np.arange(n, dtype=np.int64), lengths) + 1
-            )
-            data = buf[src]
-        else:
-            data = np.empty(0, dtype=np.uint8)
+        data = np.frombuffer(b"".join(pieces), dtype=np.uint8)
         return build_binary(lengths, data, typ)
     if pa.types.is_fixed_size_binary(typ):
         return pa.FixedSizeBinaryArray.from_buffers(typ, n, [None, pa.py_buffer(payload)])

@@ -19,7 +19,12 @@ class EngineConfig:
     expensive_trial_bytes: int = 128 << 10  # trial subsample for slow kernels
     outer_codecs: tuple = ("none", "snappy", "zstd", "zstd9")  # block compressors tried
     zstd_level: int = 3
-    size_tolerance: float = 1.15  # prefer a faster codec if within 15% of min size
+    size_tolerance: float = 1.30  # prefer a faster codec if within 30% of min
+                                  # size: measured on the code corpus, zstd9 is
+                                  # ~25% smaller than zstd3 on long text but 8x
+                                  # slower to encode — at 100 TB the throughput
+                                  # wins; the per-chunk reference floor still
+                                  # bounds the output size from above
     enforce_reference_floor: bool = True  # hard per-chunk <= reference-policy size
     per_column_codec: dict = field(default_factory=dict)  # name -> codec override
     plan_codecs_globally: bool = True  # one driver-side plan vs per-chunk trials
