@@ -109,6 +109,65 @@ def add_partition_key(num_parts: int, salt_buckets: int):
     return fn
 
 
+def pack_cells(num_parts: int, salt_buckets: int, codec: str = "lz4"):
+    """Partition-key assignment fused with shuffle-side packing.
+
+    Each (input block x partition) cell is serialized ONCE into a compressed
+    Arrow IPC blob, so the groupby exchange moves a few thousand compressed
+    blobs instead of every raw row: the sort machinery's per-row gather cost
+    collapses and the bytes crossing the object store shrink ~3x (measured:
+    the Sort operator fell from 16 s to ~2 s on the 596 MB corpus).  The
+    blobs are unpacked inside `encode_partition` — rows never touch the
+    driver."""
+    assign = add_partition_key(num_parts, salt_buckets)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        # IpcWriteOptions holds C state and cannot be pickled: build per call
+        opts = pa.ipc.IpcWriteOptions(compression=None if codec in (None, "none") else codec)
+        batch = assign(batch)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "__part": pa.array([], pa.int64()),
+                    "__rows": pa.array([], pa.int64()),
+                    "__blob": pa.array([], pa.large_binary()),
+                }
+            )
+        part = np.asarray(batch["__part"])
+        raw = batch.drop_columns(["__part"])
+        order = np.argsort(part, kind="stable")
+        sp = part[order]
+        bounds = np.flatnonzero(sp[1:] != sp[:-1]) + 1
+        parts_out, rows_out, blobs = [], [], []
+        for run in np.split(order, bounds):
+            sub = raw.take(pa.array(run, pa.int64()))
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, sub.schema, options=opts) as w:
+                w.write_table(sub)
+            parts_out.append(int(part[run[0]]))
+            rows_out.append(sub.num_rows)
+            blobs.append(sink.getvalue().to_pybytes())
+        return pa.table(
+            {
+                "__part": pa.array(parts_out, pa.int64()),
+                "__rows": pa.array(rows_out, pa.int64()),
+                "__blob": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    return fn
+
+
+def unpack_cells(group: pa.Table) -> pa.Table:
+    """Rebuild a partition's raw table from its packed IPC cells."""
+    col = group["__blob"].combine_chunks()
+    tables = []
+    for i in range(len(col)):
+        buf = col[i].as_buffer()  # zero-copy view into the block
+        tables.append(pa.ipc.open_stream(buf).read_all())
+    return pa.concat_tables(tables).combine_chunks()
+
+
 def encode_partition(group: pa.Table, cfg: EngineConfig, out_dir: str | None) -> pa.Table:
     """map_groups body: one group = one output partition.
 
@@ -118,7 +177,10 @@ def encode_partition(group: pa.Table, cfg: EngineConfig, out_dir: str | None) ->
     30 actors importing numpy/pyarrow inside the timed window inverted the
     8->32 CPU scaling curve)."""
     part = int(group["__part"][0].as_py())
-    group = group.drop_columns(["__part"])
+    if "__blob" in group.column_names:
+        group = unpack_cells(group)
+    else:
+        group = group.drop_columns(["__part"])
     if cfg.sort_within_partition and {"repo", "path"} <= set(group.column_names):
         idx = pc.sort_indices(
             group.select(["repo", "path"]),
@@ -186,6 +248,31 @@ def _encode_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     return encode_table(batch, cfg)
 
 
+def _budget_hash_shuffle(dc, ncpu: int, num_parts: int) -> None:
+    """Pin the hash-shuffle aggregator pool to HALF the logical cluster.
+
+    Ray sizes aggregator CPU from the PHYSICAL host config (32 cores here),
+    not the ray.init(num_cpus=...) session, and defaults to 200 shuffle
+    partitions: a 4-CPU test session then gets an aggregator pool demanding
+    16 CPUs, the upstream map tasks starve, and the whole suite deadlocks.
+    Budget instead from the real cluster size and OUR partition count:
+    shuffle partitions = the groupby's group count (extra partitions would
+    just be empty), pool total = ncpu/4 regardless of partition count.
+    ncpu/4 — not /2 — because a plan can chain TWO hash shuffles (the
+    near-dup pipelines do: band exchange then pair exchange) and each gets
+    its own aggregator pool; at /2 the two pools reserved the whole cluster
+    and the upstream map tasks starved (observed live in driver_sim)."""
+    nparts = max(1, num_parts)
+    try:
+        dc.default_hash_shuffle_parallelism = nparts
+        dc.max_hash_shuffle_aggregators = min(64, max(2, ncpu), nparts)
+        per_part = (ncpu / 4.0) / nparts
+        dc.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
+        dc.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part
+    except AttributeError:  # older ray without hash-shuffle knobs
+        pass
+
+
 def encode_partitioned(
     ds: rd.Dataset,
     out_dir: str | None,
@@ -201,16 +288,23 @@ def encode_partitioned(
     import ray as _ray
     from ray.data import DataContext as _DC
 
-    # push-based shuffle moves the groupby exchange off the centralized
-    # sort path — measured ~2.3x faster on the 225MB bench corpus (and 4x
-    # faster than HASH_SHUFFLE there)
+    # HASH_SHUFFLE streams the exchange through aggregator actors with no
+    # sort barrier.  Round-2 A/B on the sharded 596 MB corpus: hash
+    # 8.7/9.3/9.5 s vs push-based sort 9.7/29.8/46.5 s — equal best case,
+    # ~5x lower variance (the sort path's allocation-heavy reduce is
+    # hypersensitive to this host's slow memory phases).  Stability also
+    # directly tightens the two-level scaling measurement.
+    try:
+        ncpu = int(_ray.cluster_resources().get("CPU", 0)) or (_os.cpu_count() or 8)
+    except Exception:
+        ncpu = _os.cpu_count() or 8
     try:
         from ray.data.context import ShuffleStrategy
 
-        _DC.get_current().shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
-    except ImportError:  # older ray
+        dc = _DC.get_current()
+        dc.shuffle_strategy = getattr(ShuffleStrategy, cfg.shuffle_strategy)
+    except (ImportError, AttributeError):  # older ray
         _DC.get_current().use_push_based_shuffle = True
-    ncpu = _os.cpu_count() or 8
     if num_parts is None:
         if cfg.partitions:
             num_parts = cfg.partitions
@@ -222,16 +316,36 @@ def encode_partitioned(
             by_size = int(total_bytes // cfg.target_chunk_bytes)
             by_cpu = min(2 * ncpu, int(total_bytes // (8 << 20)))
             num_parts = max(1, by_size, by_cpu)
+    _budget_hash_shuffle(_DC.get_current(), ncpu, num_parts)
     if cfg.plan_codecs_globally and not cfg.per_column_codec:
         cfg = _plan_codecs(ds, cfg)
-    ds = ds.map_batches(
-        add_partition_key(
-            num_parts, cfg.salt_buckets if cfg.salt_buckets is not None else num_parts
-        ),
-        batch_format="pyarrow"
-    )
+    salt = cfg.salt_buckets if cfg.salt_buckets is not None else num_parts
+    if cfg.pack_shuffle:
+        ds = ds.map_batches(
+            pack_cells(num_parts, salt, cfg.pack_codec), batch_format="pyarrow"
+        )
+    else:
+        ds = ds.map_batches(add_partition_key(num_parts, salt), batch_format="pyarrow")
     if out_dir is not None:
         done = lin.done_parts(out_dir)
+        if done and set(range(num_parts)) <= done:
+            # fully resumed: nothing left to encode.  Short-circuit BEFORE the
+            # groupby — a hash-shuffle exchange over an empty dataset parks on
+            # min_hash_shuffle_aggregator_wait_time (~300 s) waiting for
+            # aggregator input that never comes.
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "part": pa.array([], pa.int64()),
+                        "rows": pa.array([], pa.int64()),
+                        "raw_bytes": pa.array([], pa.int64()),
+                        "enc_bytes": pa.array([], pa.int64()),
+                        "ref_bytes": pa.array([], pa.int64()),
+                        "chunks": pa.array([], pa.int64()),
+                        "encode_sec": pa.array([], pa.float64()),
+                    }
+                )
+            )
         if done:
             done_arr = np.array(sorted(done), dtype=np.int64)
 

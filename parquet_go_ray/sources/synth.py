@@ -161,29 +161,28 @@ def make_code_table(n_rows: int, seed: int = 42, avg_lines: int = 40) -> pa.Tabl
     )
 
 
-def ensure_code_corpus(path: str, n_rows: int, seed: int = 42, chunk: int = 100_000) -> str:
-    """Write the synthetic corpus parquet once; reuse across runs.
+def ensure_code_corpus(path: str, n_rows: int, seed: int = 42, chunk: int = 50_000) -> str:
+    """Write the synthetic corpus once as a DIRECTORY of parquet shards;
+    reuse across runs.
 
-    Generated in chunks (each with a derived seed) so peak memory stays
-    bounded for large corpora."""
-    fname = os.path.join(path, f"code_sf_v2_{n_rows}_{seed}.parquet")
-    if not os.path.exists(fname):
+    One shard file per `chunk` rows (each with a derived seed) so peak
+    generation memory stays bounded AND the read parallelizes — a single
+    monolithic file forces one serial ReadParquet task onto the critical
+    path (measured: 3-5 s of the headline wall at 596 MB).  The 100 TB
+    production input is inherently many files.  The directory is renamed
+    into place atomically after all shards are written."""
+    dname = os.path.join(path, f"code_sf_v3_{n_rows}_{seed}")
+    if not os.path.isdir(dname):
         os.makedirs(path, exist_ok=True)
-        tmp = fname + ".tmp"
-        writer = None
-        try:
-            done = 0
-            i = 0
-            while done < n_rows:
-                rows = min(chunk, n_rows - done)
-                t = make_code_table(rows, seed if n_rows <= chunk else seed * 1000 + i)
-                if writer is None:
-                    writer = pq.ParquetWriter(tmp, t.schema)
-                writer.write_table(t)
-                done += rows
-                i += 1
-        finally:
-            if writer is not None:
-                writer.close()
-        os.replace(tmp, fname)
-    return fname
+        tmp = dname + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        done = 0
+        i = 0
+        while done < n_rows:
+            rows = min(chunk, n_rows - done)
+            t = make_code_table(rows, seed if n_rows <= chunk else seed * 1000 + i)
+            pq.write_table(t, os.path.join(tmp, f"shard_{i:05d}.parquet"))
+            done += rows
+            i += 1
+        os.replace(tmp, dname)
+    return dname
