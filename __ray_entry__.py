@@ -115,10 +115,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rt_orders_auto"] = lambda sf: roundtrip_table(sf, "orders")
 
     # nested struct / map chunk round-trips (Dremel-analog §2.4 coverage)
-    from parquet_go_ray.pipelines.roundtrip import roundtrip_map, roundtrip_struct
+    from parquet_go_ray.pipelines.roundtrip import (
+        read_partial_struct,
+        roundtrip_map,
+        roundtrip_struct,
+    )
 
     q["rt_nested_struct"] = roundtrip_struct
     q["rt_map"] = roundtrip_map
+    # ReadPartial analog (reader/reader.go:225-289): one subfield decoded out
+    # of a struct chunk, sibling children skipped undecompressed
+    q["read_partial_struct"] = read_partial_struct
 
     def rt_embeddings(sf):
         # list<float> column round-trip (nested/Dremel-equivalent path);
@@ -310,6 +317,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ["query_id", "vec_id"]
     ]
     q["knn_ivf"] = lambda sf: knn_ivf(sf, k=10, n_queries=8)
+    # full-probe IVF == exhaustive search THROUGH the IVF machinery (centroid
+    # assignment, inverted-list groupby, per-list top-k, global merge), so
+    # the brute-force SQL oracle must match it exactly — this puts the whole
+    # distributed IVF path under the value-hash gate, while `knn_ivf` proper
+    # (pruned probes) stays rows-only with recall tracked in BASELINE.md
+    q["knn_ivf_full_probe"] = lambda sf: knn_ivf(
+        sf, k=10, n_queries=8, n_centroids=16, nprobe=16
+    )[["query_id", "vec_id"]]
 
     # -- text analysis --
     from parquet_go_ray.pipelines.textstats import (
@@ -401,6 +416,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM orders"
         ),
         "rt_map": "SELECT doc_id, lang, n_chars FROM documents",
+        "read_partial_struct": "SELECT o_totalprice FROM orders",
         "rt_int96_events": "SELECT event_id, ts FROM events",
         "audio_frames_docs": (
             "SELECT doc_id AS media_id, (doc_id % 3) = 2 AS is_audio, "
@@ -500,6 +516,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE x.vec_id < 200 AND y.vec_id < 200) WHERE cos >= 0.3"
         ),
         "knn_bruteforce": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8) "
+            "SELECT query_id, vec_id FROM ("
+            "  SELECT q.qid AS query_id, e.vec_id AS vec_id, "
+            "         list_cosine_similarity(e.embedding, q.qe) AS cos "
+            "  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid"
+            ") QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 10"
+        ),
+        "knn_ivf_full_probe": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8) "
             "SELECT query_id, vec_id FROM ("
             "  SELECT q.qid AS query_id, e.vec_id AS vec_id, "

@@ -219,16 +219,26 @@ def encode_partition(group: pa.Table, cfg: EngineConfig, out_dir: str | None) ->
 
 
 def _task_cpus(cfg: EngineConfig) -> int:
-    """Clamp the declared per-task CPU footprint to the cluster so small
-    sessions can still schedule (a 2-CPU driver session must not deadlock on
-    num_cpus=4 tasks)."""
+    """Per-encode-task CPU reservation sized so the number of CONCURRENT
+    encode slots scales with the cluster (~ncpu/4 slots after the hash
+    aggregators take their ncpu/4), instead of a fixed num_cpus=4 that
+    left an 8-CPU session with a single slot (aggregators 2 + one 4-CPU
+    task = 6 of 8; the second task never fit) and serialized the whole
+    encode there.  The deliberate under-subscription — more reserved CPUs
+    than the single-threaded task uses — still protects the memory bus at
+    32 CPUs (~8 concurrent allocation-heavy encoders, measured optimum)."""
     import ray as _ray
 
     try:
         total = int(_ray.cluster_resources().get("CPU", cfg.cpus_per_encode_task))
     except Exception:
         total = cfg.cpus_per_encode_task
-    return max(1, min(cfg.cpus_per_encode_task, total // 2 or 1))
+    avail = max(1, total - total // 4)  # hash-shuffle aggregator reservation
+    # ~ncpu/5 slots: A/B at 32 CPUs measured 6 slots at 6.8-7.4 s vs
+    # 8 slots at 10.3-13.5 s — the extra concurrency saturates the bus
+    target_slots = max(2, total // 5)
+    fair = max(1, avail // target_slots)
+    return max(1, min(cfg.cpus_per_encode_task, fair, total // 2 or 1))
 
 
 def encode_dataset(ds: rd.Dataset, cfg: EngineConfig = DEFAULT) -> rd.Dataset:
@@ -298,13 +308,23 @@ def encode_partitioned(
         ncpu = int(_ray.cluster_resources().get("CPU", 0)) or (_os.cpu_count() or 8)
     except Exception:
         ncpu = _os.cpu_count() or 8
+    # a Dataset CAPTURES a DataContext copy at creation: mutating only the
+    # global context after `read_parquet` silently leaves this dataset on the
+    # default sort path (observed: best-of-2 was unknowingly A/B-ing sort vs
+    # hash depending on creation order).  Mutate the dataset's own context
+    # AND the global one (for downstream datasets created later).
+    contexts = [_DC.get_current()]
+    ds_ctx = getattr(ds, "context", None)
+    if ds_ctx is not None and ds_ctx is not contexts[0]:
+        contexts.append(ds_ctx)
     try:
         from ray.data.context import ShuffleStrategy
 
-        dc = _DC.get_current()
-        dc.shuffle_strategy = getattr(ShuffleStrategy, cfg.shuffle_strategy)
+        for dc in contexts:
+            dc.shuffle_strategy = getattr(ShuffleStrategy, cfg.shuffle_strategy)
     except (ImportError, AttributeError):  # older ray
-        _DC.get_current().use_push_based_shuffle = True
+        for dc in contexts:
+            dc.use_push_based_shuffle = True
     if num_parts is None:
         if cfg.partitions:
             num_parts = cfg.partitions
@@ -316,7 +336,8 @@ def encode_partitioned(
             by_size = int(total_bytes // cfg.target_chunk_bytes)
             by_cpu = min(2 * ncpu, int(total_bytes // (8 << 20)))
             num_parts = max(1, by_size, by_cpu)
-    _budget_hash_shuffle(_DC.get_current(), ncpu, num_parts)
+    for dc in contexts:
+        _budget_hash_shuffle(dc, ncpu, num_parts)
     if cfg.plan_codecs_globally and not cfg.per_column_codec:
         cfg = _plan_codecs(ds, cfg)
     salt = cfg.salt_buckets if cfg.salt_buckets is not None else num_parts

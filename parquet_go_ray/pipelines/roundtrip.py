@@ -104,3 +104,40 @@ def roundtrip_map(sf_dir: str, cfg: EngineConfig | None = None) -> rd.Dataset:
         return pa.table({"doc_id": b["doc_id"], "lang": m.keys, "n_chars": m.items})
 
     return out.map_batches(unpack, batch_format="pyarrow")
+
+
+def read_partial_struct(
+    sf_dir: str, fields: list[str] | None = None, cfg: EngineConfig | None = None
+) -> rd.Dataset:
+    """ReadPartial analog (reader/reader.go:225-289): decode ONE subfield of
+    an encoded struct column.  Sibling child chunks inside the struct blob
+    are skipped by length without decompression (`_decode_struct_chunk`
+    path walk), so a point projection never pays for the other fields."""
+    from ..chunk import decode_column_chunk
+
+    cfg = cfg or EngineConfig()
+    fields = fields or ["o_totalprice"]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+
+    def pack(b: pa.Table) -> pa.Table:
+        arrays = [
+            b[c].combine_chunks() if isinstance(b[c], pa.ChunkedArray) else b[c]
+            for c in cols
+        ]
+        return pa.table({"s": pa.StructArray.from_arrays(arrays, names=cols)})
+
+    ds = _read_parquet_any(f"{sf_dir}/orders.parquet", columns=cols)
+    chunks = encode_dataset(ds.map_batches(pack, batch_format="pyarrow"), cfg)
+
+    def project(batch: pa.Table) -> pa.Table:
+        # chunk granularity: a handful of blob rows per batch, vectorized
+        # decode inside each
+        outs = {f: [] for f in fields}
+        for blob in batch["blob"]:
+            for f in fields:
+                outs[f].append(decode_column_chunk(blob.as_py(), path=[f]))
+        return pa.table(
+            {f: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in v]) for f, v in outs.items()}
+        )
+
+    return chunks.map_batches(project, batch_format="pyarrow")

@@ -199,3 +199,22 @@ def test_random_schema_fuzz_roundtrip():
         rows = [_rand_value(rng, t) for _ in range(int(rng.integers(0, 60)))]
         arr = pa.array(rows, t)
         _rt(arr)
+
+
+def test_read_partial_struct_pipeline(ray_session):
+    """Driver-level ReadPartial: the projected subfield equals a plain read
+    of the same column (reader/reader.go:225-289 analog, end to end)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.pipelines.roundtrip import read_partial_struct
+    from tests.conftest import SF_DIR
+
+    got = read_partial_struct(SF_DIR).to_pandas()
+    exp = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_totalprice"]
+    ).to_pandas()
+    assert got.columns.tolist() == ["o_totalprice"]
+    np.testing.assert_array_equal(
+        np.sort(got.o_totalprice.to_numpy()), np.sort(exp.o_totalprice.to_numpy())
+    )

@@ -249,3 +249,35 @@ def test_encode_partitioned_with_struct_column(ray_session, tmp_path):
         if found:
             break
     assert found
+
+
+def test_encode_partitioned_pack_shuffle(ray_session, tmp_path):
+    """pack_shuffle=True moves compressed IPC cell blobs through the
+    exchange instead of raw rows; output must be identical to the
+    unpacked path (same chunks, same decode)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.encode_pipeline import (
+        decode_partitions,
+        encode_partitioned,
+    )
+    from parquet_go_ray.stages.encode import reassemble_chunk
+
+    out = str(tmp_path / "enc_pack")
+    t = make_code_table(1200, seed=13)
+    cfg = EngineConfig(batch_size_rows=600, pack_shuffle=True)
+    metrics = encode_partitioned(
+        rd.from_arrow(t), out, cfg, num_parts=3
+    ).to_pandas()
+    assert metrics.rows.sum() == 1200
+
+    cdf = decode_partitions(out).to_pandas()
+    parts = []
+    for cid, g in cdf.groupby("chunk_id", sort=False):
+        parts.append(reassemble_chunk(pa.Table.from_pandas(g)).to_pandas())
+    got = pd.concat(parts, ignore_index=True)
+    key = ["repo", "path", "commit", "lang", "content"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    orig_s = t.to_pandas()[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, orig_s)
