@@ -112,7 +112,12 @@ def _stats(values: pa.Array) -> dict:
 # outer block compressors mirror the reference's registry
 # (compress/compress.go:8-30): none/snappy/gzip/zstd/lz4 (+zstd9 alias);
 # LZO/BROTLI unsupported there too (README.md:172-173)
-_OUTER_ALIASES = {"zstd9": ("zstd", 9), "lz4": ("lz4_raw", None), "gzip": ("gzip", None)}
+_OUTER_ALIASES = {
+    "zstd7": ("zstd", 7),
+    "zstd9": ("zstd", 9),
+    "lz4": ("lz4_raw", None),
+    "gzip": ("gzip", None),
+}
 
 
 def _outer_compress(body: bytes, name: str, level: int) -> bytes:

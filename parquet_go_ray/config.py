@@ -17,14 +17,21 @@ class EngineConfig:
     sample_max_bytes: int = 1 << 20  # byte cap on the trial sample
     expensive_codecs: tuple = ("fsst",)
     expensive_trial_bytes: int = 128 << 10  # trial subsample for slow kernels
-    outer_codecs: tuple = ("none", "snappy", "zstd", "zstd9")  # block compressors tried
+    outer_codecs: tuple = ("none", "snappy", "zstd", "zstd7", "zstd9")
     zstd_level: int = 3
-    size_tolerance: float = 1.30  # prefer a faster codec if within 30% of min
-                                  # size: measured on the code corpus, zstd9 is
-                                  # ~25% smaller than zstd3 on long text but 8x
-                                  # slower to encode — at 100 TB the throughput
-                                  # wins; the per-chunk reference floor still
-                                  # bounds the output size from above
+    size_tolerance: float = 1.30  # hard guard: candidates more than 30% above
+                                  # the smallest trial size are never eligible,
+                                  # no matter how fast
+    speed_weight: float = 2.5e6   # cost-weighted pick among eligibles:
+                                  # score = ratio + speed_weight * (sec/byte).
+                                  # Semantics: spending 1 CPU-second must save
+                                  # >= speed_weight bytes of output.  Measured
+                                  # break-evens on the code corpus: zstd7 beats
+                                  # zstd3 for w < 3.5 MB/s and beats zstd9/12
+                                  # for w > 1.6 MB/s, so 2.5 MB/s lands on the
+                                  # knee (ratio 7.2x @ 82 MB/s vs 5.8x @ 330 or
+                                  # 7.5x @ 64).  0 = pure min-size; large =
+                                  # fastest-within-tolerance (old behavior)
     enforce_reference_floor: bool = True  # hard per-chunk <= reference-policy size
     per_column_codec: dict = field(default_factory=dict)  # name -> codec override
     plan_codecs_globally: bool = True  # one driver-side plan vs per-chunk trials

@@ -57,7 +57,7 @@ def grouped_agg(
         )
         part = pd.util.hash_pandas_object(agg[key], index=False).to_numpy() % FOLD_PARTS
         agg["__part"] = part.astype(np.int64)
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         return (

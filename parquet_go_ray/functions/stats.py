@@ -47,7 +47,7 @@ def numeric_column_stats(sf_dir: str, table: str, columns: list[str]) -> pa.Tabl
         .agg(n=("n", "sum"), nulls=("nulls", "sum"), min_v=("min_v", "min"), max_v=("max_v", "max"))
         .reset_index()
     )
-    return pa.Table.from_pandas(agg, preserve_index=False)
+    return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
 
 def stats_oracle_sql(table: str, columns: list[str]) -> str:

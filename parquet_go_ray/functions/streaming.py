@@ -98,33 +98,50 @@ class TumblingStreamAggregator:
 
 
 def streaming_tumbling(
-    sf_dir: str, window_sec: int = 900, lateness_sec: int = 3600
+    sf_dir: str,
+    window_sec: int = 900,
+    lateness_sec: int = 3600,
+    windows_per_shard: int = 64,
 ) -> rd.Dataset:
     """Distributed streaming tumbling aggregate: events hash-partitioned by
-    event_type, each partition replayed in ts order through one
-    TumblingStreamAggregator.  With lateness >= stream disorder the result
-    equals the batch tumbling aggregate (the driver's oracle)."""
+    (event_type, window-aligned time range), each partition replayed in ts
+    order through one TumblingStreamAggregator.  With lateness >= stream
+    disorder the result equals the batch tumbling aggregate (the driver's
+    oracle).
+
+    Partitioning assumption: the time-range shard width is an exact multiple
+    of the window (`windows_per_shard` windows per shard), so every window
+    lies entirely inside ONE shard — no boundary fragments to merge — while a
+    single dominant event_type spreads over time shards instead of replaying
+    its whole stream in one straggler task.  The watermark is therefore
+    per-(type-set, range) partition rather than per-type; with lateness
+    covering the stream's disorder the two are equivalent (and the driver's
+    oracle pins that regime)."""
 
     def add_part(batch: pa.Table) -> pa.Table:
         et = batch["event_type"]
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
-        h = (
-            pd.util.hash_pandas_object(et.to_pandas(), index=False).to_numpy()
-            % PARTS
-        )
+        ts = batch["ts"].cast(pa.int64())
+        h = pd.util.hash_pandas_object(et.to_pandas(), index=False).to_numpy()
+        shard = (
+            ts.to_numpy(zero_copy_only=False)
+            // (window_sec * 1_000_000 * windows_per_shard)
+        ).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (h + shard * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(PARTS)
         return pa.table(
             {
                 # int64 MICROSECONDS — keeps pandas from silently switching
                 # the stream to datetime64[ns] units in the partition replay
-                "ts": batch["ts"].cast(pa.int64()),
+                "ts": ts,
                 "event_type": et,
                 "value": batch["value"],
                 "__part": pa.array(h.astype(np.int64)),
             }
         )
 
-    def replay(group: pd.DataFrame) -> pd.DataFrame:
+    def replay(group: pd.DataFrame) -> pa.Table:
         agg = TumblingStreamAggregator(window_sec, lateness_sec)
         g = group.sort_values("ts")
         outs = []
@@ -140,21 +157,14 @@ def streaming_tumbling(
             )
             closed = agg.feed(t)
             if closed.num_rows:
-                outs.append(closed.to_pandas())
+                outs.append(closed)
         tail = agg.flush()
         if tail.num_rows:
-            outs.append(tail.to_pandas())
+            outs.append(tail)
         if not outs:
-            return pd.DataFrame(
-                {
-                    "w": pd.Series(dtype=np.int64),
-                    "event_type": pd.Series(dtype=str),
-                    "n": pd.Series(dtype=np.int64),
-                    "min_v": pd.Series(dtype=np.float64),
-                    "max_v": pd.Series(dtype=np.float64),
-                }
-            )
-        return pd.concat(outs, ignore_index=True)
+            # typed empty keeps every block on one hashable Arrow schema
+            return agg.flush().schema.empty_table()
+        return pa.concat_tables(outs)
 
     ds = _read_parquet_any(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
     return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(

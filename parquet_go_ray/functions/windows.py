@@ -21,6 +21,36 @@ from ..sources.io import read_parquet_any as _read_parquet_any
 
 FOLD_PARTS = 16
 
+# every fold emits THIS Arrow schema, including for empty groups: mixed
+# pandas/arrow blocks (and schema-less empties) make Ray's exchange log
+# schema-hash and RefBundle-mismatch warnings and defeat block-schema dedup
+W_SCHEMA = pa.schema(
+    [
+        ("w", pa.int64()),
+        ("event_type", pa.string()),
+        ("n", pa.int64()),
+        ("min_v", pa.float64()),
+        ("max_v", pa.float64()),
+    ]
+)
+
+SESSION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_start_us", pa.int64()),
+        ("session_end_us", pa.int64()),
+        ("n_events", pa.int64()),
+    ]
+)
+
+
+def _w_table(df: pd.DataFrame) -> pa.Table:
+    if not len(df):
+        return W_SCHEMA.empty_table()
+    return pa.Table.from_pandas(
+        df, schema=W_SCHEMA, preserve_index=False
+    ).replace_schema_metadata(None)
+
 
 def tumbling_window_agg(sf_dir: str, window_sec: int = 900) -> rd.Dataset:
     """(window, event_type) -> count/min/max over tumbling windows.
@@ -50,15 +80,14 @@ def tumbling_window_agg(sf_dir: str, window_sec: int = 900) -> rd.Dataset:
             % FOLD_PARTS
         )
         agg["__part"] = part.astype(np.int64)
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
+    def fold(g: pd.DataFrame) -> pa.Table:
+        return _w_table(
             g.groupby(["w", "event_type"], sort=False)
             .agg(n=("n", "sum"), min_v=("min_v", "min"), max_v=("max_v", "max"))
             .reset_index()
         )
-        return out
 
     ds = _read_parquet_any(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -86,16 +115,9 @@ def session_windows(sf_dir: str, gap_sec: int = 1800) -> rd.Dataset:
 
     gap_us = gap_sec * 1_000_000
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+    def sessions(group: pd.DataFrame) -> pa.Table:
         if not len(group):
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series(dtype=np.int64),
-                    "session_start_us": pd.Series(dtype=np.int64),
-                    "session_end_us": pd.Series(dtype=np.int64),
-                    "n_events": pd.Series(dtype=np.int64),
-                }
-            )
+            return SESSION_SCHEMA.empty_table()
         g = group.sort_values(["user_id", "ts"])
         uid = g.user_id.to_numpy(np.int64)
         ts = g.ts.astype("int64").to_numpy()
@@ -104,12 +126,12 @@ def session_windows(sf_dir: str, gap_sec: int = 1800) -> rd.Dataset:
         sid = np.cumsum(new) - 1
         starts = np.flatnonzero(new)
         ends = np.concatenate([starts[1:] - 1, [len(g) - 1]])
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": uid[starts],
-                "session_start_us": ts[starts],
-                "session_end_us": ts[ends],
-                "n_events": (ends - starts + 1).astype(np.int64),
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_start_us": pa.array(ts[starts], pa.int64()),
+                "session_end_us": pa.array(ts[ends], pa.int64()),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
             }
         )
 
@@ -173,10 +195,10 @@ def hopping_window_agg(sf_dir: str, window_sec: int = 1800, hop_sec: int = 600) 
             % FOLD_PARTS
         )
         agg["__part"] = part.astype(np.int64)
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return (
+    def fold(g: pd.DataFrame) -> pa.Table:
+        return _w_table(
             g.groupby(["w", "event_type"], sort=False)
             .agg(n=("n", "sum"), min_v=("min_v", "min"), max_v=("max_v", "max"))
             .reset_index()

@@ -258,6 +258,14 @@ def _encode_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     return encode_table(batch, cfg)
 
 
+_HASH_SHUFFLE_KNOBS = (
+    "default_hash_shuffle_parallelism",
+    "max_hash_shuffle_aggregators",
+    "hash_shuffle_operator_actor_num_cpus_per_partition_override",
+    "hash_aggregate_operator_actor_num_cpus_per_partition_override",
+)
+
+
 def _budget_hash_shuffle(dc, ncpu: int, num_parts: int) -> None:
     """Pin the hash-shuffle aggregator pool to HALF the logical cluster.
 
@@ -273,14 +281,24 @@ def _budget_hash_shuffle(dc, ncpu: int, num_parts: int) -> None:
     its own aggregator pool; at /2 the two pools reserved the whole cluster
     and the upstream map tasks starved (observed live in driver_sim)."""
     nparts = max(1, num_parts)
-    try:
-        dc.default_hash_shuffle_parallelism = nparts
-        dc.max_hash_shuffle_aggregators = min(64, max(2, ncpu), nparts)
-        per_part = (ncpu / 4.0) / nparts
-        dc.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
-        dc.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part
-    except AttributeError:  # older ray without hash-shuffle knobs
-        pass
+    # assigning unknown attrs on DataContext silently CREATES them, so an
+    # AttributeError guard would be dead code and a renamed knob would no-op
+    # the deadlock protection without signal — gate on hasattr and warn
+    missing = [k for k in _HASH_SHUFFLE_KNOBS if not hasattr(dc, k)]
+    if missing:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "hash-shuffle knobs %s absent on this Ray's DataContext; "
+            "aggregator budgeting disabled (small sessions may starve)",
+            missing,
+        )
+        return
+    dc.default_hash_shuffle_parallelism = nparts
+    dc.max_hash_shuffle_aggregators = min(64, max(2, ncpu), nparts)
+    per_part = (ncpu / 4.0) / nparts
+    dc.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
+    dc.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part
 
 
 def encode_partitioned(
@@ -311,20 +329,18 @@ def encode_partitioned(
     # a Dataset CAPTURES a DataContext copy at creation: mutating only the
     # global context after `read_parquet` silently leaves this dataset on the
     # default sort path (observed: best-of-2 was unknowingly A/B-ing sort vs
-    # hash depending on creation order).  Mutate the dataset's own context
-    # AND the global one (for downstream datasets created later).
-    contexts = [_DC.get_current()]
-    ds_ctx = getattr(ds, "context", None)
-    if ds_ctx is not None and ds_ctx is not contexts[0]:
-        contexts.append(ds_ctx)
+    # hash depending on creation order).  Mutate the dataset's OWN captured
+    # context — derived datasets (map_batches/groupby below) share that same
+    # object, so the whole job sees the knobs, while datasets created later
+    # in the process are untouched (a 3-partition test encode must not pin
+    # global shuffle parallelism to 3 for every subsequent unrelated groupby).
+    dc = getattr(ds, "context", None) or _DC.get_current()
     try:
         from ray.data.context import ShuffleStrategy
 
-        for dc in contexts:
-            dc.shuffle_strategy = getattr(ShuffleStrategy, cfg.shuffle_strategy)
+        dc.shuffle_strategy = getattr(ShuffleStrategy, cfg.shuffle_strategy)
     except (ImportError, AttributeError):  # older ray
-        for dc in contexts:
-            dc.use_push_based_shuffle = True
+        dc.use_push_based_shuffle = True
     if num_parts is None:
         if cfg.partitions:
             num_parts = cfg.partitions
@@ -336,8 +352,7 @@ def encode_partitioned(
             by_size = int(total_bytes // cfg.target_chunk_bytes)
             by_cpu = min(2 * ncpu, int(total_bytes // (8 << 20)))
             num_parts = max(1, by_size, by_cpu)
-    for dc in contexts:
-        _budget_hash_shuffle(dc, ncpu, num_parts)
+    _budget_hash_shuffle(dc, ncpu, num_parts)
     if cfg.plan_codecs_globally and not cfg.per_column_codec:
         cfg = _plan_codecs(ds, cfg)
     salt = cfg.salt_buckets if cfg.salt_buckets is not None else num_parts

@@ -136,6 +136,10 @@ def read_partial_struct(
         for blob in batch["blob"]:
             for f in fields:
                 outs[f].append(decode_column_chunk(blob.as_py(), path=[f]))
+        if not next(iter(outs.values()), []):
+            # zero blob rows in this block: concat_arrays([]) would raise.
+            # Null-typed empties unify with the real schema downstream.
+            return pa.table({f: pa.nulls(0) for f in fields})
         return pa.table(
             {f: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in v]) for f, v in outs.items()}
         )

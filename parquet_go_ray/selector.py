@@ -130,8 +130,8 @@ def candidates_for(values: pa.Array, stats: dict, cfg: EngineConfig) -> list[tup
         # (same data stream modulo length framing) — don't trial it twice
         if card < 0.6:
             add("dict_rle")
-        add("delta_length_ba", ("none", "zstd", "zstd9"))
-        add("delta_ba", ("zstd", "zstd9"))
+        add("delta_length_ba", ("none", "zstd", "zstd7", "zstd9"))
+        add("delta_ba", ("zstd", "zstd7", "zstd9"))
         # FSST's niche is short-to-medium strings (ids, paths, titles) where
         # per-value random access matters; on long text zstd dominates at a
         # fraction of the encode cost, so don't even trial fsst there
@@ -190,12 +190,14 @@ def select_codec(
         times[f"{codec}+{outer}"] = round(cost * 1e9, 2)  # ns/byte
         results.append((ratio, cost, codec, outer))
     best_ratio = min(r[0] for r in results)
-    # cost-aware pick: among candidates within size_tolerance of the smallest,
-    # take the cheapest-to-encode (at 100 TB, ~15% extra bytes never justifies
-    # a 30x slower kernel; the reference floor still bounds the final size)
+    # cost-weighted pick: score = ratio + speed_weight * (sec/byte), i.e. one
+    # CPU-second of encode must save >= speed_weight output bytes to be worth
+    # it (measured break-evens in config.py).  size_tolerance is a hard guard
+    # so a pathological cost sample can never pick a grossly larger codec;
+    # the per-chunk reference floor still bounds the final size from above.
     tol = best_ratio * cfg.size_tolerance
     eligible = [r for r in results if r[0] <= tol]
-    eligible.sort(key=lambda r: (r[1], r[0]))
+    eligible.sort(key=lambda r: (r[0] + cfg.speed_weight * r[1], r[0]))
     _, _, codec, outer = eligible[0]
     stats["trial_ratios"] = ratios
     stats["trial_ns_per_byte"] = times

@@ -174,7 +174,13 @@ def ensure_code_corpus(path: str, n_rows: int, seed: int = 42, chunk: int = 50_0
     dname = os.path.join(path, f"code_sf_v3_{n_rows}_{seed}")
     if not os.path.isdir(dname):
         os.makedirs(path, exist_ok=True)
-        tmp = dname + ".tmp"
+        # unique tmp dir per writer: os.replace on a DIRECTORY is not
+        # overwrite-atomic (a concurrent builder winning the race leaves a
+        # non-empty dname and the rename raises) — losing the race just means
+        # someone else built the identical deterministic corpus
+        import shutil as _shutil
+
+        tmp = f"{dname}.tmp.{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         done = 0
         i = 0
@@ -184,5 +190,10 @@ def ensure_code_corpus(path: str, n_rows: int, seed: int = 42, chunk: int = 50_0
             pq.write_table(t, os.path.join(tmp, f"shard_{i:05d}.parquet"))
             done += rows
             i += 1
-        os.replace(tmp, dname)
+        try:
+            os.replace(tmp, dname)
+        except OSError:
+            if not os.path.isdir(dname):
+                raise
+            _shutil.rmtree(tmp, ignore_errors=True)
     return dname
