@@ -203,6 +203,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["transcode_customer"] = transcode_q
 
+    # -- native PAR1 interop (writer/writer.go:142-225 / layout/page.go:721-937
+    # analogs): engine-encoded pages in a REAL parquet file read back by
+    # DuckDB, and a pyarrow-written delta/BSS file decoded by engine decoders
+    from parquet_go_ray.pipelines.native_io import read_native, transcode_native
+
+    q["transcode_native"] = lambda sf: transcode_native(sf, "customer")
+    q["read_native_lineitem"] = lambda sf: read_native(sf, "lineitem")
+
     # -- aggregation (§2.6) --
     LI_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     q["stats_lineitem"] = lambda sf: numeric_column_stats(sf, "lineitem", LI_NUM)
@@ -431,6 +439,8 @@ def oracle_sql() -> dict[str, str]:
         "rt_embeddings": "SELECT vec_id, label, LEN(embedding) AS dim FROM embeddings",
         "scan_pruned_lineitem": "SELECT l_orderkey FROM lineitem WHERE l_orderkey >= 12000",
         "transcode_customer": "SELECT * FROM customer",
+        "transcode_native": "SELECT * FROM customer",
+        "read_native_lineitem": "SELECT * FROM lineitem",
         "skip_rows_lineitem": (
             "SELECT l_orderkey FROM (SELECT l_orderkey, ROW_NUMBER() OVER () AS rn "
             "FROM lineitem) WHERE rn > 30000 AND rn <= 30500"

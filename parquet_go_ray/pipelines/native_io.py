@@ -1,0 +1,131 @@
+"""Ray pipelines over the native PAR1 writer/reader (formats/par1.py).
+
+Two interop directions, both oracled:
+
+* ``transcode_native`` — Ray reads a parquet table, each batch is written as
+  a REAL parquet file through the engine's own encoders (delta/dict/BSS
+  pages, thrift footer), and a second stage has DuckDB read those files
+  back.  DuckDB acting as the reader is the conformance proof: the oracle
+  hash-match fails unless the engine's pages are spec-exact.
+
+* ``read_native`` — a foreign writer (pyarrow) produces a parquet file with
+  modern encodings (DELTA_BINARY_PACKED / DELTA_BYTE_ARRAY /
+  BYTE_STREAM_SPLIT / RLE_DICTIONARY); Ray decodes it one row group per
+  task entirely through the engine's page decoders
+  (reference read path analog: reader/reader.go:41-89 + layout/page.go:721-937).
+
+Scratch files live under /tmp on this single-node sandbox; on a multi-node
+cluster the manifest/output directory must be shared storage (the engine's
+fsspec-backed sources/io.py covers that).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..formats.par1 import read_par1, read_par1_meta, write_par1
+
+_CUSTOMER_ENCODINGS = {
+    "c_custkey": "delta_bp",
+    "c_name": "delta_ba",
+    "c_nationkey": "dict",
+    "c_acctbal": "byte_stream_split",
+    "c_mktsegment": "dict",
+}
+
+
+def transcode_native(sf_dir: str, table: str = "customer") -> rd.Dataset:
+    """parquet -> engine-encoded PAR1 files (one per batch) -> DuckDB reads
+    them back.  Returns the full table, row-for-row."""
+    out_dir = f"/tmp/pgr_native_{table}_{uuid.uuid4().hex[:8]}"
+    os.makedirs(out_dir, exist_ok=True)
+    encodings = _CUSTOMER_ENCODINGS if table == "customer" else None
+
+    def enc_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        path = os.path.join(out_dir, f"part_{uuid.uuid4().hex}.parquet")
+        write_par1(batch, path, codec="snappy", encodings=encodings)
+        return pa.table({"path": pa.array([path])})
+
+    manifest = rd.read_parquet(f"{sf_dir}/{table}.parquet").map_batches(
+        enc_batch, batch_format="pyarrow", batch_size=None
+    )
+
+    def duck_read(batch: pa.Table) -> pa.Table:
+        import duckdb
+
+        tables = []
+        for p in batch["path"].to_pylist():
+            con = duckdb.connect()
+            try:
+                tables.append(con.sql(f"SELECT * FROM read_parquet('{p}')").arrow())
+            finally:
+                con.close()
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables)
+
+    return manifest.map_batches(duck_read, batch_format="pyarrow", batch_size=None)
+
+
+_LINEITEM_FOREIGN_ENCODING = {
+    "l_orderkey": "DELTA_BINARY_PACKED",
+    "l_partkey": "DELTA_BINARY_PACKED",
+    "l_suppkey": "DELTA_BINARY_PACKED",
+    "l_linenumber": "DELTA_BINARY_PACKED",
+    "l_quantity": "BYTE_STREAM_SPLIT",
+    "l_extendedprice": "BYTE_STREAM_SPLIT",
+    "l_discount": "BYTE_STREAM_SPLIT",
+    "l_tax": "BYTE_STREAM_SPLIT",
+    "l_returnflag": "DELTA_BYTE_ARRAY",
+    "l_linestatus": "DELTA_LENGTH_BYTE_ARRAY",
+    "l_shipdate": "DELTA_BINARY_PACKED",
+}
+
+
+def _ensure_foreign_file(sf_dir: str, table: str = "lineitem") -> str:
+    """pyarrow writes the foreign-encoded input once per (sf, table)."""
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/pgr_foreign_{table}_{tag}.parquet"
+    if not os.path.exists(path):
+        t = pq.read_table(f"{sf_dir}/{table}.parquet")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(
+            t,
+            tmp,
+            compression="zstd",
+            use_dictionary=False,
+            column_encoding=_LINEITEM_FOREIGN_ENCODING if table == "lineitem" else None,
+            row_group_size=8192,
+        )
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            os.unlink(tmp)
+    return path
+
+
+def read_native(sf_dir: str, table: str = "lineitem") -> rd.Dataset:
+    """Foreign (pyarrow-written, delta/BSS-encoded) parquet decoded through
+    the engine's own page decoders, one row group per Ray task."""
+    path = _ensure_foreign_file(sf_dir, table)
+    n_rg = len(read_par1_meta(path)["row_groups"])
+    items = [{"rg": i} for i in range(n_rg)]
+
+    def decode(batch: pa.Table) -> pa.Table:
+        rgs = batch["rg"].to_pylist()
+        if not rgs:
+            return pa.table({})
+        return read_par1(path, row_groups=rgs)
+
+    return rd.from_items(items, override_num_blocks=max(n_rg, 1)).map_batches(
+        decode, batch_format="pyarrow", batch_size=None
+    )

@@ -26,3 +26,8 @@ def ray_session():
 
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def sf_dir():
+    return SF_DIR

@@ -1,0 +1,258 @@
+"""Native PAR1 interop tests.
+
+Write side: engine-encoded pages (PLAIN/RLE_DICTIONARY/DELTA_*/BSS) inside a
+real parquet file must be readable by pyarrow and DuckDB (conformance to the
+public format, the same bytes the reference emits via
+writer/writer.go:142-225 + layout/page.go:219-281).
+
+Read side: pyarrow-written files across encodings/compressions/page versions
+decode bit-identically through the engine's own page decoders
+(layout/page.go:721-937 analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_ray.formats.par1 import read_par1, read_par1_meta, write_par1
+from parquet_go_ray.formats.parquet_meta import SPECS
+from parquet_go_ray.formats.thrift_compact import CompactReader, CompactWriter
+
+
+def _mixed_table(n=5000, seed=3, nulls=True):
+    rng = np.random.default_rng(seed)
+    cols = {
+        "i64": pa.array(rng.integers(-(10**12), 10**12, n)),
+        "i32": pa.array(rng.integers(-1000, 1000, n).astype(np.int32)),
+        "f64": pa.array(rng.normal(size=n)),
+        "f32": pa.array(rng.normal(size=n).astype(np.float32)),
+        "s": pa.array([f"dir/sub_{i % 37}/f_{i}" for i in range(n)]),
+        "lowcard": pa.array([f"k{i % 5}" for i in range(n)]),
+        "b": pa.array(rng.integers(0, 2, n).astype(bool)),
+        "ts": pa.array(rng.integers(0, 10**15, n), pa.timestamp("us")),
+    }
+    t = pa.table(cols)
+    if nulls:
+        mask = rng.random(n) < 0.1
+        t = t.set_column(
+            0, "i64", pa.array(np.where(mask, None, np.asarray(t["i64"])), pa.int64())
+        )
+        t = t.set_column(
+            4,
+            "s",
+            pa.array([None if m else v for m, v in zip(mask, t["s"].to_pylist())], pa.string()),
+        )
+    return t
+
+
+def _tables_equal(a: pa.Table, b: pa.Table) -> bool:
+    if a.num_rows != b.num_rows or set(a.column_names) != set(b.column_names):
+        return False
+    for c in a.column_names:
+        x = a[c].combine_chunks()
+        y = b[c].combine_chunks().cast(x.type)
+        if not x.equals(y):
+            return False
+    return True
+
+
+# -- thrift compact protocol ---------------------------------------------------
+
+
+def test_thrift_roundtrip_footer_structs():
+    fmd = {
+        "version": 2,
+        "schema": [
+            {"name": "schema", "num_children": 2},
+            {"type": 2, "repetition_type": 1, "name": "a", "converted_type": 10},
+            {"type": 6, "repetition_type": 1, "name": "b", "logicalType": {"STRING": {}}},
+        ],
+        "num_rows": 12345,
+        "row_groups": [
+            {
+                "columns": [
+                    {
+                        "file_offset": 4,
+                        "meta_data": {
+                            "type": 2,
+                            "encodings": [0, 3, 8],
+                            "path_in_schema": ["a"],
+                            "codec": 1,
+                            "num_values": 12345,
+                            "total_uncompressed_size": 100,
+                            "total_compressed_size": 50,
+                            "data_page_offset": 40,
+                            "dictionary_page_offset": 4,
+                        },
+                    }
+                ],
+                "total_byte_size": 100,
+                "num_rows": 12345,
+                "file_offset": 4,
+                "total_compressed_size": 50,
+            }
+        ],
+        "created_by": "test",
+    }
+    w = CompactWriter(SPECS)
+    w.write_struct("FileMetaData", fmd)
+    got, pos = CompactReader(SPECS, bytes(w.out)).read_struct("FileMetaData")
+    assert pos == len(w.out)
+    assert got == fmd
+
+
+def test_thrift_parses_real_pyarrow_footer(sf_dir):
+    path = f"{sf_dir}/lineitem.parquet"
+    raw = open(path, "rb").read()
+    assert raw[-4:] == b"PAR1"
+    flen = int.from_bytes(raw[-8:-4], "little")
+    fmd, pos = CompactReader(SPECS, raw[-8 - flen : -8]).read_struct("FileMetaData")
+    assert pos == flen  # consumed exactly, nothing mis-skipped
+    md = pq.read_metadata(path)
+    assert fmd["num_rows"] == md.num_rows
+    assert len(fmd["row_groups"]) == md.num_row_groups
+    c0 = fmd["row_groups"][0]["columns"][0]["meta_data"]
+    assert c0["num_values"] == md.row_group(0).column(0).num_values
+
+
+# -- write side: foreign readers read engine-encoded pages ---------------------
+
+
+def test_write_par1_pyarrow_reads_all_encodings():
+    t = _mixed_table()
+    encs = {
+        "i64": "delta_bp",
+        "i32": "delta_bp",
+        "f64": "byte_stream_split",
+        "f32": "plain",
+        "s": "delta_ba",
+        "lowcard": "dict",
+        "b": "plain",
+        "ts": "delta_bp",
+    }
+    write_par1(t, "/tmp/t_par1_all.parquet", codec="snappy", encodings=encs)
+    got = pq.read_table("/tmp/t_par1_all.parquet")
+    assert _tables_equal(t, got)
+
+
+def test_write_par1_duckdb_reads_it():
+    duckdb = pytest.importorskip("duckdb")
+    t = _mixed_table(seed=4)
+    write_par1(
+        t,
+        "/tmp/t_par1_duck.parquet",
+        codec="zstd",
+        encodings={"s": "delta_length_ba", "i64": "delta_bp", "lowcard": "dict"},
+    )
+    con = duckdb.connect()
+    got = con.sql("SELECT * FROM read_parquet('/tmp/t_par1_duck.parquet')").arrow()
+    con.close()
+    assert _tables_equal(t, got)
+
+
+def test_write_par1_multi_rowgroup_multi_page():
+    t = _mixed_table(n=10000, seed=5)
+    write_par1(
+        t, "/tmp/t_par1_rg.parquet", codec="gzip", row_group_rows=3000, page_rows=700
+    )
+    meta = read_par1_meta("/tmp/t_par1_rg.parquet")
+    assert len(meta["row_groups"]) == 4
+    assert _tables_equal(t, pq.read_table("/tmp/t_par1_rg.parquet"))
+    assert _tables_equal(t, read_par1("/tmp/t_par1_rg.parquet"))
+
+
+def test_write_par1_edge_tables():
+    # empty
+    t0 = pa.table({"a": pa.array([], pa.int64()), "s": pa.array([], pa.string())})
+    write_par1(t0, "/tmp/t_par1_empty.parquet")
+    assert pq.read_table("/tmp/t_par1_empty.parquet").num_rows == 0
+    assert read_par1("/tmp/t_par1_empty.parquet").num_rows == 0
+    # all-null column + single row
+    t1 = pa.table({"a": pa.array([None], pa.int64()), "s": pa.array(["x"])})
+    write_par1(t1, "/tmp/t_par1_null.parquet", encodings={"a": "plain"})
+    assert _tables_equal(t1, pq.read_table("/tmp/t_par1_null.parquet"))
+    assert _tables_equal(t1, read_par1("/tmp/t_par1_null.parquet"))
+
+
+# -- read side: engine decoders over foreign (pyarrow-written) pages ----------
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(compression="snappy"),  # dict-encoded v1 pages (pyarrow default)
+        dict(compression="zstd", use_dictionary=False),  # PLAIN
+        dict(
+            compression="snappy",
+            use_dictionary=False,
+            column_encoding={
+                "i64": "DELTA_BINARY_PACKED",
+                "i32": "DELTA_BINARY_PACKED",
+                "s": "DELTA_BYTE_ARRAY",
+                "lowcard": "DELTA_LENGTH_BYTE_ARRAY",
+                "f64": "BYTE_STREAM_SPLIT",
+                "f32": "BYTE_STREAM_SPLIT",
+                "b": "PLAIN",
+                "ts": "DELTA_BINARY_PACKED",
+            },
+        ),
+        dict(compression="snappy", data_page_version="2.0"),  # v2 pages
+        dict(compression="gzip", row_group_size=1000),  # multi row group
+        dict(compression="none"),
+    ],
+    ids=["dict_v1", "plain_zstd", "delta_family", "v2_pages", "multi_rg", "uncompressed"],
+)
+def test_read_par1_foreign(kw, tmp_path):
+    t = _mixed_table(seed=7)
+    path = str(tmp_path / "foreign.parquet")
+    pq.write_table(t, path, **kw)
+    got = read_par1(path)
+    assert _tables_equal(t, got)
+
+
+def test_read_par1_column_and_rowgroup_selection(tmp_path):
+    t = _mixed_table(n=4000, seed=9)
+    path = str(tmp_path / "sel.parquet")
+    pq.write_table(t, path, row_group_size=1000)
+    got = read_par1(path, columns=["i64", "s"], row_groups=[1, 2])
+    assert got.column_names == ["i64", "s"]
+    assert got.num_rows == 2000
+    assert _tables_equal(t.select(["i64", "s"]).slice(1000, 2000), got)
+
+
+def test_read_par1_rejects_nested(tmp_path):
+    t = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    path = str(tmp_path / "nested.parquet")
+    pq.write_table(t, path)
+    with pytest.raises(NotImplementedError):
+        read_par1(path)
+
+
+def test_par1_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n=st.integers(1, 300),
+        seed=st.integers(0, 2**16),
+        enc=st.sampled_from(["plain", "delta_bp", "dict"]),
+        codec=st.sampled_from(["none", "snappy", "zstd"]),
+    )
+    def prop(n, seed, enc, codec):
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(-(2**40), 2**40, n)
+        mask = rng.random(n) < 0.2
+        t = pa.table({"v": pa.array(np.where(mask, None, vals), pa.int64())})
+        path = f"/tmp/t_par1_prop_{seed}_{n}.parquet"
+        write_par1(t, path, codec=codec, encodings={"v": enc}, page_rows=64)
+        assert _tables_equal(t, pq.read_table(path))
+        assert _tables_equal(t, read_par1(path))
+        import os
+
+        os.unlink(path)
+
+    prop()
