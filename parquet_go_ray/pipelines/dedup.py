@@ -277,31 +277,74 @@ def _attach_pair_values(
 # ---------------------------------------------------------------------------
 
 
-def _add_part_hash(parts: int):
+def _text_hash_keys(parts: int):
+    """(doc_id, h1, h2, __part) — the ONLY payload the exact-dedup exchange
+    moves: two independent 64-bit text hashes (128 bits total; collision odds
+    ~n²/2¹²⁹, negligible even at 10¹² docs) instead of the text itself."""
+
     def fn(batch: pa.Table) -> pa.Table:
         import polars as pl
 
-        h = pl.from_arrow(batch.select(["text"])).with_columns(
-            pl.col("text").hash(seed=7).alias("__h")
-        )["__h"].to_numpy()
-        return batch.append_column(
-            "__part", pa.array((h.astype(np.uint64) % np.uint64(parts)).astype(np.int64))
+        df = pl.from_arrow(batch.select(["text"]))
+        h1 = df["text"].hash(seed=7).to_numpy().astype(np.uint64)
+        h2 = df["text"].hash(seed=1299709).to_numpy().astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h1": pa.array(h1.view(np.int64)),
+                "h2": pa.array(h2.view(np.int64)),
+                "__part": pa.array((h1 % np.uint64(parts)).astype(np.int64)),
+            }
         )
 
     return fn
 
 
-def _dedup_partition(group: pd.DataFrame) -> pd.DataFrame:
-    # one hash PARTITION (many texts): single vectorized drop_duplicates
-    g = group.sort_values("doc_id").drop_duplicates(subset="text", keep="first")
-    return g.drop(columns="__part")
+def _loser_ids(group: pd.DataFrame) -> pa.Table:
+    """Per hash-partition: every doc_id except the min of its (h1, h2) group.
+    Output is duplicate-count-sized, not corpus-sized."""
+    g = group.sort_values("doc_id")
+    dup = g.duplicated(subset=["h1", "h2"], keep="first")
+    return pa.table({"doc_id": pa.array(g["doc_id"].to_numpy(np.int64)[dup.to_numpy()])})
 
 
 def dedup_exact(sf_dir: str, parts: int = 64) -> rd.Dataset:
-    """Exact text dedup; survivors keep all original columns.  Identical texts
-    hash to the same partition, so per-partition drop_duplicates is exact."""
-    ds = _docs(sf_dir).map_batches(_add_part_hash(parts), batch_format="pyarrow")
-    return ds.groupby("__part").map_groups(_dedup_partition, batch_format="pandas")
+    """Exact text dedup; survivors keep all original columns.
+
+    Scale shape (the full-text shuffle of earlier rounds is gone): the one
+    exchange moves (doc_id, 128-bit text hash) — ~24 bytes/row instead of
+    the whole corpus.  Per partition the min doc_id per hash wins; LOSER ids
+    (duplicate-count-sized, typically a small fraction of the corpus) come
+    back to the driver, are broadcast once via ray.put, and a second
+    streaming pass filters the corpus with a vectorized searchsorted —
+    the same broadcast-apply pattern as _labels_to_clusters."""
+    import ray
+
+    keys = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _text_hash_keys(parts), batch_format="pyarrow"
+    )
+    lpdf = keys.groupby("__part").map_groups(_loser_ids, batch_format="pandas").to_pandas()
+    # a dup-free corpus yields all-empty blocks, where to_pandas drops columns
+    losers = (
+        lpdf["doc_id"].to_numpy(np.int64) if "doc_id" in lpdf.columns else np.empty(0, np.int64)
+    )
+    losers.sort()
+    ref = ray.put(losers)
+
+    class Keep:
+        def __init__(self, ref):
+            self.losers = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            doc = np.asarray(b["doc_id"], dtype=np.int64)
+            if not len(self.losers):
+                return b
+            idx = np.searchsorted(self.losers, doc).clip(0, len(self.losers) - 1)
+            return b.filter(pa.array(self.losers[idx] != doc))
+
+    return _docs(sf_dir).map_batches(
+        Keep, batch_format="pyarrow", concurrency=(1, 8), fn_constructor_kwargs={"ref": ref}
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -462,25 +505,41 @@ def minhash_bands(sf_dir: str, sigs: rd.Dataset | None = None) -> rd.Dataset:
     return sigs.map_batches(fn, batch_format="pyarrow")
 
 
+def _run_pairs_idx(keys_sorted: np.ndarray, cap: int = 2000) -> tuple[np.ndarray, np.ndarray]:
+    """Global index pairs (i < j) within equal-key runs of a SORTED key
+    array, skipping runs longer than `cap` (mega-bucket skew guard).  No
+    per-bucket Python loop: runs are grouped by length and each distinct
+    length costs ONE broadcasted triu expansion — a band with millions of
+    tiny buckets has only a handful of distinct bucket sizes."""
+    n = len(keys_sorted)
+    empty = np.empty(0, np.int64)
+    if n == 0:
+        return empty, empty
+    bounds = np.flatnonzero(keys_sorted[1:] != keys_sorted[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    lens = np.diff(np.concatenate((starts, [n])))
+    sel = (lens >= 2) & (lens <= cap)
+    starts, lens = starts[sel], lens[sel]
+    outs_a, outs_b = [], []
+    for L in np.unique(lens):
+        s = starts[lens == L]
+        i, j = np.triu_indices(int(L), k=1)
+        outs_a.append((s[:, None] + i[None, :]).ravel())
+        outs_b.append((s[:, None] + j[None, :]).ravel())
+    if not outs_a:
+        return empty, empty
+    return np.concatenate(outs_a), np.concatenate(outs_b)
+
+
 def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """All bucket pairs within ONE band, vectorized: sort by key, split into
-    key-runs, emit each small bucket's pair set.  One task per band instead
-    of one map_groups call per (band, key) bucket."""
+    """All bucket pairs within ONE band: lexsort by (key, doc_id) so ids are
+    ascending inside each key-run, then vectorized run-pair expansion."""
     keys = group["key"].to_numpy()
     ids = group["doc_id"].to_numpy()
-    order = np.argsort(keys, kind="stable")
+    order = np.lexsort((ids, keys))
     ks, di = keys[order], ids[order]
-    bounds = np.flatnonzero(np.diff(ks)) + 1
-    outs_a, outs_b = [], []
-    for bucket in np.split(di, bounds):
-        if 2 <= len(bucket) <= 2000:  # skew guard: give up on mega-buckets
-            bs = np.sort(bucket)
-            a, b = np.triu_indices(len(bs), k=1)
-            outs_a.append(bs[a])
-            outs_b.append(bs[b])
-    if not outs_a:
-        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
-    return pd.DataFrame({"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)})
+    ia, ib = _run_pairs_idx(ks)
+    return pd.DataFrame({"a": di[ia], "b": di[ib]})
 
 
 def minhash_bucket_stats(sf_dir: str, cap: int = 2000) -> pd.DataFrame:
@@ -1106,31 +1165,12 @@ def dedup_simhash(
         keys = group["key"].to_numpy()
         ids = group["doc_id"].to_numpy()
         sg = group["sig"].to_numpy().astype(np.int64).view(np.uint64)
-        order = np.argsort(keys, kind="stable")
+        order = np.lexsort((ids, keys))
         ks, di, sgo = keys[order], ids[order], sg[order]
-        bounds = np.flatnonzero(np.diff(ks)) + 1
-        pa_, pb_, sa_, sb_ = [], [], [], []
-        for grp in np.split(np.arange(len(ks)), bounds):
-            if 2 <= len(grp) <= 2000:  # skew guard
-                o = grp[np.argsort(di[grp])]
-                i, j = np.triu_indices(len(o), k=1)
-                pa_.append(di[o][i])
-                pb_.append(di[o][j])
-                sa_.append(sgo[o][i])
-                sb_.append(sgo[o][j])
-        if not pa_:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series(dtype=np.int64),
-                    "b": pd.Series(dtype=np.int64),
-                    "hamming": pd.Series(dtype=np.int64),
-                }
-            )
-        A = np.concatenate(pa_)
-        Bv = np.concatenate(pb_)
-        ham = _popcount64(np.concatenate(sa_) ^ np.concatenate(sb_)).astype(np.int64)
+        ia, ib = _run_pairs_idx(ks)
+        ham = _popcount64(sgo[ia] ^ sgo[ib]).astype(np.int64)
         keep = ham <= max_hamming
-        return pd.DataFrame({"a": A[keep], "b": Bv[keep], "hamming": ham[keep]})
+        return pd.DataFrame({"a": di[ia][keep], "b": di[ib][keep], "hamming": ham[keep]})
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
     pairs = bands.groupby("band").map_groups(band_pairs, batch_format="pandas")

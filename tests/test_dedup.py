@@ -121,3 +121,46 @@ def test_ngram_jaccard_pairs_planted(planted):
         assert (i - 36, i) in got
     ones = pairs[pairs.jaccard == 1.0]
     assert len(ones) >= 4
+
+
+def test_exact_dedup_exchange_payload_is_hashes_only(ray_session, planted):
+    """The shuffle side of exact dedup must carry (doc_id, h1, h2, __part) —
+    never the text (the 100 TB shuffle-bytes bill)."""
+    from parquet_go_ray.pipelines.dedup import _docs, _text_hash_keys
+
+    keys = _docs(planted, ["doc_id", "text"]).map_batches(
+        _text_hash_keys(8), batch_format="pyarrow"
+    )
+    batch = keys.take_batch(10, batch_format="pyarrow")
+    assert set(batch.column_names) == {"doc_id", "h1", "h2", "__part"}
+    # fixed-width payload: ~32 bytes/row regardless of text size
+    assert batch.nbytes <= 40 * batch.num_rows
+
+
+def test_run_pairs_idx_matches_per_bucket_triu():
+    """Vectorized run-pair expansion == the old per-bucket triu loop."""
+    from parquet_go_ray.pipelines.dedup import _run_pairs_idx
+
+    rng = np.random.default_rng(11)
+    keys = np.sort(rng.integers(0, 50, 500))
+    ids = rng.permutation(500).astype(np.int64)
+    order = np.lexsort((ids, keys))
+    ks, di = keys[order], ids[order]
+    ia, ib = _run_pairs_idx(ks, cap=30)
+    got = set(zip(di[ia].tolist(), di[ib].tolist()))
+    # reference: per-bucket loop
+    want = set()
+    bounds = np.flatnonzero(np.diff(ks)) + 1
+    for bucket in np.split(di, bounds):
+        if 2 <= len(bucket) <= 30:
+            bs = np.sort(bucket)
+            i, j = np.triu_indices(len(bs), k=1)
+            want |= set(zip(bs[i].tolist(), bs[j].tolist()))
+    assert got == want
+    assert all(a < b for a, b in got)
+
+    # empty and degenerate inputs
+    e1, e2 = _run_pairs_idx(np.empty(0, np.int64))
+    assert len(e1) == len(e2) == 0
+    e1, e2 = _run_pairs_idx(np.array([5]))
+    assert len(e1) == 0
