@@ -44,6 +44,7 @@ def entry() -> Any:
     import shutil
 
     import ray.data as rd
+    from parquet_go_ray.sources.io import read_parquet_any as _rpq
 
     from parquet_go_ray.config import EngineConfig
     from parquet_go_ray.pipelines.encode_pipeline import encode_partitioned
@@ -151,12 +152,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analog §2.4): chunks whose min/max exclude the predicate are never
         # decompressed
         import ray.data as rd
+        from parquet_go_ray.sources.io import read_parquet_any as _rpq
 
         from parquet_go_ray.config import EngineConfig
         from parquet_go_ray.pipelines.encode_pipeline import encode_dataset
         from parquet_go_ray.pipelines.scan import scan_column
 
-        ds = rd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_orderkey"])
+        ds = _rpq(f"{sf}/lineitem.parquet", columns=["l_orderkey"])
         chunks = encode_dataset(ds, EngineConfig(batch_size_rows=4096))
         out = scan_column(chunks, "l_orderkey", predicate=(">=", 12000))
         return out.select_columns(["l_orderkey"])
@@ -168,12 +170,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # whole chunks before the offset skipped undecoded, the boundary
         # chunk decoded only for its in-chunk range
         import ray.data as rd
+        from parquet_go_ray.sources.io import read_parquet_any as _rpq
 
         from parquet_go_ray.config import EngineConfig
         from parquet_go_ray.pipelines.encode_pipeline import encode_dataset
         from parquet_go_ray.pipelines.scan import skip_read
 
-        ds = rd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_orderkey"])
+        ds = _rpq(f"{sf}/lineitem.parquet", columns=["l_orderkey"])
         chunks = encode_dataset(ds, EngineConfig(batch_size_rows=4096))
         return skip_read(chunks, "l_orderkey", row_offset=30000, row_count=500)
 
@@ -186,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import tempfile
 
         import ray.data as rd
+        from parquet_go_ray.sources.io import read_parquet_any as _rpq
 
         from parquet_go_ray.config import EngineConfig
         from parquet_go_ray.pipelines.transcode import chunks_to_parquet, parquet_to_chunks
@@ -244,11 +248,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as _pa
 
         import ray.data as rd
+        from parquet_go_ray.sources.io import read_parquet_any as _rpq
 
         from parquet_go_ray.functions.joins import hash_join
 
-        orders = rd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-        cust = rd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+        orders = _rpq(f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = _rpq(f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
         return hash_join(
             orders, cust, on="o_custkey", right_on="c_custkey",
             left_schema=_pa.schema(
@@ -261,11 +266,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def lookup_customer_nation(sf):
         import ray.data as rd
+        from parquet_go_ray.sources.io import read_parquet_any as _rpq
 
         from parquet_go_ray.functions.joins import broadcast_join
 
-        cust = rd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-        nation = rd.read_parquet(f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+        cust = _rpq(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+        nation = _rpq(f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
         nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
         return broadcast_join(cust, nation, on="c_nationkey")
 
@@ -273,10 +279,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def distinct_flags(sf):
         import ray.data as rd
+        from parquet_go_ray.sources.io import read_parquet_any as _rpq
 
         from parquet_go_ray.pipelines.dedup import _distinct
 
-        ds = rd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_linenumber", "l_suppkey"])
+        ds = _rpq(f"{sf}/lineitem.parquet", columns=["l_linenumber", "l_suppkey"])
         # distinct over int keys via the hash-partitioned DISTINCT primitive
         return _distinct(ds, ["l_linenumber"], parts=8).select_columns(["l_linenumber"])
 
@@ -362,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as _pa
 
         import ray.data as rd
+        from parquet_go_ray.sources.io import read_parquet_any as _rpq
 
         from parquet_go_ray.config import EngineConfig
         from parquet_go_ray.functions.converters import (
@@ -371,7 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from parquet_go_ray.pipelines.encode_pipeline import encode_dataset
         from parquet_go_ray.stages.encode import reassemble_blocks
 
-        ds = rd.read_parquet(f"{sf}/events.parquet", columns=["event_id", "ts"])
+        ds = _rpq(f"{sf}/events.parquet", columns=["event_id", "ts"])
 
         def pack(b):
             return _pa.table({"event_id": b["event_id"], "i96": timestamp_to_int96(b["ts"])})

@@ -450,7 +450,12 @@ def encode_column_chunk(
 
     `precomputed` short-circuits the value encoding with a (payload, meta)
     pair already produced for the null-free values (the selector hands its
-    full-column trial encoding back through this)."""
+    full-column trial encoding back through this).
+
+    With ``cfg.page_rows`` set, large chunks use the paged layout (sub-chunk
+    page index — the ColumnIndex/OffsetIndex analog, reference:
+    writer/writer.go:418-481) so row-range reads decode only the overlapping
+    pages for EVERY codec, not just PLAIN fixed-width."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     orig_type = str(arr.type)
@@ -464,6 +469,11 @@ def encode_column_chunk(
     else:
         levels = rle_mod.encode_levels(np.empty(0, dtype=np.uint64), 1)
         values = phys
+    if cfg.page_rows and len(values) > cfg.page_rows:
+        return _encode_paged_chunk(
+            arr, values, levels, codec, outer, cfg,
+            n=n, null_count=null_count, orig_type=orig_type, logical=logical,
+        )
     if precomputed is not None:
         payload, meta = precomputed[0], dict(precomputed[1])
     else:
@@ -492,6 +502,216 @@ def encode_column_chunk(
         "enc_bytes": len(blob),
         "blob": blob,
         "sha256": column_sha256(arr) if cfg.verify_sha256 else "",
+    }
+
+
+def _encode_paged_chunk(
+    arr, values, levels, codec, outer, cfg,
+    *, n, null_count, orig_type, logical,
+) -> dict:
+    """Paged chunk layout (sub-chunk page index, the OffsetIndex analog —
+    reference: writer/writer.go:418-481 builds per-page row/byte offsets into
+    the footer; here they live in the chunk meta):
+
+        body := varint(len(levels)) levels            (uncompressed — tiny RLE)
+              | shared                                 (outer-compressed)
+              | page_0 | page_1 | ...                  (each outer-compressed)
+
+    Pages split the NULL-FREE value stream at uniform ``cfg.page_rows``
+    boundaries; ``meta["pages"]`` holds ``[comp_len, raw_len, page_meta]`` per
+    page, so a row-range decode maps rows -> values via the level stream and
+    touches only the overlapping pages.  ``dict_rle`` keeps ONE chunk-level
+    dictionary in the shared section (like parquet's dict page) with per-page
+    hybrid index streams; every other codec encodes each page independently."""
+    from . import codecs as codecs_mod  # noqa: F401  (registry side effects)
+
+    nv = len(values)
+    pr = int(cfg.page_rows)
+    bounds = list(range(0, nv, pr)) + [nv]
+    shared_raw = b""
+    page_raws: list[bytes] = []
+    page_metas: list[dict] = []
+    extra: dict = {}
+    if codec == "dict_rle":
+        from .bits import bit_width
+        from .codecs.plain import encode_plain
+        from .codecs.rle import encode_hybrid
+
+        denc = pc.dictionary_encode(values)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        dict_vals = denc.dictionary
+        indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+        shared_raw, _ = encode_plain(dict_vals)
+        extra["dict_rows"] = len(dict_vals)
+        w = bit_width(max(len(dict_vals) - 1, 0))
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            page_raws.append(bytes([w]) + encode_hybrid(indices[a:b], w))
+            page_metas.append({})
+    else:
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            praw, pmeta = codecs.encode(codec, values.slice(a, b - a))
+            pmeta.pop("codec", None)
+            pmeta.pop("rows", None)
+            page_raws.append(praw)
+            page_metas.append(pmeta)
+    shared_comp = _outer_compress(shared_raw, outer, cfg.zstd_level) if shared_raw else b""
+    pages = []
+    comp_pages = []
+    for praw, pmeta in zip(page_raws, page_metas):
+        pcomp = _outer_compress(praw, outer, cfg.zstd_level)
+        comp_pages.append(pcomp)
+        pages.append([len(pcomp), len(praw), pmeta])
+    meta = {
+        "codec": "paged",
+        "inner": codec,
+        "outer": outer,
+        "n": n,
+        "nulls": null_count,
+        "type": orig_type,
+        "logical": logical,
+        "page_rows": pr,
+        "shared": len(shared_comp),
+        "shared_raw": len(shared_raw),
+        "pages": pages,
+        "raw_body": 0,
+        **extra,
+    }
+    meta.update(_stats(values))
+    meta_json = json.dumps(meta, separators=(",", ":")).encode()
+    body = write_uvarint(len(levels)) + levels + shared_comp + b"".join(comp_pages)
+    blob = MAGIC + write_uvarint(len(meta_json)) + meta_json + body
+    return {
+        "codec": codec,
+        "outer": outer,
+        "rows": n,
+        "nulls": null_count,
+        "raw_bytes": raw_nbytes(arr),
+        "enc_bytes": len(blob),
+        "blob": blob,
+        "sha256": column_sha256(arr) if cfg.verify_sha256 else "",
+    }
+
+
+def _paged_page_range(meta: dict, v0: int, v1: int) -> tuple[int, int]:
+    """Indices [first, last] of pages overlapping value range [v0, v1)."""
+    pr = meta["page_rows"]
+    if v1 <= v0:
+        return 0, -1
+    return v0 // pr, (v1 - 1) // pr
+
+
+def _decode_paged_chunk(meta: dict, blob: bytes, pos: int, sel) -> pa.Array:
+    """Decode a paged chunk, touching only the pages overlapping the selected
+    ROW range (``sel = (row_offset, row_count)`` or None for all rows)."""
+    body = blob[pos:]
+    llen, p = read_uvarint(body, 0)
+    levels_buf = body[p : p + llen]
+    p += llen
+    n, nulls = meta["n"], meta["nulls"]
+    nv = n - nulls
+    outer = meta["outer"]
+    validity = None
+    if nulls:
+        dl, _ = rle_mod.decode_levels(levels_buf, 1, n)
+        validity = dl.astype(bool)
+    if sel:
+        r0, rc = sel
+        if validity is not None:
+            counts = np.cumsum(validity)
+            v0 = int(counts[r0 - 1]) if r0 > 0 else 0
+            v1 = int(counts[r0 + rc - 1]) if rc > 0 else v0
+        else:
+            v0, v1 = r0, r0 + rc
+    else:
+        r0, rc = 0, n
+        v0, v1 = 0, nv
+    typ = _chunk_type(meta)
+    vt = _value_type(typ)
+    inner = meta["inner"]
+    shared_vals = None
+    if meta["shared"]:
+        sraw = _outer_decompress(body[p : p + meta["shared"]], outer, meta["shared_raw"])
+        if inner == "dict_rle":
+            from .codecs.plain import decode_plain
+
+            shared_vals = decode_plain(sraw, {"rows": meta["dict_rows"]}, vt)
+        p += meta["shared"]
+    pr = meta["page_rows"]
+    first, last = _paged_page_range(meta, v0, v1)
+    parts = []
+    off = p
+    for i, (clen, rlen, pmeta) in enumerate(meta["pages"]):
+        if first <= i <= last:
+            pv0 = i * pr
+            pcnt = min(pr, nv - pv0)
+            praw = _outer_decompress(body[off : off + clen], outer, rlen)
+            if inner == "dict_rle":
+                from .codecs.rle import decode_hybrid
+
+                w = praw[0]
+                if pcnt == 0:
+                    parts.append(shared_vals.slice(0, 0))
+                else:
+                    idx, _ = decode_hybrid(praw, w, pcnt, 1)
+                    parts.append(
+                        shared_vals.take(pa.array(idx.astype(np.int64), pa.int64()))
+                    )
+            else:
+                pm = dict(pmeta)
+                pm["codec"] = inner
+                pm["rows"] = pcnt
+                parts.append(codecs.decode(praw, pm, vt))
+        off += clen
+    if parts:
+        values = (
+            parts[0]
+            if len(parts) == 1
+            else pa.concat_arrays([x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in parts])
+        )
+        values = values.slice(v0 - first * pr, v1 - v0)
+    else:
+        values = pa.array([], type=vt)
+    if nulls == n:
+        out = pa.nulls(rc, type=values.type)
+    elif nulls:
+        vsel = validity[r0 : r0 + rc]
+        idx = np.maximum(np.cumsum(vsel) - 1, 0)
+        taken = values.take(pa.array(idx, type=pa.int64()))
+        out = pc.if_else(pa.array(vsel), taken, pa.scalar(None, type=taken.type))
+    else:
+        out = values
+    if meta["logical"] is not None:
+        out = out.view(_parse_t(meta["logical"]))
+    return out
+
+
+def paged_skip_stats(blob: bytes, row_offset: int, row_count: int) -> dict:
+    """Decoded-bytes accounting for a row-range read of a paged chunk —
+    meta-only, nothing is decompressed.  Proves the page index skips: for a
+    mid-chunk range, ``bytes_decoded`` << ``bytes_total``."""
+    assert blob[:4] == MAGIC
+    mlen, pos = read_uvarint(blob, 4)
+    meta = json.loads(blob[pos : pos + mlen])
+    assert meta["codec"] == "paged", meta["codec"]
+    n, nulls = meta["n"], meta["nulls"]
+    nv = n - nulls
+    if nulls:
+        # conservative: without decoding levels the value range is unknown;
+        # assume rows == values (an upper bound on pages touched)
+        v0, v1 = row_offset, min(row_offset + row_count, nv)
+    else:
+        v0, v1 = row_offset, row_offset + row_count
+    first, last = _paged_page_range(meta, v0, min(v1, nv))
+    total = sum(pl for pl, _, _ in meta["pages"])
+    picked = sum(
+        pl for i, (pl, _, _) in enumerate(meta["pages"]) if first <= i <= last
+    )
+    return {
+        "pages_total": len(meta["pages"]),
+        "pages_decoded": max(last - first + 1, 0),
+        "bytes_total": total + meta["shared"],
+        "bytes_decoded": picked + meta["shared"],
     }
 
 
@@ -536,6 +756,8 @@ def decode_column_chunk(
     if meta["codec"] == "list":
         out = _decode_list_chunk(meta, blob, pos)
         return out.slice(*sel) if sel else out
+    if meta["codec"] == "paged":
+        return _decode_paged_chunk(meta, blob, pos, sel)
     if (
         sel
         and meta["codec"] == "plain"

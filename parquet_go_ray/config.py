@@ -22,20 +22,41 @@ class EngineConfig:
     size_tolerance: float = 1.30  # hard guard: candidates more than 30% above
                                   # the smallest trial size are never eligible,
                                   # no matter how fast
-    speed_weight: float = 2.5e6   # cost-weighted pick among eligibles:
-                                  # score = ratio + speed_weight * (sec/byte).
-                                  # Semantics: spending 1 CPU-second must save
-                                  # >= speed_weight bytes of output.  Measured
-                                  # break-evens on the code corpus: zstd7 beats
-                                  # zstd3 for w < 3.5 MB/s and beats zstd9/12
-                                  # for w > 1.6 MB/s, so 2.5 MB/s lands on the
-                                  # knee (ratio 7.2x @ 82 MB/s vs 5.8x @ 330 or
-                                  # 7.5x @ 64).  0 = pure min-size; large =
-                                  # fastest-within-tolerance (old behavior)
+    speed_weight: float = 1.0e-4  # cost-weighted pick among eligibles:
+                                  # score = ratio + speed_weight * slowdown,
+                                  # where slowdown = encode_sec / memcpy_sec
+                                  # for the SAME sample bytes, measured in the
+                                  # same instant.  Dimensionless and host-
+                                  # phase-INVARIANT: this hypervisor swings
+                                  # 2-4x between runs, and an absolute sec/byte
+                                  # cost term silently flipped selections back
+                                  # to fast codecs in slow phases (observed:
+                                  # size_vs_reference 0.499 vs 0.593 across
+                                  # runs of identical code).  Semantics: one
+                                  # memcpy-multiple of encode time must save
+                                  # speed_weight fraction of raw size.
+                                  # Measured slowdowns on the code corpus:
+                                  # snappy 21x, zstd3 40x, zstd7 169x,
+                                  # zstd9 193x; at 1.0e-4 the zstd7/9-class
+                                  # outers win decisively over zstd3 (the
+                                  # knee at 2.0e-4 was inside measurement
+                                  # noise and still flipped outers between
+                                  # runs) while truly slow kernels (fsst on
+                                  # long text) stay rejected.  0 = pure
+                                  # min-size
     enforce_reference_floor: bool = True  # hard per-chunk <= reference-policy size
     per_column_codec: dict = field(default_factory=dict)  # name -> codec override
     plan_codecs_globally: bool = True  # one driver-side plan vs per-chunk trials
     plan_sample_rows: int = 20000
+    page_rows: int | None = None     # sub-chunk page index (OffsetIndex analog,
+                                     # reference: writer/writer.go:418-481): split
+                                     # each scalar chunk into pages of this many
+                                     # values, each independently compressed +
+                                     # decodable, with per-page offsets in chunk
+                                     # meta — row-range reads then decode ONLY the
+                                     # overlapping pages (true row-skip for
+                                     # dict/delta/rle chunks, not just PLAIN).
+                                     # None = single-payload chunks (default)
     # pipeline shape
     cpus_per_encode_task: int = 4    # encode tasks are memory-bandwidth-heavy:
                                      # reserving >1 CPU keeps schedulers from

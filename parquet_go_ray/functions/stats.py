@@ -12,6 +12,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..sources.io import read_parquet_any as _read_parquet_any
+
 
 def _batch_stats(columns: list[str]):
     def fn(batch: pa.Table) -> pa.Table:
@@ -39,7 +41,7 @@ def _batch_stats(columns: list[str]):
 
 def numeric_column_stats(sf_dir: str, table: str, columns: list[str]) -> pa.Table:
     """Distributed min/max/null-count/count for numeric columns."""
-    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    ds = _read_parquet_any(f"{sf_dir}/{table}.parquet", columns=columns)
     partials = ds.map_batches(_batch_stats(columns), batch_format="pyarrow")
     pdf = partials.to_pandas()  # tiny: one row per (batch, column)
     agg = (

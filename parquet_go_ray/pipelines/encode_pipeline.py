@@ -392,11 +392,75 @@ def encode_partitioned(
             ds = ds.map_batches(drop_done, batch_format="pyarrow")
     import functools
 
-    return ds.groupby("__part").map_groups(
-        functools.partial(encode_partition, cfg=cfg, out_dir=out_dir),
+    # map_groups == repartition(keys, sort) + map_batches(batch_size=None),
+    # but its wrapper yields NOTHING for an empty shuffle partition, so Ray
+    # fabricates a schema-less empty block and the executor warns on every
+    # such RefBundle.  Express the same plan directly: our block fn splits
+    # key runs itself and emits TYPED empties for empty partitions.
+    try:
+        shuffled = ds.repartition(num_parts, keys=["__part"], sort=True)
+    except TypeError:  # older ray: no keys= support; fall back to map_groups
+        return ds.groupby("__part").map_groups(
+            functools.partial(encode_partition, cfg=cfg, out_dir=out_dir),
+            batch_format="pyarrow",
+            num_cpus=_task_cpus(cfg),
+        )
+    return shuffled.map_batches(
+        functools.partial(_encode_groups_block, cfg=cfg, out_dir=out_dir),
         batch_format="pyarrow",
+        batch_size=None,
         num_cpus=_task_cpus(cfg),
     )
+
+
+_METRICS_SCHEMA = pa.schema(
+    [
+        ("part", pa.int64()),
+        ("rows", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("ref_bytes", pa.int64()),
+        ("chunks", pa.int64()),
+        ("encode_sec", pa.float64()),
+    ]
+)
+
+_CHUNK_SCHEMA = pa.schema(
+    [
+        ("chunk_id", pa.string()),
+        ("part", pa.int64()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("outer", pa.string()),
+        ("rows", pa.int64()),
+        ("nulls", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("ref_bytes", pa.int64()),
+        ("sha256", pa.string()),
+        ("blob", pa.large_binary()),
+    ]
+)
+
+
+def _encode_groups_block(
+    block: pa.Table, cfg: EngineConfig, out_dir: str | None
+) -> pa.Table:
+    """One sorted shuffle partition -> encode each __part run; typed empty
+    for empty partitions (keeps every block schema identical)."""
+    empty = _METRICS_SCHEMA.empty_table() if out_dir is not None else _CHUNK_SCHEMA.empty_table()
+    if block.num_rows == 0:
+        return empty
+    parts = np.asarray(block["__part"])
+    bounds = np.flatnonzero(parts[1:] != parts[:-1]) + 1
+    starts = np.concatenate(([0], bounds, [len(parts)]))
+    outs = []
+    for a, b in zip(starts[:-1], starts[1:]):
+        if b > a:
+            outs.append(encode_partition(block.slice(a, b - a), cfg, out_dir))
+    if not outs:
+        return empty
+    return pa.concat_tables(outs).cast(empty.schema)
 
 
 def decode_partitions(out_dir: str, parts: list[int] | None = None) -> rd.Dataset:

@@ -28,6 +28,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..sources.io import read_parquet_any as _read_parquet_any
+
 from ..formats.par1 import read_par1, read_par1_meta, write_par1
 
 _CUSTOMER_ENCODINGS = {
@@ -53,7 +55,7 @@ def transcode_native(sf_dir: str, table: str = "customer") -> rd.Dataset:
         write_par1(batch, path, codec="snappy", encodings=encodings)
         return pa.table({"path": pa.array([path])})
 
-    manifest = rd.read_parquet(f"{sf_dir}/{table}.parquet").map_batches(
+    manifest = _read_parquet_any(f"{sf_dir}/{table}.parquet").map_batches(
         enc_batch, batch_format="pyarrow", batch_size=None
     )
 

@@ -190,14 +190,18 @@ def select_codec(
         times[f"{codec}+{outer}"] = round(cost * 1e9, 2)  # ns/byte
         results.append((ratio, cost, codec, outer))
     best_ratio = min(r[0] for r in results)
-    # cost-weighted pick: score = ratio + speed_weight * (sec/byte), i.e. one
-    # CPU-second of encode must save >= speed_weight output bytes to be worth
-    # it (measured break-evens in config.py).  size_tolerance is a hard guard
-    # so a pathological cost sample can never pick a grossly larger codec;
-    # the per-chunk reference floor still bounds the final size from above.
+    # cost-weighted pick: score = ratio + speed_weight * slowdown, where
+    # slowdown = encode_sec / memcpy_sec on the same bytes, measured NOW on
+    # this sample.  Normalizing by a just-measured memcpy baseline makes the
+    # score host-phase-invariant (this host's memory subsystem swings 2-4x;
+    # an absolute sec/byte term flipped selections run-to-run).
+    # size_tolerance remains a hard guard so a pathological cost sample can
+    # never pick a grossly larger codec; the per-chunk reference floor still
+    # bounds the final size from above.
+    memcpy_bps = _memcpy_bps(sample)
     tol = best_ratio * cfg.size_tolerance
     eligible = [r for r in results if r[0] <= tol]
-    eligible.sort(key=lambda r: (r[0] + cfg.speed_weight * r[1], r[0]))
+    eligible.sort(key=lambda r: (r[0] + cfg.speed_weight * r[1] * memcpy_bps, r[0]))
     _, _, codec, outer = eligible[0]
     stats["trial_ratios"] = ratios
     stats["trial_ns_per_byte"] = times
@@ -206,6 +210,29 @@ def select_codec(
         # chunk encoder doesn't redo the work
         stats["full_payload"] = payload_cache[codec]
     return codec, outer, stats
+
+
+def _memcpy_bps(sample: pa.Array) -> float:
+    """Memcpy throughput (bytes/sec) measured RIGHT NOW on this sample's
+    value buffer — the normalizer that makes codec-cost scoring independent
+    of the host's current memory-bandwidth phase."""
+    import time as _time
+
+    buf = max(
+        (b for b in sample.buffers() if b is not None),
+        key=lambda b: b.size,
+        default=None,
+    )
+    if buf is None or buf.size < 4096:
+        return 4e9  # too small to time; a nominal host speed
+    data = np.frombuffer(buf, dtype=np.uint8)
+    best = None
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        data.copy()
+        dt = _time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return data.size / max(best, 1e-9)
 
 
 def _zlevel(outer: str, cfg: EngineConfig) -> int:

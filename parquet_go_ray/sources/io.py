@@ -27,13 +27,26 @@ def resolve_filesystem(path: str):
         return PyFileSystem(FSSpecHandler(fs)), plain
 
 
+def _strip_schema_metadata(batch):
+    """Drop schema-level metadata (e.g. the pandas blob every pandas-written
+    parquet file carries): schemas WITH metadata are unhashable in this
+    pyarrow, so Ray's block-schema dedup/unify logs a warning per block and
+    falls back to O(n) unification.  Zero-copy (buffers are shared)."""
+    if batch.schema.metadata:
+        return batch.replace_schema_metadata(None)
+    return batch
+
+
 def read_parquet_any(paths, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
-    """ray.data.read_parquet over local paths OR remote URIs."""
+    """ray.data.read_parquet over local paths OR remote URIs, with block
+    schemas normalized (metadata-free)."""
     if isinstance(paths, str):
         fs, plain = resolve_filesystem(paths)
         if fs is not None:
-            return rd.read_parquet(plain, filesystem=fs, columns=columns, **kwargs)
-        return rd.read_parquet(plain, columns=columns, **kwargs)
+            ds = rd.read_parquet(plain, filesystem=fs, columns=columns, **kwargs)
+        else:
+            ds = rd.read_parquet(plain, columns=columns, **kwargs)
+        return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
     resolved = [resolve_filesystem(p) for p in paths]
     fss = {id(r[0]) for r in resolved}
     if len(fss) > 1:
@@ -41,5 +54,7 @@ def read_parquet_any(paths, columns: list[str] | None = None, **kwargs) -> rd.Da
     fs = resolved[0][0]
     plain = [r[1] for r in resolved]
     if fs is not None:
-        return rd.read_parquet(plain, filesystem=fs, columns=columns, **kwargs)
-    return rd.read_parquet(plain, columns=columns, **kwargs)
+        ds = rd.read_parquet(plain, filesystem=fs, columns=columns, **kwargs)
+    else:
+        ds = rd.read_parquet(plain, columns=columns, **kwargs)
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
