@@ -182,6 +182,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["skip_rows_lineitem"] = skip_rows_q
 
+    def skip_rows_paged_q(sf):
+        # SkipRows over a PAGED dict_rle chunk (sub-chunk page index, the
+        # OffsetIndex analog — reference writer/writer.go:418-481): the
+        # boundary chunk decodes only the pages overlapping the row range,
+        # not the whole index stream (paged_skip_stats proves the
+        # decoded-bytes drop in tests/test_paged.py)
+        from parquet_go_ray.config import EngineConfig
+        from parquet_go_ray.pipelines.encode_pipeline import encode_dataset
+        from parquet_go_ray.pipelines.scan import skip_read
+        from parquet_go_ray.sources.io import read_parquet_any as _rpq
+
+        ds = _rpq(f"{sf}/lineitem.parquet", columns=["l_returnflag"])
+        cfg = EngineConfig(
+            batch_size_rows=16384,
+            page_rows=2048,
+            per_column_codec={"l_returnflag": "dict_rle"},
+            enforce_reference_floor=False,  # keep the paged layout intact
+        )
+        chunks = encode_dataset(ds, cfg)
+        return skip_read(chunks, "l_returnflag", row_offset=25000, row_count=700)
+
+    q["skip_rows_paged"] = skip_rows_paged_q
+
     def transcode_q(sf):
         # full writer+reader loop: parquet -> partitioned chunk checkpoints
         # -> parquet -> read back (NewParquetWriter/NewParquetReader analog)
@@ -452,6 +475,10 @@ def oracle_sql() -> dict[str, str]:
         "skip_rows_lineitem": (
             "SELECT l_orderkey FROM (SELECT l_orderkey, ROW_NUMBER() OVER () AS rn "
             "FROM lineitem) WHERE rn > 30000 AND rn <= 30500"
+        ),
+        "skip_rows_paged": (
+            "SELECT l_returnflag FROM (SELECT l_returnflag, ROW_NUMBER() OVER () AS rn "
+            "FROM lineitem) WHERE rn > 25000 AND rn <= 25700"
         ),
         "window_tumbling_events": _windows.tumbling_oracle_sql(900),
         "window_sessions_events": _windows.sessions_oracle_sql(1800),
