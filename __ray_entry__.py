@@ -354,14 +354,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["knn_bruteforce"] = lambda sf: knn_bruteforce(sf, k=10, n_queries=8)[
         ["query_id", "vec_id"]
     ]
-    q["knn_ivf"] = lambda sf: knn_ivf(sf, k=10, n_queries=8)
+    # trained centroids (5 distributed Lloyd passes) + 6/8 probe: CI-gated
+    # recall@10 >= 0.9 vs knn_bruteforce (tests/test_similarity_textstats.py)
+    q["knn_ivf"] = lambda sf: knn_ivf(
+        sf, k=10, n_queries=8, n_centroids=8, nprobe=6, train_iters=5
+    )
     # full-probe IVF == exhaustive search THROUGH the IVF machinery (centroid
     # assignment, inverted-list groupby, per-list top-k, global merge), so
     # the brute-force SQL oracle must match it exactly — this puts the whole
     # distributed IVF path under the value-hash gate, while `knn_ivf` proper
     # (pruned probes) stays rows-only with recall tracked in BASELINE.md
     q["knn_ivf_full_probe"] = lambda sf: knn_ivf(
-        sf, k=10, n_queries=8, n_centroids=16, nprobe=16
+        sf, k=10, n_queries=8, n_centroids=16, nprobe=16, train_iters=0
     )[["query_id", "vec_id"]]
 
     # -- text analysis --

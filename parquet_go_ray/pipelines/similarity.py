@@ -98,15 +98,74 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 16) -> pd.DataFram
     return out[["query_id", "rank", "vec_id", "cosine"]]
 
 
+def train_centroids(
+    ds: rd.Dataset, C0: np.ndarray, iters: int = 5, tol: float = 1e-4
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) on the unit sphere.
+
+    Each iteration is ONE streaming pass: map_batches emits a per-batch
+    partial — (n_centroids × dim) vector sums + counts, a few KB regardless
+    of batch size — and the driver reduce is output-sized (rows = batches ×
+    centroids).  The centroid matrix rides in the task closure (serialized
+    once per iteration in the task spec, ~KBs), so nothing corpus-sized ever
+    reaches the driver.  Deterministic: no RNG, empty clusters keep their
+    previous centroid.  At 100 TB, train on a bounded sample dataset
+    (`ds.limit(...)`) — centroid quality saturates long before full passes."""
+    C = _normalize(np.ascontiguousarray(C0, dtype=np.float64))
+    kc, dim = C.shape
+    for _ in range(iters):
+        Cn = C  # bind for closure
+
+        def partial(batch: pa.Table) -> pa.Table:
+            _, emb = _emb_matrix(batch)
+            embn = _normalize(emb)
+            a = np.argmax(embn @ Cn.T, axis=1)
+            sums = np.zeros((kc, dim))
+            np.add.at(sums, a, embn)
+            counts = np.bincount(a, minlength=kc).astype(np.int64)
+            return pa.table(
+                {
+                    "centroid": pa.array(np.arange(kc, dtype=np.int64)),
+                    "count": pa.array(counts),
+                    "vsum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.reshape(-1)), dim
+                    ),
+                }
+            )
+
+        pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((kc, dim))
+        counts = np.zeros(kc, dtype=np.int64)
+        cent = pdf["centroid"].to_numpy()
+        np.add.at(counts, cent, pdf["count"].to_numpy())
+        np.add.at(sums, cent, np.stack(pdf["vsum"].to_numpy()))
+        nonempty = counts > 0
+        newC = C.copy()
+        newC[nonempty] = _normalize(sums[nonempty] / counts[nonempty, None])
+        shift = float(np.max(np.linalg.norm(newC - C, axis=1)))
+        C = newC
+        if shift < tol:
+            break
+    return C
+
+
 def knn_ivf(
-    sf_dir: str, k: int = 10, n_queries: int = 16, n_centroids: int = 16, nprobe: int = 4
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_iters: int = 5,
 ) -> pd.DataFrame:
-    """IVF approximate top-k: partition by nearest centroid, probe nprobe
-    lists per query.  Returns same schema as knn_bruteforce."""
+    """IVF approximate top-k: k-means-trained centroids (deterministic
+    strided seed + `train_iters` distributed Lloyd passes), vectors
+    partitioned by nearest centroid, queries probe the nprobe closest lists.
+    Returns same schema as knn_bruteforce.  `train_iters=0` reproduces the
+    untrained strided-sample behavior."""
     qids, Q = load_queries(sf_dir, n_queries)
     Qn = _normalize(Q)
 
-    # deterministic centroids: strided sample of the table
+    # deterministic seed centroids: strided sample of the table
     ds = _read_parquet_any(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     n_total = ds.count()
     step = max(n_total // n_centroids, 1)
@@ -119,6 +178,8 @@ def knn_ivf(
         .sort_values("vec_id")
     )
     C = _normalize(np.stack(cent_pdf.embedding.to_numpy()).astype(np.float64))[:n_centroids]
+    if train_iters > 0:
+        C = train_centroids(ds, C, iters=train_iters)
 
     def assign(batch: pa.Table) -> pa.Table:
         ids, emb = _emb_matrix(batch)
