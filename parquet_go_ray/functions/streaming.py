@@ -28,6 +28,19 @@ from ..sources.io import read_parquet_any as _read_parquet_any
 PARTS = 16
 
 
+def shard_key(
+    event_type, ts_us: np.ndarray, window_sec: int, windows_per_shard: int
+) -> np.ndarray:
+    """Partition id for (event_type, window-aligned time range): a dominant
+    event_type spreads over time shards instead of replaying its whole
+    stream in one straggler task, while every window still lands wholly
+    inside one shard (shard width = windows_per_shard exact windows)."""
+    h = pd.util.hash_pandas_object(pd.Series(event_type), index=False).to_numpy()
+    shard = (ts_us // (window_sec * 1_000_000 * windows_per_shard)).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        return (h + shard * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(PARTS)
+
+
 class TumblingStreamAggregator:
     """Stateful streaming tumbling-window aggregator (count/min/max).
 
@@ -123,13 +136,12 @@ def streaming_tumbling(
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
         ts = batch["ts"].cast(pa.int64())
-        h = pd.util.hash_pandas_object(et.to_pandas(), index=False).to_numpy()
-        shard = (
-            ts.to_numpy(zero_copy_only=False)
-            // (window_sec * 1_000_000 * windows_per_shard)
-        ).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (h + shard * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(PARTS)
+        h = shard_key(
+            et.to_pandas(),
+            ts.to_numpy(zero_copy_only=False),
+            window_sec,
+            windows_per_shard,
+        )
         return pa.table(
             {
                 # int64 MICROSECONDS — keeps pandas from silently switching

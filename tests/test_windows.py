@@ -93,3 +93,62 @@ def test_streaming_watermark_drops_late_events():
     tail = agg.flush()
     total_n = closed["n"].to_pylist() + tail["n"].to_pylist()
     assert sum(total_n) == 4  # the late event never counted
+
+
+def test_streaming_deskew_dominant_event_type(ray_session):
+    """One event_type carrying ~90% of the stream must spread over many
+    partitions (time-range sharding) AND still aggregate exactly like the
+    batch recompute — the r2-verdict straggler scenario."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.functions.streaming import (
+        PARTS,
+        shard_key,
+        streaming_tumbling,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 50_000
+    ts = np.sort(rng.integers(0, 900 * 1_000_000 * 64 * 6, n))  # ~6 shards
+    et = np.where(rng.random(n) < 0.9, "hot", rng.choice(["a", "b", "c"], n))
+    tmp = "/tmp/pgr_skew_events"
+    import os
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(et.astype(object), pa.string()),
+                "value": pa.array(rng.normal(size=n)),
+                "user_id": pa.array(np.zeros(n, np.int64)),
+                "event_id": pa.array(np.arange(n)),
+            }
+        ),
+        f"{tmp}/events.parquet",
+    )
+
+    # the dominant type alone must span several partitions
+    hot = et == "hot"
+    parts_of_hot = np.unique(shard_key(et[hot], ts[hot], 900, 64))
+    assert len(parts_of_hot) >= min(PARTS, 5), parts_of_hot
+    # and no partition may hold a majority of the hot stream (balance)
+    counts = np.bincount(shard_key(et[hot], ts[hot], 900, 64).astype(int), minlength=PARTS)
+    assert counts.max() < 0.5 * hot.sum(), counts
+
+    out = streaming_tumbling(tmp, 900, lateness_sec=10**9).to_pandas()
+    ev = pd.DataFrame({"ts": ts, "event_type": et, "value": None})
+    ev["value"] = pq.read_table(f"{tmp}/events.parquet")["value"].to_numpy()
+    ev["w"] = ev.ts // (900 * 1_000_000)
+    exp = (
+        ev.groupby(["w", "event_type"])
+        .agg(n=("value", "size"), min_v=("value", "min"), max_v=("value", "max"))
+        .reset_index()
+    )
+    key = ["w", "event_type"]
+    got = out.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
