@@ -8,3 +8,28 @@ salted partitioning, per-partition lineage checkpoints.
 """
 
 __version__ = "0.1.0"
+
+
+def _install_ray_log_filter() -> None:
+    """Drop ONE specific Ray Data log artifact: the streaming executor warns
+    'RefBundle with a different schema ... new schema: .' whenever a task's
+    output is entirely empty (hash-shuffle partitions with no keys produce
+    block-less bundles whose schema is None — user code cannot attach a
+    schema to a bundle that has no blocks).  Real schema divergences (both
+    schemas non-empty) still log."""
+    import logging
+
+    class _EmptyBundleNoise(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not (
+                "RefBundle with a different schema" in msg
+                and "new schema: ." in msg
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptyBundleNoise())
+
+
+_install_ray_log_filter()

@@ -803,6 +803,19 @@ def _chunk_type(meta: dict) -> pa.DataType:
     return _str_to_type(meta["type"])
 
 
+def chunk_arrow_type(blob: bytes) -> pa.DataType:
+    """Decoded Arrow type of a chunk blob from its header alone (nothing is
+    decompressed) — lets row-range readers emit TYPED empty blocks for
+    batches whose chunks are all outside the range."""
+    assert blob[:4] == MAGIC, "bad chunk magic"
+    mlen, pos = read_uvarint(blob, 4)
+    meta = json.loads(blob[pos : pos + mlen])
+    if meta["codec"] in ("struct", "map", "list"):
+        # nested chunks: cheapest correct answer is a 0-row decode
+        raise TypeError(f"header-only type unavailable for {meta['codec']!r} chunks")
+    return _chunk_type(meta)
+
+
 def _value_type(typ: pa.DataType) -> pa.DataType:
     # physical type the codec round-trips through
     if pa.types.is_decimal(typ):

@@ -24,6 +24,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..sources.io import read_parquet_any as _read_parquet_any
+from ..stages.common import arrow_out as _arrow_out
 
 
 def _stage_done(path: str) -> bool:
@@ -66,7 +67,7 @@ def clean_corpus(
             return batch[keep.to_numpy()]
 
         shutil.rmtree(s1, ignore_errors=True)
-        docs.map_batches(keep_quality, batch_format="pandas").write_parquet(s1)
+        docs.map_batches(_arrow_out(keep_quality), batch_format="pandas").write_parquet(s1)
     report["after_quality"] = _read_parquet_any(f"{s1}").count()
 
     # -- stage 2: exact dedup --

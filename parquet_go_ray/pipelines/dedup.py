@@ -38,6 +38,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..sources.io import read_parquet_any as _read_parquet_any
+from ..stages.common import arrow_out as _arrow_out
 
 MERSENNE = (1 << 61) - 1
 K_HASHES = 64
@@ -133,7 +134,11 @@ def _hash_join(
                 cols[c] = pa.nulls(n, their_types[c])
             cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
             cols["__part"] = pa.array(part.astype(np.int64))
-            return pa.table(cols)
+            # canonical column order on BOTH sides — the union concatenates
+            # the two streams, and order-divergent schemas defeat the
+            # executor's schema dedup (one warning + slow unify per bundle)
+            order = ["__key", *l_payload, *r_payload, "__side", "__part"]
+            return pa.table({c: cols[c] for c in order})
 
         return fn
 
@@ -161,7 +166,7 @@ def _hash_join(
         m = lf.merge(rf, on="__key", how=how)
         return m.rename(columns={"__key": on})
 
-    return tagged.groupby("__part").map_groups(join_part, batch_format="pandas")
+    return tagged.groupby("__part").map_groups(_arrow_out(join_part), batch_format="pandas")
 
 
 def _pack_rows(mat: np.ndarray) -> pa.Array:
@@ -235,7 +240,7 @@ def _distinct(ds: rd.Dataset, key_cols: list[str], parts: int = DEFAULT_PARTS) -
         return g.drop_duplicates(subset=key_cols).drop(columns="__part")
 
     return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
-        dedupe, batch_format="pandas"
+        _arrow_out(dedupe), batch_format="pandas"
     )
 
 
@@ -323,7 +328,7 @@ def dedup_exact(sf_dir: str, parts: int = 64) -> rd.Dataset:
     keys = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _text_hash_keys(parts), batch_format="pyarrow"
     )
-    lpdf = keys.groupby("__part").map_groups(_loser_ids, batch_format="pandas").to_pandas()
+    lpdf = keys.groupby("__part").map_groups(_arrow_out(_loser_ids), batch_format="pandas").to_pandas()
     # a dup-free corpus yields all-empty blocks, where to_pandas drops columns
     losers = (
         lpdf["doc_id"].to_numpy(np.int64) if "doc_id" in lpdf.columns else np.empty(0, np.int64)
@@ -563,7 +568,7 @@ def minhash_bucket_stats(sf_dir: str, cap: int = 2000) -> pd.DataFrame:
 
     return (
         bands.groupby("band")
-        .map_groups(stats, batch_format="pandas")
+        .map_groups(_arrow_out(stats), batch_format="pandas")
         .to_pandas()
         .sort_values("band")
         .reset_index(drop=True)
@@ -583,7 +588,7 @@ def minhash_candidate_pairs_ds(
     collided in — a FREE similarity estimate (E[n_bands] = BANDS * J^r), used
     to prune candidates before any signature or text moves."""
     bands = minhash_bands(sf_dir, sigs=sigs)
-    pairs = bands.groupby("band").map_groups(_band_pairs, batch_format="pandas")
+    pairs = bands.groupby("band").map_groups(_arrow_out(_band_pairs), batch_format="pandas")
     if not with_counts:
         return _distinct(pairs, ["a", "b"], parts).map_batches(
             _conform(_PAIR_SCHEMA), batch_format="pyarrow"
@@ -603,7 +608,7 @@ def minhash_candidate_pairs_ds(
     counted = (
         pairs.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(count_pairs, batch_format="pandas")
+        .map_groups(_arrow_out(count_pairs), batch_format="pandas")
     )
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("n_bands", pa.int64())])
     return counted.map_batches(_conform(schema), batch_format="pyarrow")
@@ -737,7 +742,7 @@ def _broadcast_pair_verify(
         m = m.assign(a=a_arr[m.pid.to_numpy()], b=b_arr[m.pid.to_numpy()])
         return reduce_fn(m)
 
-    return emitted.groupby("__part").map_groups(reunite, batch_format="pandas")
+    return emitted.groupby("__part").map_groups(_arrow_out(reunite), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -790,7 +795,7 @@ def _components_single_task(edges: rd.Dataset) -> rd.Dataset:
         return pd.DataFrame({"node": nodes, "label": labels})
 
     return edges.repartition(1).map_batches(
-        run, batch_format="pandas", batch_size=None
+        _arrow_out(run), batch_format="pandas", batch_size=None
     ).materialize()
 
 
@@ -1173,7 +1178,7 @@ def dedup_simhash(
         return pd.DataFrame({"a": di[ia][keep], "b": di[ib][keep], "hamming": ham[keep]})
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
-    pairs = bands.groupby("band").map_groups(band_pairs, batch_format="pandas")
+    pairs = bands.groupby("band").map_groups(_arrow_out(band_pairs), batch_format="pandas")
     pdf = _distinct(pairs, ["a", "b"], parts).to_pandas()  # output-sized
     return pdf.sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -1218,7 +1223,7 @@ def dedup_embedding(
         )
 
     bands = ds.map_batches(to_bands, batch_format="pyarrow")
-    pairs = bands.groupby("band").map_groups(_band_pairs, batch_format="pandas")
+    pairs = bands.groupby("band").map_groups(_arrow_out(_band_pairs), batch_format="pandas")
     cand = (
         _distinct(pairs, ["a", "b"], parts)
         .map_batches(_conform(_PAIR_SCHEMA), batch_format="pyarrow")

@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..bits import read_uvarint
-from ..chunk import MAGIC, decode_column_chunk
+from ..chunk import MAGIC, chunk_arrow_type, decode_column_chunk
 
 
 def chunk_meta(blob: bytes) -> dict:
@@ -173,20 +173,28 @@ def skip_read(
 
         def fn(batch: pa.Table) -> pa.Table:
             outs = []
+            col_blob = None
             for i in range(batch.num_rows):
                 if batch["column"][i].as_py() != column:
                     continue
+                blob = batch["blob"][i].as_py()
+                col_blob = blob
                 cid = batch["chunk_id"][i].as_py()
                 if cid not in wanted:
                     continue
                 off, cnt = wanted[cid]
-                arr = decode_column_chunk(batch["blob"][i].as_py(), row_offset=off, row_count=cnt)
+                arr = decode_column_chunk(blob, row_offset=off, row_count=cnt)
                 outs.append(pa.table({column: arr}))
             if not outs:
-                # typed empty so block schemas stay consistent
-                return pa.table({column: pa.array([], pa.null())}).cast(
-                    pa.schema([(column, pa.null())])
-                )
+                # TYPED empty (type read from any same-column blob header,
+                # nothing decompressed) so every block shares one schema
+                if col_blob is not None:
+                    try:
+                        t = chunk_arrow_type(col_blob)
+                    except TypeError:
+                        t = decode_column_chunk(col_blob, row_offset=0, row_count=0).type
+                    return pa.table({column: pa.array([], t)})
+                return pa.table({})
             return pa.concat_tables(outs)
 
         parts = [

@@ -37,11 +37,60 @@ def _strip_schema_metadata(batch):
     return batch
 
 
+def _clean_read_schema(path: str, fs, columns=None) -> "object | None":
+    """The file's schema with metadata removed (projected to `columns` when
+    given — the read applies the projection to batches, so the declared
+    schema must match), so read tasks build blocks that are hashable from
+    the start (the in-task row-group concat otherwise warns + falls back to
+    O(n) schema unification per fragment)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def _project(sch):
+        if columns is None:
+            return sch
+        if not set(columns) <= set(sch.names):
+            return None
+        import pyarrow as pa
+
+        return pa.schema([sch.field(c) for c in columns])
+
+    try:
+        if fs is None:
+            if os.path.isdir(path):
+                names = sorted(
+                    n for n in os.listdir(path) if n.endswith(".parquet")
+                )
+                if not names:
+                    return None
+                path = os.path.join(path, names[0])
+            return _project(pq.read_schema(path).remove_metadata())
+        info = fs.get_file_info(path)
+        import pyarrow.fs as pafs
+
+        if info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(path)
+            files = sorted(
+                f.path for f in fs.get_file_info(sel) if f.path.endswith(".parquet")
+            )
+            if not files:
+                return None
+            path = files[0]
+        return _project(pq.read_schema(path, filesystem=fs).remove_metadata())
+    except Exception:
+        return None  # fall back to Ray's inference + the strip stage
+
+
 def read_parquet_any(paths, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
     """ray.data.read_parquet over local paths OR remote URIs, with block
     schemas normalized (metadata-free)."""
     if isinstance(paths, str):
         fs, plain = resolve_filesystem(paths)
+        if "schema" not in kwargs:
+            sch = _clean_read_schema(plain, fs, columns)
+            if sch is not None:
+                kwargs["schema"] = sch
         if fs is not None:
             ds = rd.read_parquet(plain, filesystem=fs, columns=columns, **kwargs)
         else:
@@ -53,6 +102,10 @@ def read_parquet_any(paths, columns: list[str] | None = None, **kwargs) -> rd.Da
         raise ValueError("mixed filesystems in one read")
     fs = resolved[0][0]
     plain = [r[1] for r in resolved]
+    if "schema" not in kwargs:
+        sch = _clean_read_schema(plain[0], fs, columns)
+        if sch is not None:
+            kwargs["schema"] = sch
     if fs is not None:
         ds = rd.read_parquet(plain, filesystem=fs, columns=columns, **kwargs)
     else:
