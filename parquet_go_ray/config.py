@@ -22,27 +22,31 @@ class EngineConfig:
     size_tolerance: float = 1.30  # hard guard: candidates more than 30% above
                                   # the smallest trial size are never eligible,
                                   # no matter how fast
-    speed_weight: float = 1.0e-4  # cost-weighted pick among eligibles:
+    cost_model: str = "static"    # "static": codec cost = calibrated constants
+                                  # (tools/calibrate_cost.py) -> selection is a
+                                  # pure function of the DATA, identical every
+                                  # run.  "measured": cost = trial-encode time
+                                  # normalized by a live memcpy baseline —
+                                  # adapts to unknown hardware but on this
+                                  # 2-4x-phase-swinging host it flipped codec
+                                  # choices run-to-run (size_vs_reference 0.50
+                                  # vs 0.593 on identical code + input)
+    speed_weight: float = 0.7e-4  # cost-weighted pick among eligibles:
                                   # score = ratio + speed_weight * slowdown,
-                                  # where slowdown = encode_sec / memcpy_sec
-                                  # for the SAME sample bytes, measured in the
-                                  # same instant.  Dimensionless and host-
-                                  # phase-INVARIANT: this hypervisor swings
-                                  # 2-4x between runs, and an absolute sec/byte
-                                  # cost term silently flipped selections back
-                                  # to fast codecs in slow phases (observed:
-                                  # size_vs_reference 0.499 vs 0.593 across
-                                  # runs of identical code).  Semantics: one
-                                  # memcpy-multiple of encode time must save
-                                  # speed_weight fraction of raw size.
-                                  # Measured slowdowns on the code corpus:
-                                  # snappy 21x, zstd3 40x, zstd7 169x,
-                                  # zstd9 193x; at 1.0e-4 the zstd7/9-class
-                                  # outers win decisively over zstd3 (the
-                                  # knee at 2.0e-4 was inside measurement
-                                  # noise and still flipped outers between
-                                  # runs) while truly slow kernels (fsst on
-                                  # long text) stay rejected.  0 = pure
+                                  # where slowdown is the STATIC calibrated
+                                  # codec cost in memcpy-multiples (see
+                                  # cost_model / selector._STATIC_*).
+                                  # Semantics: one memcpy-multiple of encode
+                                  # time must save speed_weight fraction of
+                                  # raw size.  At 0.7e-4 the zstd-class
+                                  # outers win decisively over snappy on the
+                                  # code corpus AND the zstd7->zstd9 step
+                                  # (+60 memcpy-multiples for ~0.5% of raw)
+                                  # pays on long text — a compression engine's
+                                  # default leans ratio where the cost is one
+                                  # parallelizable C kernel; truly slow
+                                  # kernels (fsst on long text, delta_ba's
+                                  # prefix matching) stay rejected.  0 = pure
                                   # min-size
     enforce_reference_floor: bool = True  # hard per-chunk <= reference-policy size
     per_column_codec: dict = field(default_factory=dict)  # name -> codec override

@@ -53,7 +53,20 @@ def _plan_codecs(ds: rd.Dataset, cfg: EngineConfig) -> EngineConfig:
 
     from ..selector import select_codec
 
-    sample = ds.take_batch(cfg.plan_sample_rows, batch_format="pyarrow")
+    # deterministic sample: without preserve_order, take_batch returns
+    # whichever blocks finish FIRST, and a load-dependent sample can flip
+    # near-tied codec choices between runs (observed: content zstd7 vs zstd9,
+    # a 3% output-size swing on identical input).  Set it on the dataset's
+    # own captured context (the global flag alone does not affect `ds`).
+    ds_ctx = getattr(ds, "context", None)
+    if ds_ctx is not None:
+        prev_order = ds_ctx.execution_options.preserve_order
+        ds_ctx.execution_options.preserve_order = True
+    try:
+        sample = ds.take_batch(cfg.plan_sample_rows, batch_format="pyarrow")
+    finally:
+        if ds_ctx is not None:
+            ds_ctx.execution_options.preserve_order = prev_order
     if cfg.sort_within_partition and {"repo", "path"} <= set(sample.column_names):
         # partitions are sorted before encoding — plan on sorted data so
         # order-sensitive codecs (delta_ba, rle) see realistic stats

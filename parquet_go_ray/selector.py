@@ -144,6 +144,61 @@ def candidates_for(values: pa.Array, stats: dict, cfg: EngineConfig) -> list[tup
     return cands
 
 
+# --- static codec-cost table ------------------------------------------------
+# Slowdown vs memcpy of the same bytes (1.0 = memcpy speed), best-of-N over
+# multi-MB representative arrays — re-derive with tools/calibrate_cost.py.
+# Short strings pay per-VALUE overhead (length framing / hashing), so binary
+# codecs get two regimes keyed on the sampled avg value length.  Constants
+# feed the cost-weighted score only (ratio + speed_weight * slowdown); the
+# size_tolerance guard and the per-chunk reference floor bound the size no
+# matter what the table says.
+_STATIC_LONG_BINARY = {  # avg_len >= 64 (documents, source files)
+    "plain": 12.0,
+    "dict_rle": 45.0,
+    "delta_length_ba": 25.0,
+    "delta_ba": 300.0,
+    "fsst": 4200.0,
+}
+_STATIC_SHORT_BINARY = {  # avg_len < 64 (ids, paths, tags)
+    "plain": 1200.0,
+    "dict_rle": 40.0,
+    "delta_length_ba": 35.0,
+    "delta_ba": 400.0,
+    "fsst": 20000.0,
+}
+_STATIC_FIXED = {  # ints / floats / bools
+    "plain": 2.0,
+    "delta_bp": 200.0,
+    "rle_bp": 100.0,
+    "dict_rle": 250.0,
+    "byte_stream_split": 8.0,
+}
+_STATIC_OUTER = {
+    "none": 0.0,
+    "snappy": 21.0,
+    "zstd": 60.0,
+    "zstd7": 200.0,
+    "zstd9": 260.0,
+}
+
+
+def _static_slowdown(codec: str, outer: str, typ: pa.DataType, stats: dict) -> float:
+    if (
+        pa.types.is_string(typ)
+        or pa.types.is_binary(typ)
+        or pa.types.is_large_string(typ)
+        or pa.types.is_large_binary(typ)
+    ):
+        table = (
+            _STATIC_LONG_BINARY
+            if stats.get("avg_len", 0.0) >= 64
+            else _STATIC_SHORT_BINARY
+        )
+    else:
+        table = _STATIC_FIXED
+    return table.get(codec, 300.0) + _STATIC_OUTER.get(outer, 100.0)
+
+
 def select_codec(
     values: pa.Array, cfg: EngineConfig = DEFAULT, column: str | None = None
 ) -> tuple[str, str, dict]:
@@ -190,18 +245,27 @@ def select_codec(
         times[f"{codec}+{outer}"] = round(cost * 1e9, 2)  # ns/byte
         results.append((ratio, cost, codec, outer))
     best_ratio = min(r[0] for r in results)
-    # cost-weighted pick: score = ratio + speed_weight * slowdown, where
-    # slowdown = encode_sec / memcpy_sec on the same bytes, measured NOW on
-    # this sample.  Normalizing by a just-measured memcpy baseline makes the
-    # score host-phase-invariant (this host's memory subsystem swings 2-4x;
-    # an absolute sec/byte term flipped selections run-to-run).
-    # size_tolerance remains a hard guard so a pathological cost sample can
-    # never pick a grossly larger codec; the per-chunk reference floor still
-    # bounds the final size from above.
-    memcpy_bps = _memcpy_bps(sample)
+    # cost-weighted pick: score = ratio + speed_weight * slowdown.
+    #   static (default): slowdown from the calibrated constant table above —
+    #     selection is a deterministic function of the data, so the output
+    #     size cannot flip with the host's memory-bandwidth phase.
+    #   measured: slowdown = encode_sec / memcpy_sec on this sample, both
+    #     timed now (host-phase-NORMALIZED but still sample-noisy).
+    # size_tolerance remains a hard guard so the cost term can never pick a
+    # grossly larger codec; the per-chunk reference floor still bounds the
+    # final size from above.
     tol = best_ratio * cfg.size_tolerance
     eligible = [r for r in results if r[0] <= tol]
-    eligible.sort(key=lambda r: (r[0] + cfg.speed_weight * r[1] * memcpy_bps, r[0]))
+    if cfg.cost_model == "static":
+        eligible.sort(
+            key=lambda r: (
+                r[0] + cfg.speed_weight * _static_slowdown(r[2], r[3], values.type, stats),
+                r[0],
+            )
+        )
+    else:
+        memcpy_bps = _memcpy_bps(sample)
+        eligible.sort(key=lambda r: (r[0] + cfg.speed_weight * r[1] * memcpy_bps, r[0]))
     _, _, codec, outer = eligible[0]
     stats["trial_ratios"] = ratios
     stats["trial_ns_per_byte"] = times
