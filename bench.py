@@ -247,31 +247,38 @@ def run_scaling() -> dict:
             raise RuntimeError(f"bench child (ncpu={ncpu}) failed rc={proc.returncode}")
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    lo_n, hi_n = 8, 32
-    # this host's memory subsystem throughput swings 2-4x between runs
-    # (shared hypervisor); the headline is best-of-2 inside each subprocess
-    # AND levels alternate across 2 subprocesses each, keeping the per-level
-    # minimum — one slow host phase can then hit at most one sample per level
+    import statistics
+
+    lo_n = int(os.environ.get("BENCH_SCALING_LO", "8"))
+    hi_n = int(os.environ.get("BENCH_SCALING_HI", "32"))
+    # honest protocol: N alternating samples per level (BENCH_SCALING_SAMPLES,
+    # default 3), efficiency quoted from the per-level MEDIANS — one slow host
+    # phase (this hypervisor swings 2-4x) can skew at most one sample per
+    # level, and the median (not the best pair) is the headline number.  The
+    # best-pair efficiency is reported alongside for comparison only.
+    samples = int(os.environ.get("BENCH_SCALING_SAMPLES", "3"))
     runs = {lo_n: [], hi_n: []}
-    for _ in range(2):
+    for _ in range(samples):
         for n in (lo_n, hi_n):
             runs[n].append(one(n))
-    lo = min(runs[lo_n], key=lambda d: d["value"])
-    hi = min(runs[hi_n], key=lambda d: d["value"])
-    t_lo, t_hi = lo["value"], hi["value"]
+    med_lo = statistics.median(d["value"] for d in runs[lo_n])
+    med_hi = statistics.median(d["value"] for d in runs[hi_n])
     # efficiency: speedup achieved / speedup available
-    eff = (t_lo / t_hi) / (hi_n / lo_n)
+    eff = (med_lo / med_hi) / (hi_n / lo_n)
+    best_eff = (
+        min(d["value"] for d in runs[lo_n]) / min(d["value"] for d in runs[hi_n])
+    ) / (hi_n / lo_n)
     return {
-        "metric": "scaling_efficiency",
+        "metric": "scaling_efficiency_median",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
+        "best_pair_efficiency": round(best_eff, 3),
+        "median_sec_8": med_lo,
+        "median_sec_32": med_hi,
         "all_sec_8": [d["value"] for d in runs[lo_n]],
         "all_sec_32": [d["value"] for d in runs[hi_n]],
-        "gbps_8": lo.get("encode_gbps"),
-        "gbps_32": hi.get("encode_gbps"),
-        "queries": {"encode_8cpu": t_lo, "encode_32cpu": t_hi},
+        "samples_per_level": samples,
+        "queries": {"encode_8cpu": med_lo, "encode_32cpu": med_hi},
         "sf": SF_DIR,
         "num_cpus": [lo_n, hi_n],
     }

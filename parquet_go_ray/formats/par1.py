@@ -116,6 +116,10 @@ def _physical(t: pa.DataType) -> tuple[int, int | None, dict | None, pa.DataType
         return PT_DOUBLE, None, None, pa.float64()
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return PT_BYTE_ARRAY, CONV_UTF8, {"STRING": {}}, pa.string()
+    if pa.types.is_fixed_size_binary(t):
+        # FIXED_LEN_BYTE_ARRAY (reference: types/types.go:11-78 maps it to a
+        # length-tagged string); plain encoding = raw concatenated bytes
+        return PT_FLBA, None, None, t
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return PT_BYTE_ARRAY, None, None, pa.binary()
     if pa.types.is_date32(t):
@@ -186,6 +190,8 @@ def _default_encoding(arr: pa.Array, t: pa.DataType) -> str:
         return "dict" if card < 0.6 else "delta_length_ba"
     if pa.types.is_integer(t) or pa.types.is_date32(t) or pa.types.is_timestamp(t):
         return "dict" if card < 0.05 else "delta_bp"
+    if pa.types.is_fixed_size_binary(t):
+        return "dict" if card < 0.6 else "plain"
     return "byte_stream_split"  # floats
 
 
@@ -250,15 +256,16 @@ def write_par1(
         t = table.schema.field(name).type
         pt, conv, lt, storage = _physical(t)
         col_phys[name] = (pt, storage)
-        schema_elems.append(
-            {
-                "type": pt,
-                "repetition_type": REP_OPTIONAL,
-                "name": name,
-                "converted_type": conv,
-                "logicalType": lt,
-            }
-        )
+        elem = {
+            "type": pt,
+            "repetition_type": REP_OPTIONAL,
+            "name": name,
+            "converted_type": conv,
+            "logicalType": lt,
+        }
+        if pt == PT_FLBA:
+            elem["type_length"] = storage.byte_width
+        schema_elems.append(elem)
 
     rg_rows = row_group_rows or table.num_rows or 1
     row_groups = []

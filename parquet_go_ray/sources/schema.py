@@ -73,7 +73,10 @@ def _arrow_type(type_name: str, converted: str | None, length: int | None,
     if t == "DOUBLE":
         return pa.float64()
     if t == "BYTE_ARRAY":
-        if c == "UTF8":
+        # ENUM and JSON annotate utf8 payloads; BSON is opaque bytes
+        # (reference: common/common.go:330-525 builds these logical types
+        # from the same tag grammar)
+        if c in ("UTF8", "ENUM", "JSON"):
             return pa.string()
         if c == "DECIMAL":
             return pa.decimal128(precision or 38, scale or 0)
@@ -81,6 +84,15 @@ def _arrow_type(type_name: str, converted: str | None, length: int | None,
     if t == "FIXED_LEN_BYTE_ARRAY":
         if c == "DECIMAL":
             return pa.decimal128(precision or 38, scale or 0)
+        if c == "UUID":
+            # UUID logical type = FLBA(16) (common/common.go:418-419);
+            # functions/converters.py uuid_to_fixed16 maps canonical strings
+            return pa.binary(16)
+        if c == "INTERVAL":
+            # 3 x LE uint32 (months, days, millis), FLBA(12)
+            # (common/common.go:701, byte-compare at 905-916);
+            # functions/converters.py interval_to_fixed12
+            return pa.binary(12)
         return pa.binary(length or 1)
     raise ValueError(f"unknown parquet type {type_name}")
 
