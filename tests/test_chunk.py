@@ -138,3 +138,29 @@ def test_decimal_roundtrip():
         out = decode_column_chunk(row["blob"])
         assert out.equals(arr)
         assert column_sha256(out) == column_sha256(arr)
+
+
+def test_codec_selection_deterministic():
+    """Static cost model: selection is a pure function of the data — the
+    same column must produce the same (codec, outer) on every call (the
+    measured path flipped near-tied choices with host memory-bandwidth
+    phase; see config.cost_model)."""
+    import numpy as np
+
+    from parquet_go_ray.config import EngineConfig
+
+    rng = np.random.default_rng(11)
+    cols = {
+        "text": pa.array(
+            ["".join(map(chr, rng.integers(97, 123, 800))) for _ in range(400)]
+        ),
+        "ids": pa.array(np.cumsum(rng.integers(0, 9, 20000)).astype(np.int64)),
+        "lowcard": pa.array((rng.integers(0, 5, 20000)).astype(np.int32)),
+        "floats": pa.array(rng.normal(size=20000)),
+    }
+    cfg = EngineConfig()
+    assert cfg.cost_model == "static"
+    for name, arr in cols.items():
+        first = select_codec(arr, cfg)[:2]
+        for _ in range(3):
+            assert select_codec(arr, cfg)[:2] == first, name
