@@ -312,6 +312,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["distinct_lineitem_linenumbers"] = lambda sf: distinct_flags(sf)
 
+    # -- distributed sketches (§2.6 extension): exact distinct count oracled,
+    # HLL approx-distinct rows-only (approximate by nature; its accuracy has
+    # a pytest gate against DuckDB, tests/test_sketches.py) --
+    from parquet_go_ray.functions.sketches import approx_distinct, distinct_count
+
+    q["distinct_count_orderkeys"] = lambda sf: distinct_count(sf, "lineitem", "l_orderkey")
+    q["approx_distinct_orderkeys"] = lambda sf: approx_distinct(sf, "lineitem", "l_orderkey")
+
     # -- sizetool analog (§2.1), rows-only check --
     q["sizetool_documents"] = lambda sf: encode_stats(sf, "documents")
 
@@ -500,6 +508,10 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey"
         ),
         "distinct_lineitem_linenumbers": "SELECT DISTINCT l_linenumber FROM lineitem",
+        "distinct_count_orderkeys": (
+            "SELECT 'l_orderkey' AS \"column\", "
+            "COUNT(DISTINCT l_orderkey) AS distinct_count FROM lineitem"
+        ),
         "agg_orders_by_status": (
             "SELECT o_orderstatus, COUNT(*) AS n, MIN(o_totalprice) AS min_v, "
             "MAX(o_totalprice) AS max_v FROM orders GROUP BY 1"

@@ -1,0 +1,64 @@
+"""HyperLogLog approx-distinct + exact distributed distinct count."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from parquet_go_ray.functions.sketches import (
+    approx_distinct,
+    distinct_count,
+    hll_estimate,
+    hll_registers,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_kernel_accuracy_and_merge():
+    rng = np.random.default_rng(3)
+    vals = pa.array(rng.integers(0, 1 << 62, 500_000, dtype=np.int64))
+    exact = len(pc.unique(vals))
+    est = hll_estimate(hll_registers(vals))
+    assert abs(est - exact) / exact < 0.03  # ~3.7 sigma at p=14
+    # register merge is elementwise max: any split must give the SAME registers
+    parts = [hll_registers(vals.slice(i * 100_000, 100_000)) for i in range(5)]
+    np.testing.assert_array_equal(np.maximum.reduce(parts), hll_registers(vals))
+
+
+def test_hll_linear_counting_small_range():
+    small = pa.array([f"v{i % 37}" for i in range(10_000)])
+    est = hll_estimate(hll_registers(small))
+    assert abs(est - 37) < 1.5
+
+
+def test_distinct_count_matches_duckdb(ray_session):
+    import duckdb
+
+    got = distinct_count(SF, "lineitem", "l_orderkey").to_pandas()
+    want = duckdb.sql(
+        f"SELECT COUNT(DISTINCT l_orderkey) FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert int(got.distinct_count.iloc[0]) == want
+
+
+def test_approx_distinct_within_bound(ray_session):
+    import duckdb
+
+    for col in ("l_orderkey", "l_partkey"):
+        got = int(approx_distinct(SF, "lineitem", col).to_pandas().approx_distinct.iloc[0])
+        want = duckdb.sql(
+            f"SELECT COUNT(DISTINCT {col}) FROM read_parquet('{SF}/lineitem.parquet')"
+        ).fetchone()[0]
+        assert abs(got - want) / want < 0.05, (col, got, want)
+
+
+def test_approx_distinct_string_column(ray_session):
+    import duckdb
+
+    got = int(approx_distinct(SF, "documents", "text").to_pandas().approx_distinct.iloc[0])
+    want = duckdb.sql(
+        f"SELECT COUNT(DISTINCT text) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert abs(got - want) / max(want, 1) < 0.05
