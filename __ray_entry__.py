@@ -320,6 +320,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["distinct_count_orderkeys"] = lambda sf: distinct_count(sf, "lineitem", "l_orderkey")
     q["approx_distinct_orderkeys"] = lambda sf: approx_distinct(sf, "lineitem", "l_orderkey")
 
+    # -- exact distributed quantiles: two streaming passes (stats, histogram)
+    # + an output-sized bin select — no global sort (functions/quantiles.py) --
+    from parquet_go_ray.functions.quantiles import quantiles_ds
+
+    q["quantiles_extendedprice"] = lambda sf: quantiles_ds(sf, "lineitem", "l_extendedprice")
+
     # -- sizetool analog (§2.1), rows-only check --
     q["sizetool_documents"] = lambda sf: encode_stats(sf, "documents")
 
@@ -511,6 +517,13 @@ def oracle_sql() -> dict[str, str]:
         "distinct_count_orderkeys": (
             "SELECT 'l_orderkey' AS \"column\", "
             "COUNT(DISTINCT l_orderkey) AS distinct_count FROM lineitem"
+        ),
+        "quantiles_extendedprice": (
+            "SELECT 0.25 AS q, quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem "
+            "UNION ALL SELECT 0.5, quantile_disc(l_extendedprice, 0.5) FROM lineitem "
+            "UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.75) FROM lineitem "
+            "UNION ALL SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem "
+            "ORDER BY q"
         ),
         "agg_orders_by_status": (
             "SELECT o_orderstatus, COUNT(*) AS n, MIN(o_totalprice) AS min_v, "

@@ -1,0 +1,45 @@
+"""Exact distributed quantiles (two-pass histogram selection)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from parquet_go_ray.functions.quantiles import exact_quantiles
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_quantiles_match_duckdb(ray_session):
+    import duckdb
+
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    got = exact_quantiles(SF, "lineitem", "l_extendedprice", qs=qs).to_pandas()
+    for q, v in zip(got.q, got.value):
+        want = duckdb.sql(
+            f"SELECT quantile_disc(l_extendedprice, {q}) "
+            f"FROM read_parquet('{SF}/lineitem.parquet')"
+        ).fetchone()[0]
+        assert v == want, (q, v, want)
+
+
+def test_quantiles_int_column_and_duplicates(ray_session):
+    import duckdb
+
+    got = exact_quantiles(SF, "lineitem", "l_linenumber", qs=(0.5, 0.9)).to_pandas()
+    for q, v in zip(got.q, got.value):
+        want = duckdb.sql(
+            f"SELECT quantile_disc(l_linenumber, {q}) "
+            f"FROM read_parquet('{SF}/lineitem.parquet')"
+        ).fetchone()[0]
+        assert v == float(want), (q, v, want)
+
+
+def test_quantiles_constant_column(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "const"
+    p.mkdir()
+    pq.write_table(pa.table({"x": pa.array([7.5] * 100)}), str(p / "t.parquet"))
+    got = exact_quantiles(str(p), "t", "x", qs=(0.5,)).to_pandas()
+    assert got.value.iloc[0] == 7.5
