@@ -326,6 +326,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["quantiles_extendedprice"] = lambda sf: quantiles_ds(sf, "lineitem", "l_extendedprice")
 
+    # -- consistent hash sampling (reproducible subsample; no shuffle) and
+    # corpus vocabulary top-k (per-batch value_counts combiner -> vocabulary-
+    # sized groupby -> one-task top-k) --
+    from parquet_go_ray.functions.sampling import hash_sample
+    from parquet_go_ray.pipelines.textstats import vocab_topk
+
+    q["hash_sample_documents"] = lambda sf: hash_sample(sf, "documents", "doc_id", 0.1)
+    q["vocab_top100"] = lambda sf: vocab_topk(sf, k=100)
+
     # -- sizetool analog (§2.1), rows-only check --
     q["sizetool_documents"] = lambda sf: encode_stats(sf, "documents")
 
@@ -445,7 +454,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import parquet_go_ray.functions.sampling as _sampling
     import parquet_go_ray.functions.windows as _windows
+    import parquet_go_ray.pipelines.textstats as _textstats
     from parquet_go_ray.functions.stats import stats_oracle_sql
     from parquet_go_ray.pipelines.textstats import lang_id_oracle_sql
 
@@ -525,6 +536,8 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem "
             "ORDER BY q"
         ),
+        "hash_sample_documents": _sampling.hash_sample_oracle_sql("documents", "doc_id", 0.1),
+        "vocab_top100": _textstats.vocab_topk_oracle_sql(100),
         "agg_orders_by_status": (
             "SELECT o_orderstatus, COUNT(*) AS n, MIN(o_totalprice) AS min_v, "
             "MAX(o_totalprice) AS max_v FROM orders GROUP BY 1"

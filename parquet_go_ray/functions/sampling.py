@@ -1,0 +1,52 @@
+"""Consistent (hash-based) sampling — the reproducible subsample a 100 TB
+pipeline needs: the same row set survives every run, on every cluster size,
+and two tables sampled on a shared key stay join-compatible.
+
+Not in the reference (no sampling surface); random_shuffle/ds.random_sample
+give a DIFFERENT set each run, which breaks resume + lineage.  The filter is
+a pure per-batch map — no shuffle, no state — and SQL-expressible (Knuth
+multiplicative hash in uint32 space), so the driver oracle checks it
+value-for-value.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..sources.io import read_parquet_any as _read_parquet_any
+
+KNUTH = 2654435761  # 2^32 / phi, Knuth multiplicative hashing constant
+MOD = 1 << 32
+
+
+def hash_sample(
+    sf_dir: str,
+    table: str = "documents",
+    key: str = "doc_id",
+    rate: float = 0.1,
+) -> rd.Dataset:
+    """Rows where hash(key) lands under `rate` of the uint32 space."""
+    threshold = int(rate * MOD)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        v = np.asarray(k, dtype=np.int64).astype(np.uint64)
+        h = (v * np.uint64(KNUTH)) % np.uint64(MOD)
+        return batch.filter(pa.array(h < np.uint64(threshold)))
+
+    return _read_parquet_any(f"{sf_dir}/{table}.parquet").map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+def hash_sample_oracle_sql(table: str = "documents", key: str = "doc_id", rate: float = 0.1) -> str:
+    threshold = int(rate * MOD)
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE ({key} * {KNUTH}) % {MOD} < {threshold}"
+    )

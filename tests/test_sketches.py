@@ -62,3 +62,26 @@ def test_approx_distinct_string_column(ray_session):
         f"SELECT COUNT(DISTINCT text) FROM read_parquet('{SF}/documents.parquet')"
     ).fetchone()[0]
     assert abs(got - want) / max(want, 1) < 0.05
+
+
+def test_hash_sample_consistent(ray_session):
+    from parquet_go_ray.functions.sampling import hash_sample
+
+    a = hash_sample(SF, "documents", "doc_id", 0.2).to_pandas().doc_id.sort_values()
+    b = hash_sample(SF, "documents", "doc_id", 0.2).to_pandas().doc_id.sort_values()
+    assert list(a) == list(b)  # same subsample every run
+    # monotone: a lower rate selects a SUBSET (consistent sampling property)
+    small = set(hash_sample(SF, "documents", "doc_id", 0.05).to_pandas().doc_id)
+    assert small <= set(a)
+
+
+def test_vocab_topk_matches_duckdb(ray_session):
+    import duckdb
+
+    from parquet_go_ray.pipelines.textstats import vocab_topk, vocab_topk_oracle_sql
+
+    got = vocab_topk(SF, k=20).to_pandas()
+    sql = vocab_topk_oracle_sql(20).replace("documents", f"read_parquet('{SF}/documents.parquet')")
+    want = duckdb.sql(sql).df()
+    assert list(got.token) == list(want.token)
+    assert list(got.n) == list(want.n)
