@@ -335,6 +335,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["hash_sample_documents"] = lambda sf: hash_sample(sf, "documents", "doc_id", 0.1)
     q["vocab_top100"] = lambda sf: vocab_topk(sf, k=100)
 
+    # -- as-of join (event attribution): most recent purchase at-or-before
+    # each click, per user — hash-partition by user + per-partition
+    # merge_asof; oracled against DuckDB's native ASOF JOIN --
+    from parquet_go_ray.functions.joins import asof_join_events
+
+    q["asof_click_purchase"] = lambda sf: asof_join_events(sf)
+
     # -- sizetool analog (§2.1), rows-only check --
     q["sizetool_documents"] = lambda sf: encode_stats(sf, "documents")
 
@@ -454,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import parquet_go_ray.functions.joins as _joins
     import parquet_go_ray.functions.sampling as _sampling
     import parquet_go_ray.functions.windows as _windows
     import parquet_go_ray.pipelines.textstats as _textstats
@@ -538,6 +546,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hash_sample_documents": _sampling.hash_sample_oracle_sql("documents", "doc_id", 0.1),
         "vocab_top100": _textstats.vocab_topk_oracle_sql(100),
+        "asof_click_purchase": _joins.asof_join_oracle_sql(),
         "agg_orders_by_status": (
             "SELECT o_orderstatus, COUNT(*) AS n, MIN(o_totalprice) AS min_v, "
             "MAX(o_totalprice) AS max_v FROM orders GROUP BY 1"

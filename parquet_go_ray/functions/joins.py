@@ -87,3 +87,95 @@ def broadcast_join(
     return big.map_batches(
         Lookup, batch_format="pyarrow", concurrency=(1, 8), fn_constructor_kwargs={"ref": ref}
     )
+
+
+def asof_join_events(
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    parts: int = 16,
+) -> rd.Dataset:
+    """AS-OF join (most recent right row at-or-before each left row, per
+    key) — the classic event-attribution join Ray Data has no operator for.
+
+    Composition: both sides stream from ONE read, tagged, hash-partitioned
+    by user_id (all rows of a user land in one partition, so the as-of
+    semantics never cross partitions); each partition runs ONE vectorized
+    pandas merge_asof (C kernel, by=user_id, backward+inclusive — the same
+    rule as SQL ASOF JOIN's `l.ts >= r.ts`).  Right side pre-aggregates to
+    one row per (user_id, ts) so tied timestamps have a deterministic
+    winner.  Shuffle payload is the two projected sides, nothing quadratic."""
+    from ..sources.io import read_parquet_any as _read
+    from ..stages.common import arrow_out as _arrow_out
+
+    ev = _read(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pa.compute.is_in(et, value_set=pa.array([left_type, right_type]))
+        b = batch.filter(keep)
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            part = ((u.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(parts)
+        side = pa.compute.equal(b["event_type"], right_type).cast(pa.int8())
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "value": b["value"],
+                "__side": side,
+                "__part": pa.array(part.astype(np.int64)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g.__side == 0][["event_id", "user_id", "ts"]].sort_values("ts", kind="mergesort")
+        r = (
+            g[g.__side == 1]
+            .groupby(["user_id", "ts"], as_index=False)["value"]
+            .max()
+            .rename(columns={"ts": "ref_ts", "value": "ref_value"})
+            .sort_values("ref_ts", kind="mergesort")
+        )
+        if not len(l):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "ts": pd.Series(dtype="datetime64[us]"),
+                    "ref_ts": pd.Series(dtype="datetime64[us]"),
+                    "ref_value": pd.Series(dtype="float64"),
+                }
+            )
+        m = pd.merge_asof(
+            l,
+            r,
+            left_on="ts",
+            right_on="ref_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["ref_value"])
+        m["ref_value"] = m["ref_value"].round(6)
+        return m[["event_id", "user_id", "ts", "ref_ts", "ref_value"]]
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_arrow_out(merge), batch_format="pandas")
+    )
+
+
+def asof_join_oracle_sql(left_type: str = "click", right_type: str = "purchase") -> str:
+    return (
+        f"WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = '{left_type}'), "
+        f"r AS (SELECT user_id, ts AS ref_ts, MAX(value) AS ref_value FROM events "
+        f"WHERE event_type = '{right_type}' GROUP BY user_id, ts) "
+        "SELECT l.event_id, l.user_id, l.ts, r.ref_ts, ROUND(r.ref_value, 6) AS ref_value "
+        "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ref_ts"
+    )

@@ -102,3 +102,52 @@ def test_hash_join_string_keys(ray_session):
         .reset_index(drop=True)
     )
     assert out.to_dict("list") == {"k": ["y", "z"], "v": [2, 3], "w": [20, 30]}
+
+
+def test_asof_join_matches_duckdb(ray_session):
+    import duckdb
+
+    from parquet_go_ray.functions.joins import asof_join_events, asof_join_oracle_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        asof_join_events(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    want = con.sql(asof_join_oracle_sql()).df().sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got.event_id.values == want.event_id.values).all()
+    assert (got.ref_ts.values == want.ref_ts.values).all()
+    assert (got.ref_value.values == want.ref_value.values).all()
+
+
+def test_asof_join_no_matches(ray_session, tmp_path):
+    """Left rows before any right row are dropped (inner as-of)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    ts = pd.to_datetime([1, 2, 3, 4], unit="s")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+                "event_type": pa.array(["click", "purchase", "click", "click"]),
+                "value": pa.array([0.0, 5.0, 0.0, 0.0]),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    from parquet_go_ray.functions.joins import asof_join_events
+
+    got = asof_join_events(str(d)).to_pandas().sort_values("event_id")
+    # click@1 has no prior purchase; clicks @3,@4 attach purchase@2
+    assert list(got.event_id) == [3, 4]
+    assert (got.ref_value == 5.0).all()
