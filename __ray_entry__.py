@@ -342,6 +342,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["asof_click_purchase"] = lambda sf: asof_join_events(sf)
 
+    # -- range join: events into the (disjoint) session intervals containing
+    # them — as-of onto interval starts + end filter (functions/windows.py) --
+    from parquet_go_ray.functions.windows import range_join_events
+
+    q["range_join_sessions"] = lambda sf: range_join_events(sf)
+
     # -- sizetool analog (§2.1), rows-only check --
     q["sizetool_documents"] = lambda sf: encode_stats(sf, "documents")
 
@@ -547,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_documents": _sampling.hash_sample_oracle_sql("documents", "doc_id", 0.1),
         "vocab_top100": _textstats.vocab_topk_oracle_sql(100),
         "asof_click_purchase": _joins.asof_join_oracle_sql(),
+        "range_join_sessions": _windows.range_join_oracle_sql(),
         "agg_orders_by_status": (
             "SELECT o_orderstatus, COUNT(*) AS n, MIN(o_totalprice) AS min_v, "
             "MAX(o_totalprice) AS max_v FROM orders GROUP BY 1"

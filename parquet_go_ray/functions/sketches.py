@@ -32,7 +32,9 @@ _M = 1 << _P
 
 def _hash64(col: pa.Array) -> np.ndarray:
     """Vectorized 64-bit value hash (polars xxhash over Arrow buffers)."""
-    import polars as pl
+    from ..stages.common import polars_mod as _pm
+
+    pl = _pm()
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()

@@ -218,3 +218,109 @@ def hopping_oracle_sql(window_sec: int = 1800, hop_sec: int = 600) -> str:
         "FROM (SELECT CAST(FLOOR(EPOCH_US(ts) / {h}) AS BIGINT) - unnest(range({n})) AS w, "
         "event_type, value FROM events) GROUP BY 1, 2"
     ).format(h=hop_us, n=nwin)
+
+
+def range_join_events(
+    sf_dir: str, gap_sec: int = 1800, min_events: int = 2, parts: int = 16
+) -> rd.Dataset:
+    """RANGE JOIN: assign each event to the (non-overlapping, per-user)
+    session interval containing it — only sessions with >= min_events rows
+    qualify, so the match is genuinely partial.
+
+    Ray Data has no interval-join operator; the composition is the as-of
+    trick specialized to non-overlapping intervals: hash-partition BOTH
+    sides by user (intervals never cross partitions), merge_asof each event
+    backward onto the latest interval START at-or-before it (one C kernel
+    per partition), then keep rows whose ts is inside that interval's END.
+    For overlapping intervals this would need an interval tree; session
+    windows are disjoint by construction, so as-of + end-filter is exact."""
+    import numpy as np
+
+    from ..stages.common import arrow_out as _arrow_out
+
+    sessions = session_windows(sf_dir, gap_sec).filter(expr=f"n_events >= {min_events}")
+    events = _read_parquet_any(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def _part_of(u: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (
+                (u.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(33)
+            ) % np.uint64(parts)
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        ts_us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        n = b.num_rows
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": ts_us,
+                "session_start_us": pa.nulls(n, pa.int64()),
+                "session_end_us": pa.nulls(n, pa.int64()),
+                "__side": pa.array(np.zeros(n, np.int8)),
+                "__part": pa.array(_part_of(u).astype(np.int64)),
+            }
+        )
+
+    def tag_sessions(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        n = b.num_rows
+        return pa.table(
+            {
+                "event_id": pa.nulls(n, pa.int64()),
+                "user_id": b["user_id"],
+                "ts_us": pa.nulls(n, pa.int64()),
+                "session_start_us": b["session_start_us"],
+                "session_end_us": b["session_end_us"],
+                "__side": pa.array(np.ones(n, np.int8)),
+                "__part": pa.array(_part_of(u).astype(np.int64)),
+            }
+        )
+
+    tagged = events.map_batches(tag_events, batch_format="pyarrow").union(
+        sessions.map_batches(tag_sessions, batch_format="pyarrow")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g.__side == 0][["event_id", "user_id", "ts_us"]].copy()
+        s = g[g.__side == 1][["user_id", "session_start_us", "session_end_us"]].copy()
+        cols = ["event_id", "user_id", "ts_us", "session_start_us", "session_end_us"]
+        if not len(e) or not len(s):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        for c, f in (("event_id", e), ("ts_us", e)):
+            f[c] = f[c].astype("int64")
+        for c in ("session_start_us", "session_end_us"):
+            s[c] = s[c].astype("int64")
+        e = e.sort_values("ts_us", kind="mergesort")
+        s = s.sort_values("session_start_us", kind="mergesort")
+        m = pd.merge_asof(
+            e, s, left_on="ts_us", right_on="session_start_us",
+            by="user_id", direction="backward",
+        )
+        m = m[m.session_end_us.notna() & (m.ts_us <= m.session_end_us)]
+        m = m.astype({c: "int64" for c in cols})
+        return m[cols]
+
+    return tagged.groupby("__part").map_groups(_arrow_out(merge), batch_format="pandas")
+
+
+def range_join_oracle_sql(gap_sec: int = 1800, min_events: int = 2) -> str:
+    gap_us = gap_sec * 1_000_000
+    return (
+        "WITH o AS (SELECT user_id, EPOCH_US(ts) AS ts, "
+        "LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+        f"f AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR ts - prev > {gap_us} "
+        "THEN 1 ELSE 0 END AS brk FROM o), "
+        "g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM f), "
+        "s AS (SELECT user_id, MIN(ts) AS session_start_us, MAX(ts) AS session_end_us "
+        f"FROM g GROUP BY user_id, sid HAVING COUNT(*) >= {min_events}) "
+        "SELECT e.event_id, e.user_id, EPOCH_US(e.ts) AS ts_us, "
+        "s.session_start_us, s.session_end_us "
+        "FROM events e JOIN s ON e.user_id = s.user_id "
+        "AND EPOCH_US(e.ts) BETWEEN s.session_start_us AND s.session_end_us"
+    )

@@ -122,7 +122,9 @@ def _hash_join(
             else:
                 # string/other keys: vectorized polars hash for partitioning,
                 # original values travel as the merge key
-                import polars as pl
+                from ..stages.common import polars_mod as _pm
+
+                pl = _pm()
 
                 h = pl.from_arrow(pa.table({"k": kcol}))["k"].hash(seed=13).to_numpy()
                 part = h.astype(np.uint64) % np.uint64(parts)
@@ -230,7 +232,9 @@ def _distinct(ds: rd.Dataset, key_cols: list[str], parts: int = DEFAULT_PARTS) -
                 if pa.types.is_integer(col.type):
                     hc = np.asarray(col).astype(np.uint64)
                 else:
-                    import polars as pl
+                    from ..stages.common import polars_mod as _pm
+
+                    pl = _pm()
 
                     hc = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=13).to_numpy().astype(np.uint64)
                 h = h * np.uint64(0x9E3779B97F4A7C15) + hc
@@ -288,8 +292,9 @@ def _text_hash_keys(parts: int):
     ~n²/2¹²⁹, negligible even at 10¹² docs) instead of the text itself."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        from ..stages.common import polars_mod as _pm
 
+        pl = _pm()
         df = pl.from_arrow(batch.select(["text"]))
         h1 = df["text"].hash(seed=7).to_numpy().astype(np.uint64)
         h2 = df["text"].hash(seed=1299709).to_numpy().astype(np.uint64)

@@ -99,7 +99,9 @@ def add_partition_key(num_parts: int, salt_buckets: int):
     fanned out over salt_buckets sub-partitions by a content-derived salt."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        from ..stages.common import polars_mod as _pm
+
+        pl = _pm()
 
         # polars hash is vectorized C over the Arrow buffers — never convert
         # string columns to Python objects in this hot path.  Tables without

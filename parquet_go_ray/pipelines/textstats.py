@@ -229,7 +229,9 @@ def vocab_topk(sf_dir: str, k: int = 100, parts: int = 16) -> rd.Dataset:
         toks = toks.filter(pc.not_equal(toks, ""))
         vc = toks.value_counts()
         token, n = vc.field("values"), vc.field("counts")
-        import polars as pl
+        from ..stages.common import polars_mod as _pm
+
+        pl = _pm()
 
         h = pl.from_arrow(pa.table({"t": token}))["t"].hash(seed=13).to_numpy()
         part = (h.astype(np.uint64) % np.uint64(parts)).astype(np.int64)

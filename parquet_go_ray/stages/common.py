@@ -31,3 +31,27 @@ def arrow_out(fn):
         return out
 
     return wrapped
+
+
+def polars_mod():
+    """Import polars defensively for use inside Ray worker UDFs.
+
+    polars populates ``polars._reexport`` lazily; if a worker's first import
+    is interrupted (task error / OOM mid-import), sys.modules caches the
+    partially-initialized module and every later ``pl.from_arrow`` in that
+    worker dies with ``module 'polars._reexport' has no attribute
+    'DataFrame'`` (observed as a rare full-suite flake).  Detect the broken
+    state and re-import from scratch."""
+    import sys
+
+    import polars as pl
+
+    try:
+        pl._reexport.DataFrame  # noqa: B018 — touch the lazy re-export
+        return pl
+    except AttributeError:
+        for k in [k for k in sys.modules if k == "polars" or k.startswith("polars.")]:
+            del sys.modules[k]
+        import polars as pl  # noqa: F811
+
+        return pl

@@ -152,3 +152,27 @@ def test_streaming_deskew_dominant_event_type(ray_session):
     got = out.sort_values(key).reset_index(drop=True)
     exp = exp.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_range_join_matches_duckdb(ray_session):
+    import duckdb
+
+    from parquet_go_ray.functions.windows import range_join_events, range_join_oracle_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        range_join_events(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    want = (
+        con.sql(range_join_oracle_sql()).df().sort_values("event_id").reset_index(drop=True).astype("int64")
+    )
+    assert got.equals(want)
+    # genuinely partial: some events fall outside every qualifying session
+    total = con.sql("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert 0 < len(got) < total
