@@ -348,6 +348,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["range_join_sessions"] = lambda sf: range_join_events(sf)
 
+    # -- grouped top-k: ROW_NUMBER() <= n as a distributed combiner
+    # (top-n-per-group is a semilattice; only candidates shuffle) --
+    from parquet_go_ray.functions.relational import grouped_topk
+
+    q["grouped_topk_orders"] = lambda sf: grouped_topk(sf)
+
     # -- sizetool analog (§2.1), rows-only check --
     q["sizetool_documents"] = lambda sf: encode_stats(sf, "documents")
 
@@ -468,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     import parquet_go_ray.functions.joins as _joins
+    import parquet_go_ray.functions.relational as _relational
     import parquet_go_ray.functions.sampling as _sampling
     import parquet_go_ray.functions.windows as _windows
     import parquet_go_ray.pipelines.textstats as _textstats
@@ -554,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top100": _textstats.vocab_topk_oracle_sql(100),
         "asof_click_purchase": _joins.asof_join_oracle_sql(),
         "range_join_sessions": _windows.range_join_oracle_sql(),
+        "grouped_topk_orders": _relational.grouped_topk_oracle_sql(),
         "agg_orders_by_status": (
             "SELECT o_orderstatus, COUNT(*) AS n, MIN(o_totalprice) AS min_v, "
             "MAX(o_totalprice) AS max_v FROM orders GROUP BY 1"

@@ -70,3 +70,87 @@ def grouped_agg(
     return ds.map_batches(partial, batch_format="pyarrow").groupby("__part").map_groups(
         fold, batch_format="pandas"
     )
+
+
+def _topn_per_group(key: np.ndarray, val: np.ndarray, tie: np.ndarray, n: int) -> np.ndarray:
+    """Row indices of the top-n rows per key, ordered by (val desc, tie asc)
+    within each key — one lexsort, no per-group Python work."""
+    order = np.lexsort((tie, -val, key))
+    sk = key[order]
+    new = np.ones(len(sk), dtype=bool)
+    new[1:] = sk[1:] != sk[:-1]
+    starts = np.flatnonzero(new)
+    run_start = np.repeat(starts, np.diff(np.append(starts, len(sk))))
+    rank = np.arange(len(sk)) - run_start
+    return order[rank < n]
+
+
+def grouped_topk(
+    sf_dir: str,
+    table: str = "orders",
+    group: str = "o_custkey",
+    value: str = "o_totalprice",
+    tie: str = "o_orderkey",
+    n: int = 2,
+    parts: int = FOLD_PARTS,
+) -> rd.Dataset:
+    """Top-n rows per group by (value desc, tie asc) — the window-function
+    ROW_NUMBER() <= n pattern as a distributed combiner.
+
+    Top-n-per-group is a semilattice (the top-n of unioned top-n's is the
+    global top-n), so each batch FIRST reduces to <= n rows per group it has
+    seen (one numpy lexsort — no per-group calls), and only those candidates
+    hash-shuffle; each partition then applies the same kernel once more.
+    Shuffle payload: <= n x (groups present per batch), never the table."""
+    ds = _read_parquet_any(f"{sf_dir}/{table}.parquet", columns=[group, value, tie])
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {group: pa.array([], pa.int64()), value: pa.array([], pa.float64()),
+                 tie: pa.array([], pa.int64()), "__part": pa.array([], pa.int64())}
+            )
+        g = np.asarray(batch[group], dtype=np.int64)
+        v = np.asarray(batch[value], dtype=np.float64)
+        t = np.asarray(batch[tie], dtype=np.int64)
+        keep = _topn_per_group(g, v, t, n)
+        keep.sort()
+        sub = batch.take(pa.array(keep, pa.int64()))
+        gk = g[keep]
+        with np.errstate(over="ignore"):
+            part = ((gk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(parts)
+        return sub.append_column("__part", pa.array(part.astype(np.int64)))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [(group, pa.int64()), (value, pa.float64()), (tie, pa.int64())]
+        )
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        g = np.asarray(batch[group], dtype=np.int64)
+        v = np.asarray(batch[value], dtype=np.float64)
+        t = np.asarray(batch[tie], dtype=np.int64)
+        keep = _topn_per_group(g, v, t, n)
+        keep.sort()
+        return batch.take(pa.array(keep, pa.int64())).drop_columns(["__part"]).cast(out_schema)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def grouped_topk_oracle_sql(
+    table: str = "orders",
+    group: str = "o_custkey",
+    value: str = "o_totalprice",
+    tie: str = "o_orderkey",
+    n: int = 2,
+) -> str:
+    return (
+        f"SELECT {group}, {value}, {tie} FROM ("
+        f"SELECT {group}, {value}, {tie}, ROW_NUMBER() OVER ("
+        f"PARTITION BY {group} ORDER BY {value} DESC, {tie}) AS rn FROM {table}) "
+        f"WHERE rn <= {n}"
+    )

@@ -151,3 +151,28 @@ def test_asof_join_no_matches(ray_session, tmp_path):
     # click@1 has no prior purchase; clicks @3,@4 attach purchase@2
     assert list(got.event_id) == [3, 4]
     assert (got.ref_value == 5.0).all()
+
+
+def test_grouped_topk_matches_duckdb(ray_session):
+    import duckdb
+
+    from parquet_go_ray.functions.relational import grouped_topk, grouped_topk_oracle_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        grouped_topk(sf, n=3)
+        .to_pandas()
+        .sort_values(["o_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')")
+    want = (
+        con.sql(grouped_topk_oracle_sql(n=3))
+        .df()
+        .sort_values(["o_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.o_orderkey.values == want.o_orderkey.values).all()
+    assert (got.o_totalprice.values == want.o_totalprice.values).all()
