@@ -125,4 +125,9 @@ def _values(batch: pa.Table, column: str) -> np.ndarray:
         col = col.combine_chunks()
     if col.null_count:
         col = col.drop_null()
-    return col.to_numpy(zero_copy_only=False)
+    v = col.to_numpy(zero_copy_only=False)
+    if v.dtype.kind == "f":
+        # NaN/inf are excluded (like NULL) — casting NaN bin indices to int
+        # is undefined; note this diverges from SQL's NaN-sorts-last rule
+        v = v[np.isfinite(v)]
+    return v

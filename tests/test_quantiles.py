@@ -43,3 +43,15 @@ def test_quantiles_constant_column(ray_session, tmp_path):
     pq.write_table(pa.table({"x": pa.array([7.5] * 100)}), str(p / "t.parquet"))
     got = exact_quantiles(str(p), "t", "x", qs=(0.5,)).to_pandas()
     assert got.value.iloc[0] == 7.5
+
+
+def test_quantiles_nan_and_nulls_excluded(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "nan"
+    p.mkdir()
+    vals = [1.0, 2.0, float("nan"), None, 3.0, 4.0, float("inf")]
+    pq.write_table(pa.table({"x": pa.array(vals, pa.float64())}), str(p / "t.parquet"))
+    got = exact_quantiles(str(p), "t", "x", qs=(0.5,)).to_pandas()
+    # finite values only: [1,2,3,4] -> rank ceil(0.5*4)=2 -> 2.0
+    assert got.value.iloc[0] == 2.0
