@@ -17,8 +17,15 @@ queries() keys map to SURVEY.md §2 operators:
                     fully SQL-oracle the jaccard/cosine/component kernels
   text_* / lang_id / fingerprint / image_* / audio_* — text + multimodal
   clean_corpus    — composite staged pipeline (quality -> exact -> near)
+  transcode_native / read_native_* — REAL PAR1 interop (engine pages read
+                    by DuckDB; pyarrow pages through engine decoders)
+  distinct_count_* / approx_distinct_* / quantiles_* — distributed sketches
+                    + their exact oracled twins (HLL, 2-pass histogram select)
+  hash_sample_* / vocab_* / grouped_topk_* — consistent sampling, vocabulary
+                    combiner, ROW_NUMBER()<=n per group
+  asof_* / range_join_* — as-of + interval joins (merge_asof per partition)
 Rows-only (no_oracle) queries are exactly the inherently-approximate or
-non-SQL ops: LSH-recall-dependent pair sets, IVF, winnowing digests,
+non-SQL ops: LSH-recall-dependent pair sets, IVF, HLL, winnowing digests,
 engine-internal size accounting.
 """
 
@@ -354,6 +361,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["grouped_topk_orders"] = lambda sf: grouped_topk(sf)
 
+    # -- per-group exact quantiles (one flat n_groups x bins histogram) --
+    from parquet_go_ray.functions.quantiles import grouped_quantiles_ds
+
+    q["grouped_quantiles_returnflag"] = grouped_quantiles_ds
+
     # -- sizetool analog (§2.1), rows-only check --
     q["sizetool_documents"] = lambda sf: encode_stats(sf, "documents")
 
@@ -474,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     import parquet_go_ray.functions.joins as _joins
+    import parquet_go_ray.functions.quantiles as _quantiles
     import parquet_go_ray.functions.relational as _relational
     import parquet_go_ray.functions.sampling as _sampling
     import parquet_go_ray.functions.windows as _windows
@@ -562,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_click_purchase": _joins.asof_join_oracle_sql(),
         "range_join_sessions": _windows.range_join_oracle_sql(),
         "grouped_topk_orders": _relational.grouped_topk_oracle_sql(),
+        "grouped_quantiles_returnflag": _quantiles.grouped_quantiles_oracle_sql(),
         "agg_orders_by_status": (
             "SELECT o_orderstatus, COUNT(*) AS n, MIN(o_totalprice) AS min_v, "
             "MAX(o_totalprice) AS max_v FROM orders GROUP BY 1"

@@ -55,3 +55,22 @@ def test_quantiles_nan_and_nulls_excluded(ray_session, tmp_path):
     got = exact_quantiles(str(p), "t", "x", qs=(0.5,)).to_pandas()
     # finite values only: [1,2,3,4] -> rank ceil(0.5*4)=2 -> 2.0
     assert got.value.iloc[0] == 2.0
+
+
+def test_grouped_quantiles_match_duckdb(ray_session):
+    import duckdb
+
+    from parquet_go_ray.functions.quantiles import (
+        grouped_quantiles,
+        grouped_quantiles_oracle_sql,
+    )
+
+    got = grouped_quantiles(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    want = con.sql(grouped_quantiles_oracle_sql()).df().reset_index(drop=True)
+    assert list(got.l_returnflag) == list(want.l_returnflag)
+    assert list(got.q) == list(want.q)
+    assert list(got.value) == list(want.value)
