@@ -366,6 +366,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["grouped_quantiles_returnflag"] = grouped_quantiles_ds
 
+    # -- per-chunk Bloom filters (beyond the reference's min/max stats):
+    # equality scan on a unique unordered column — stats never prune (every
+    # chunk's min/max spans the probe), the bloom prunes all non-holders --
+    def scan_bloom(sf):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from parquet_go_ray.config import EngineConfig
+        from parquet_go_ray.pipelines.encode_pipeline import encode_dataset
+        from parquet_go_ray.pipelines.scan import scan_column
+        from parquet_go_ray.sources.io import read_parquet_any as _rpq
+
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        probe = t.filter(pc.equal(t["doc_id"], 0))["text"][0].as_py()
+        chunks = encode_dataset(
+            _rpq(f"{sf}/documents.parquet", columns=["text"]),
+            EngineConfig(batch_size_rows=256, bloom_bits_per_value=10),
+        )
+        return scan_column(chunks, "text", predicate=("==", probe)).select_columns(["text"])
+
+    q["scan_bloom_documents"] = scan_bloom
+
     # -- sizetool analog (§2.1), rows-only check --
     q["sizetool_documents"] = lambda sf: encode_stats(sf, "documents")
 
@@ -576,6 +598,10 @@ def oracle_sql() -> dict[str, str]:
         "range_join_sessions": _windows.range_join_oracle_sql(),
         "grouped_topk_orders": _relational.grouped_topk_oracle_sql(),
         "grouped_quantiles_returnflag": _quantiles.grouped_quantiles_oracle_sql(),
+        "scan_bloom_documents": (
+            "SELECT text FROM documents WHERE text = "
+            "(SELECT text FROM documents WHERE doc_id = 0)"
+        ),
         "agg_orders_by_status": (
             "SELECT o_orderstatus, COUNT(*) AS n, MIN(o_totalprice) AS min_v, "
             "MAX(o_totalprice) AS max_v FROM orders GROUP BY 1"

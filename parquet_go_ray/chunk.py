@@ -85,6 +85,64 @@ def _parse_t(s: str) -> pa.DataType:
     raise ValueError(f"unknown logical type {s}")
 
 
+def _bloom_supported(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_integer(t)
+        or pa.types.is_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
+def _bloom_hashes(values: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent vectorized 64-bit hash streams (double hashing)."""
+    from .stages.common import polars_mod as _pm
+
+    pl = _pm()
+    s = pl.from_arrow(pa.table({"v": values}))["v"]
+    h1 = s.hash(seed=1000003).to_numpy().astype(np.uint64)
+    h2 = s.hash(seed=10007).to_numpy().astype(np.uint64)
+    return h1, h2 | np.uint64(1)  # odd h2 so probes cycle the whole table
+
+
+def _bloom_build(values: pa.Array, bits_per_value: int, max_bytes: int = 1 << 20) -> dict:
+    """Per-chunk Bloom filter over the (null-free) values — the parquet
+    column-bloom idea (not in the reference; its pruning stops at min/max
+    stats, layout/page.go:83-123).  Lives in the chunk's JSON header, so the
+    metadata pass consults it without decompressing anything.  Classic
+    double hashing: probe_i = h1 + i*h2 (Kirsch-Mitzenmacher)."""
+    import base64
+
+    n = max(len(values), 1)
+    m = int(max(64, min(n * bits_per_value, max_bytes * 8)))
+    k = max(1, min(16, round(0.6931 * m / n)))
+    h1, h2 = _bloom_hashes(values)
+    bits = np.zeros(m, dtype=bool)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        for i in range(k):
+            bits[((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)] = True
+    return {
+        "m": m,
+        "k": k,
+        "b64": base64.b64encode(np.packbits(bits).tobytes()).decode(),
+    }
+
+
+def bloom_may_contain(bloom: dict, value, typ: pa.DataType) -> bool:
+    """Probe a chunk's Bloom filter for an equality-predicate value."""
+    import base64
+
+    h1, h2 = _bloom_hashes(pa.array([value], typ))
+    bits = np.unpackbits(np.frombuffer(base64.b64decode(bloom["b64"]), np.uint8))
+    m = np.uint64(bloom["m"])
+    with np.errstate(over="ignore"):
+        for i in range(bloom["k"]):
+            if not bits[int((h1[0] + np.uint64(i) * h2[0]) % m)]:
+                return False
+    return True
+
+
 def _stats(values: pa.Array) -> dict:
     out = {}
     try:
@@ -488,6 +546,8 @@ def encode_column_chunk(
         }
     )
     meta.update(_stats(values))
+    if cfg.bloom_bits_per_value and logical is None and _bloom_supported(values.type):
+        meta["bloom"] = _bloom_build(values, cfg.bloom_bits_per_value)
     body = write_uvarint(len(levels)) + levels + payload
     meta["raw_body"] = len(body)
     comp = _outer_compress(body, outer, cfg.zstd_level)

@@ -94,6 +94,13 @@ class EngineConfig:
                                      # sort barrier) and measured ~5x lower
                                      # run-to-run variance than push-based
                                      # sort on this host at equal best case
+    bloom_bits_per_value: int = 0    # >0: per-chunk Bloom filter over int/
+                                     # string values in the chunk header
+                                     # (equality scans prune chunks whose
+                                     # min/max span the probe but whose value
+                                     # set misses it); 10 bits/value ~ 1% fpp.
+                                     # Off by default: the filter bytes count
+                                     # against encoded size
     # verification
     verify_sha256: bool = True
 

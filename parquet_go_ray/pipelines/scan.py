@@ -27,6 +27,14 @@ def chunk_meta(blob: bytes) -> dict:
 
 
 def _chunk_may_match(meta: dict, op: str, value) -> bool:
+    if op == "==" and "bloom" in meta:
+        # Bloom consult first: prunes chunks whose min/max SPAN the probe but
+        # whose value set misses it (random-ordered ids/names, where stats
+        # never prune).  False positives only -> never wrong, just decoded.
+        from ..chunk import _chunk_type, bloom_may_contain
+
+        if not bloom_may_contain(meta["bloom"], value, _chunk_type(meta)):
+            return False
     mn, mx = meta.get("min"), meta.get("max")
     if mn is None or mx is None:
         return True  # no stats -> cannot prune

@@ -109,3 +109,52 @@ def test_skip_read_forced_codecs(ray_session, tmp_path):
         assert len(results[codec]) == 900
     vals = list(results.values())
     assert all(v == vals[0] for v in vals[1:])
+
+
+def test_bloom_prunes_where_stats_cannot(ray_session):
+    """Unique unordered strings: every chunk's min/max spans any probe, so
+    stats prune nothing; the per-chunk bloom prunes every non-holder."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.config import EngineConfig
+    from parquet_go_ray.pipelines.encode_pipeline import encode_dataset
+    from parquet_go_ray.pipelines.scan import count_pruned, scan_column
+    from parquet_go_ray.sources.io import read_parquet_any as rpq
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    probe = t.filter(pc.equal(t["doc_id"], 0))["text"][0].as_py()
+    cb = encode_dataset(
+        rpq(f"{sf}/documents.parquet", columns=["text"]),
+        EngineConfig(batch_size_rows=64, bloom_bits_per_value=10),
+    ).materialize()
+    cn = encode_dataset(
+        rpq(f"{sf}/documents.parquet", columns=["text"]),
+        EngineConfig(batch_size_rows=64),
+    ).materialize()
+    with_bloom = count_pruned(cb, "text", ("==", probe))
+    stats_only = count_pruned(cn, "text", ("==", probe))
+    assert stats_only["pruned"] == 0
+    assert with_bloom["pruned"] > 0
+    # correctness: same rows either way
+    rows_b = scan_column(cb, "text", predicate=("==", probe)).count()
+    rows_n = scan_column(cn, "text", predicate=("==", probe)).count()
+    assert rows_b == rows_n >= 1
+
+
+def test_bloom_no_false_negatives_int():
+    """Every present value must probe positive (blooms have FPs, never FNs)."""
+    import numpy as np
+
+    from parquet_go_ray.chunk import _bloom_build, bloom_may_contain
+
+    rng = np.random.default_rng(9)
+    vals = pa.array(rng.integers(0, 1 << 40, 5000, dtype=np.int64))
+    bloom = _bloom_build(vals, 10)
+    for v in vals.slice(0, 200).to_pylist():
+        assert bloom_may_contain(bloom, v, pa.int64())
+    # absent values: false-positive rate stays near the design point (~1%)
+    absent = rng.integers(1 << 41, 1 << 42, 2000, dtype=np.int64)
+    fp = sum(bloom_may_contain(bloom, int(v), pa.int64()) for v in absent)
+    assert fp / 2000 < 0.05
