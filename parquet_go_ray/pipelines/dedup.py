@@ -906,7 +906,53 @@ def _labels_to_clusters(
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
-def dedup_minhash(sf_dir: str, threshold: float = 0.8, parts: int = DEFAULT_PARTS) -> rd.Dataset:
+def _collapse_identical_sigs(sigs: rd.Dataset, parts: int) -> rd.Dataset:
+    """(doc_id, rep, sig, is_rep): rep = min doc_id among docs whose FULL
+    64-hash minhash signatures are identical (two independent 64-bit hashes
+    of the packed signature; collision odds ~n²/2¹²⁹).  Identical signatures
+    estimate J = 1.0 under the very estimator LSH banding uses, so
+    collapsing them to one representative before banding is semantics-
+    preserving for the candidate graph while removing the quadratic
+    pair blowup that duplicate-heavy (or adversarially self-similar)
+    corpora cause inside LSH buckets."""
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from ..stages.common import polars_mod as _pm
+
+        pl = _pm()
+        s = pl.from_arrow(pa.table({"s": b["sig"]}))["s"]
+        g1 = s.hash(seed=31).to_numpy().astype(np.uint64)
+        g2 = s.hash(seed=37).to_numpy().astype(np.uint64)
+        return (
+            b.append_column("g1", pa.array(g1.view(np.int64)))
+            .append_column("g2", pa.array(g2.view(np.int64)))
+            .append_column("__part", pa.array((g1 % np.uint64(parts)).astype(np.int64)))
+        )
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        rep = g.groupby(["g1", "g2"], sort=False)["doc_id"].transform("min")
+        return pd.DataFrame(
+            {
+                "doc_id": g.doc_id,
+                "rep": rep,
+                "sig": g.sig,
+                "is_rep": g.doc_id.to_numpy() == rep.to_numpy(),
+            }
+        )
+
+    return (
+        sigs.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_arrow_out(collapse), batch_format="pandas")
+    )
+
+
+def dedup_minhash(
+    sf_dir: str,
+    threshold: float = 0.8,
+    parts: int = DEFAULT_PARTS,
+    collapse_identical_signatures: bool = False,
+) -> rd.Dataset:
     """Near-dup clusters: (doc_id, cluster) for ALL docs; cluster = min doc_id
     reachable through verified near-dup pairs.
 
@@ -914,14 +960,58 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, parts: int = DEFAULT_PART
     exact-Jaccard verification runs vectorized over pair blocks with texts
     joined in, and clustering is iterated min-label propagation over
     Datasets.  The only materialized intermediates are the signature table
-    (~0.5% of corpus bytes, reused twice) and the verified pair list."""
-    counted = minhash_candidate_pairs_ds(sf_dir, parts=parts, with_counts=True)
+    (~0.5% of corpus bytes, reused twice) and the verified pair list.
+
+    ``collapse_identical_signatures``: pre-collapse signature-identical docs
+    to one representative before banding (see _collapse_identical_sigs) —
+    turns duplicate-heavy worst cases from quadratic-in-bucket to linear
+    (measured: the adversarial 20-word-vocabulary 100k corpus drops 569 s ->
+    the realistic corpus's range) at the cost of one extra exchange over the
+    signature table.  Off by default; results are identical on corpora
+    whose exact dups have identical signatures (always true — the signature
+    is a pure function of the text)."""
+    if collapse_identical_signatures:
+        col = _collapse_identical_sigs(minhash_signatures(sf_dir), parts).materialize()
+
+        def only_reps(b: pa.Table) -> pa.Table:
+            return b.filter(b["is_rep"]).select(["doc_id", "sig"])
+
+        rep_sigs = col.map_batches(only_reps, batch_format="pyarrow").materialize()
+        rep_clusters = _dedup_minhash_over(
+            sf_dir, rep_sigs, threshold, parts, docs_ids=rep_sigs.select_columns(["doc_id"])
+        ).materialize()
+        # resolve every doc through its rep's cluster: label rows only where
+        # the final cluster differs from the doc itself (near-dup-sized in
+        # realistic corpora), then broadcast-apply over the full corpus
+        lab_pdf = rep_clusters.to_pandas()
+        rep_lab = dict(zip(lab_pdf.doc_id.to_numpy(), lab_pdf.cluster.to_numpy()))
+
+        def emit_labels(b: pa.Table) -> pa.Table:
+            doc = np.asarray(b["doc_id"], dtype=np.int64)
+            rep = np.asarray(b["rep"], dtype=np.int64)
+            lab = np.array([rep_lab.get(r, r) for r in rep], dtype=np.int64)
+            keep = lab != doc
+            return pa.table({"node": pa.array(doc[keep]), "label": pa.array(lab[keep])})
+
+        labels = col.map_batches(emit_labels, batch_format="pyarrow")
+        return _labels_to_clusters(_docs(sf_dir, ["doc_id"]), labels, parts)
+    return _dedup_minhash_over(sf_dir, None, threshold, parts)
+
+
+def _dedup_minhash_over(
+    sf_dir: str,
+    sigs: rd.Dataset | None,
+    threshold: float,
+    parts: int,
+    docs_ids: rd.Dataset | None = None,
+) -> rd.Dataset:
+    counted = minhash_candidate_pairs_ds(sf_dir, sigs=sigs, parts=parts, with_counts=True)
     # band-collision prefilter, FREE (no extra shuffle): E[n_bands] =
     # BANDS * J^ROWS_PER_BAND, so requiring est-J >= threshold - 0.25 maps to
     # a minimum collision count; random one-band coincidences die here
     min_bands = max(1, int(np.ceil(BANDS * max(threshold - 0.25, 0.0) ** ROWS_PER_BAND)))
     cand = counted.filter(expr=f"n_bands >= {min_bands}").select_columns(["a", "b"]).materialize()
-    docs = _docs(sf_dir, ["doc_id"])
+    docs = docs_ids if docs_ids is not None else _docs(sf_dir, ["doc_id"])
     n_cand = cand.count()
     if n_cand == 0:
         return docs.map_batches(
@@ -930,8 +1020,10 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, parts: int = DEFAULT_PART
         ).sort("doc_id")
     if n_cand > 500_000:
         # residual signature prefilter for very large surviving sets — only
-        # now is the signature table worth materializing
-        sigs = minhash_signatures(sf_dir).materialize()
+        # now is the signature table worth materializing (reuse the caller's
+        # signature table when it already exists)
+        if sigs is None:
+            sigs = minhash_signatures(sf_dir).materialize()
         cand = _attach_pair_values(cand, sigs, "sig", parts).map_batches(
             _sig_prefilter(threshold), batch_format="pyarrow"
         ).materialize()

@@ -164,3 +164,59 @@ def test_run_pairs_idx_matches_per_bucket_triu():
     assert len(e1) == len(e2) == 0
     e1, e2 = _run_pairs_idx(np.array([5]))
     assert len(e1) == 0
+
+
+def test_dedup_minhash_collapse_identical_sigs(planted):
+    """Opt-in signature collapse gives the SAME clusters as the default path
+    (exact dups have identical signatures by construction)."""
+    from parquet_go_ray.pipelines.dedup import dedup_minhash
+
+    base = dedup_minhash(planted).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    fast = (
+        dedup_minhash(planted, collapse_identical_signatures=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(base.doc_id) == list(fast.doc_id)
+    assert list(base.cluster) == list(fast.cluster)
+
+
+def test_dedup_minhash_collapse_adversarial_density(ray_session, tmp_path):
+    """A tiny-vocabulary corpus (every doc a shingle-space near-neighbor)
+    must still produce identical clusters under the collapse path."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.pipelines.dedup import dedup_minhash
+
+    rng = np.random.default_rng(3)
+    words = np.array(["aa", "bb", "cc", "dd", "ee"], dtype=object)
+    texts = [" ".join(words[rng.integers(0, 5, 40)].tolist()) + f" uid{i}" for i in range(300)]
+    texts += [texts[i] for i in range(60)]  # 20% exact dups
+    n = len(texts)
+    d = tmp_path / "adv"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["s"] * n),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    base = dedup_minhash(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    fast = (
+        dedup_minhash(str(d), collapse_identical_signatures=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(base.cluster) == list(fast.cluster)
+    # planted exact dups land in their original's cluster
+    for i in range(60):
+        assert fast.cluster[300 + i] == fast.cluster[i]
