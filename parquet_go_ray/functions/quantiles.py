@@ -14,9 +14,9 @@ layout/page.go:83-123).  The classic selection-by-histogram composition:
           within the collected slice.
 
 At 100 TB the two passes stream with backpressure and the shuffle payload
-is histograms, not data; only the target bins' values (output-sized unless
-the column is pathologically concentrated — reported via `collected_rows`)
-reach the driver.
+is histograms, not data; only the target bins' values (expected n/B of the
+data unless the column is pathologically concentrated into one bin) reach
+the driver.
 
 Rank semantics match DuckDB's quantile_disc: value at 1-based sorted rank
 ceil(q * n).

@@ -27,7 +27,6 @@ import ray.data as rd
 from ..sources.io import read_parquet_any as _read_parquet_any
 
 _P = 14  # 2^14 = 16384 registers, ~0.8% standard error
-_M = 1 << _P
 
 
 def _hash64(col: pa.Array) -> np.ndarray:
