@@ -95,14 +95,77 @@ def _bloom_supported(t: pa.DataType) -> bool:
     )
 
 
-def _bloom_hashes(values: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent vectorized 64-bit hash streams (double hashing)."""
-    from .stages.common import polars_mod as _pm
+# Bloom hash spec version.  Blooms are serialized into durable chunk blobs
+# (resumable checkpoints), so the hash MUST be stable across library versions
+# and platforms — hence a self-owned spec (polynomial-over-bytes + splitmix64
+# finalizer) instead of polars Series.hash, whose output is documented as
+# unstable across versions.  Probing a bloom whose ``hv`` tag mismatches
+# degrades to "may contain" (no pruning) rather than silent false negatives.
+_BLOOM_HV = 1
+_POLY_P = np.uint64(1099511628211)  # FNV-1a 64-bit prime as the polynomial base
 
-    pl = _pm()
-    s = pl.from_arrow(pa.table({"v": values}))["v"]
-    h1 = s.hash(seed=1000003).to_numpy().astype(np.uint64)
-    h2 = s.hash(seed=10007).to_numpy().astype(np.uint64)
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain spec) — vectorized, uint64 wrap."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _poly_hash_bytes(values: pa.Array) -> np.ndarray:
+    """Vectorized polynomial hash over variable-length byte strings:
+    h(s) = (sum_i s[i] * P^(len-1-i) mod 2^64) * P + len(s)."""
+    b = values.cast(pa.large_binary())
+    offs = np.frombuffer(b.buffers()[1], np.int64)[b.offset : b.offset + len(b) + 1]
+    data = np.frombuffer(b.buffers()[2], np.uint8)
+    starts, ends = offs[:-1], offs[1:]
+    lens = (ends - starts).astype(np.int64)
+    base = int(offs[0])
+    total = int(offs[-1]) - base
+    with np.errstate(over="ignore"):
+        if total == 0:
+            h = np.zeros(len(b), np.uint64)
+        else:
+            maxlen = int(lens.max())
+            pows = np.ones(maxlen, np.uint64)
+            if maxlen > 1:
+                np.multiply.accumulate(
+                    np.full(maxlen - 1, _POLY_P, np.uint64), out=pows[1:]
+                )
+            owner = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+            gidx = np.arange(base, int(offs[-1]), dtype=np.int64)
+            pos_from_end = ends[owner] - 1 - gidx
+            contrib = data[base : base + total].astype(np.uint64) * pows[pos_from_end]
+            # reduceat: an empty segment yields a garbage single element — mask
+            # those back to 0 afterwards; clamp indices to stay in bounds
+            seg = np.minimum(starts - base, total - 1)
+            h = np.add.reduceat(contrib, seg)
+            h[lens == 0] = 0
+        return h * _POLY_P + lens.astype(np.uint64)
+
+
+def _bloom_hashes(values: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent vectorized 64-bit hash streams (double hashing),
+    derived from one spec-stable base hash (see _BLOOM_HV note above)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    t = values.type
+    if pa.types.is_integer(t):
+        base = (
+            values.cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+    else:
+        base = _poly_hash_bytes(values)
+    h1 = _mix64(base ^ np.uint64(0x9E3779B97F4A7C15))
+    h2 = _mix64(base ^ np.uint64(0xC2B2AE3D27D4EB4F))
     return h1, h2 | np.uint64(1)  # odd h2 so probes cycle the whole table
 
 
@@ -125,6 +188,7 @@ def _bloom_build(values: pa.Array, bits_per_value: int, max_bytes: int = 1 << 20
     return {
         "m": m,
         "k": k,
+        "hv": _BLOOM_HV,
         "b64": base64.b64encode(np.packbits(bits).tobytes()).decode(),
     }
 
@@ -133,6 +197,10 @@ def bloom_may_contain(bloom: dict, value, typ: pa.DataType) -> bool:
     """Probe a chunk's Bloom filter for an equality-predicate value."""
     import base64
 
+    if bloom.get("hv") != _BLOOM_HV:
+        # bloom written under a different hash spec (e.g. a checkpoint from an
+        # older build): pruning would silently drop matching chunks, so don't
+        return True
     h1, h2 = _bloom_hashes(pa.array([value], typ))
     bits = np.unpackbits(np.frombuffer(base64.b64decode(bloom["b64"]), np.uint8))
     m = np.uint64(bloom["m"])
@@ -638,6 +706,10 @@ def _encode_paged_chunk(
         **extra,
     }
     meta.update(_stats(values))
+    if cfg.bloom_bits_per_value and logical is None and _bloom_supported(values.type):
+        # same bloom as the unpaged path — page_rows must not silently
+        # disable pruning for exactly the large chunks where it matters
+        meta["bloom"] = _bloom_build(values, cfg.bloom_bits_per_value)
     meta_json = json.dumps(meta, separators=(",", ":")).encode()
     body = write_uvarint(len(levels)) + levels + shared_comp + b"".join(comp_pages)
     blob = MAGIC + write_uvarint(len(meta_json)) + meta_json + body
@@ -736,9 +808,17 @@ def _decode_paged_chunk(meta: dict, blob: bytes, pos: int, sel) -> pa.Array:
         out = pa.nulls(rc, type=values.type)
     elif nulls:
         vsel = validity[r0 : r0 + rc]
-        idx = np.maximum(np.cumsum(vsel) - 1, 0)
-        taken = values.take(pa.array(idx, type=pa.int64()))
-        out = pc.if_else(pa.array(vsel), taken, pa.scalar(None, type=taken.type))
+        if len(values) == 0:
+            # the selected row range is entirely null (v1 == v0): there is no
+            # value to take — index 0 would be out of bounds on the empty array
+            out = pa.nulls(rc, type=vt)
+        else:
+            # null indices yield null outputs from take, so masked positions
+            # (null rows) need no follow-up if_else
+            idx = pa.array(
+                np.maximum(np.cumsum(vsel) - 1, 0), type=pa.int64(), mask=~vsel
+            )
+            out = values.take(idx)
     else:
         out = values
     if meta["logical"] is not None:

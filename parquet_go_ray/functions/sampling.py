@@ -35,8 +35,13 @@ def hash_sample(
         k = batch[key]
         if isinstance(k, pa.ChunkedArray):
             k = k.combine_chunks()
+        # int64 -> uint64 wraps negatives to 2^64+v; since 2^64 ≡ 0 (mod 2^32)
+        # the result equals the mathematical non-negative (v*KNUTH) mod 2^32,
+        # which is exactly what the HUGEINT oracle SQL computes — the kernel
+        # and oracle agree on the FULL signed int64 key domain.
         v = np.asarray(k, dtype=np.int64).astype(np.uint64)
-        h = (v * np.uint64(KNUTH)) % np.uint64(MOD)
+        with np.errstate(over="ignore"):
+            h = (v * np.uint64(KNUTH)) % np.uint64(MOD)
         return batch.filter(pa.array(h < np.uint64(threshold)))
 
     return _read_parquet_any(f"{sf_dir}/{table}.parquet").map_batches(
@@ -45,8 +50,11 @@ def hash_sample(
 
 
 def hash_sample_oracle_sql(table: str = "documents", key: str = "doc_id", rate: float = 0.1) -> str:
+    # HUGEINT avoids int64 overflow in key*KNUTH, and the double-mod makes the
+    # remainder non-negative — mirroring the kernel's uint64 wrap, so the two
+    # agree even for negative keys (DuckDB's % alone is negative there).
     threshold = int(rate * MOD)
     return (
         f"SELECT * FROM {table} "
-        f"WHERE ({key} * {KNUTH}) % {MOD} < {threshold}"
+        f"WHERE ((({key}::HUGEINT * {KNUTH}) % {MOD}) + {MOD}) % {MOD} < {threshold}"
     )
