@@ -318,43 +318,90 @@ def _loser_ids(group: pd.DataFrame) -> pa.Table:
     return pa.table({"doc_id": pa.array(g["doc_id"].to_numpy(np.int64)[dup.to_numpy()])})
 
 
-def dedup_exact(sf_dir: str, parts: int = 64) -> rd.Dataset:
+def dedup_exact(
+    sf_dir: str, parts: int = 64, loser_broadcast_limit: int | None = None
+) -> rd.Dataset:
     """Exact text dedup; survivors keep all original columns.
 
     Scale shape (the full-text shuffle of earlier rounds is gone): the one
     exchange moves (doc_id, 128-bit text hash) — ~24 bytes/row instead of
-    the whole corpus.  Per partition the min doc_id per hash wins; LOSER ids
-    (duplicate-count-sized, typically a small fraction of the corpus) come
-    back to the driver, are broadcast once via ray.put, and a second
-    streaming pass filters the corpus with a vectorized searchsorted —
-    the same broadcast-apply pattern as _labels_to_clusters."""
+    the whole corpus.  Per partition the min doc_id per hash wins; survivor
+    resolution is SIZE-ADAPTIVE on the loser count (counted first on the
+    materialized loser-id table):
+
+    * ≤ limit (default _SMALL_EDGE_LIMIT): loser ids come to the driver,
+      are broadcast once via ray.put, and a second streaming pass filters
+      the corpus with a vectorized searchsorted — the broadcast-apply
+      pattern of _labels_to_clusters.
+    * > limit (a dup-heavy crawl corpus, where losers ≈ corpus/2 and the
+      broadcast would be driver-memory-sized): the corpus anti-joins the
+      loser table through the distributed _hash_join instead — nothing
+      corpus-sized ever lands on the driver.
+    """
     import ray
 
+    limit = _SMALL_EDGE_LIMIT if loser_broadcast_limit is None else loser_broadcast_limit
     keys = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _text_hash_keys(parts), batch_format="pyarrow"
     )
-    lpdf = keys.groupby("__part").map_groups(_arrow_out(_loser_ids), batch_format="pandas").to_pandas()
-    # a dup-free corpus yields all-empty blocks, where to_pandas drops columns
-    losers = (
-        lpdf["doc_id"].to_numpy(np.int64) if "doc_id" in lpdf.columns else np.empty(0, np.int64)
+    loser_schema = pa.schema([("doc_id", pa.int64())])
+
+    def conform(b: pa.Table) -> pa.Table:
+        # a dup-free partition yields an empty block with no columns
+        if "doc_id" not in b.column_names:
+            return loser_schema.empty_table()
+        return pa.table({"doc_id": b["doc_id"].cast(pa.int64())})
+
+    losers_ds = (
+        keys.groupby("__part")
+        .map_groups(_arrow_out(_loser_ids), batch_format="pandas")
+        .map_batches(conform, batch_format="pyarrow")
+        .materialize()  # loser-sized, consumed twice (count + resolve)
     )
-    losers.sort()
-    ref = ray.put(losers)
+    n_losers = losers_ds.count()
+    docs = _docs(sf_dir)
 
-    class Keep:
-        def __init__(self, ref):
-            self.losers = ray.get(ref)
+    if n_losers <= limit:
+        # to_pandas() on an all-empty dataset drops columns — guard on count
+        losers = (
+            np.sort(losers_ds.to_pandas()["doc_id"].to_numpy(np.int64))
+            if n_losers
+            else np.empty(0, np.int64)
+        )
+        ref = ray.put(losers)
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            doc = np.asarray(b["doc_id"], dtype=np.int64)
-            if not len(self.losers):
-                return b
-            idx = np.searchsorted(self.losers, doc).clip(0, len(self.losers) - 1)
-            return b.filter(pa.array(self.losers[idx] != doc))
+        class Keep:
+            def __init__(self, ref):
+                self.losers = ray.get(ref)
 
-    return _docs(sf_dir).map_batches(
-        Keep, batch_format="pyarrow", concurrency=(1, 8), fn_constructor_kwargs={"ref": ref}
+            def __call__(self, b: pa.Table) -> pa.Table:
+                doc = np.asarray(b["doc_id"], dtype=np.int64)
+                if not len(self.losers):
+                    return b
+                idx = np.searchsorted(self.losers, doc).clip(0, len(self.losers) - 1)
+                return b.filter(pa.array(self.losers[idx] != doc))
+
+        return docs.map_batches(
+            Keep, batch_format="pyarrow", concurrency=(1, 8), fn_constructor_kwargs={"ref": ref}
+        )
+
+    # distributed anti-join: flag loser rows, LEFT-join the streaming corpus
+    # against them on doc_id, keep the unmatched rows
+    def flag(b: pa.Table) -> pa.Table:
+        return b.append_column("__dup", pa.array(np.ones(b.num_rows, np.int8)))
+
+    flagged = losers_ds.map_batches(flag, batch_format="pyarrow")
+    joined = _hash_join(
+        docs, flagged, on="doc_id", parts=parts, how="left",
+        right_schema=pa.schema([("doc_id", pa.int64()), ("__dup", pa.int8())]),
     )
+
+    def keep_unmatched(b: pa.Table) -> pa.Table:
+        # pandas left-merge leaves NaN/None in __dup for non-losers
+        mask = b["__dup"].to_pandas().isna().to_numpy()
+        return b.filter(pa.array(mask)).drop_columns(["__dup"])
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -979,21 +1026,80 @@ def dedup_minhash(
         rep_sigs = col.map_batches(only_reps, batch_format="pyarrow").materialize()
         rep_clusters = _dedup_minhash_over(
             sf_dir, rep_sigs, threshold, parts, docs_ids=rep_sigs.select_columns(["doc_id"])
-        ).materialize()
-        # resolve every doc through its rep's cluster: label rows only where
-        # the final cluster differs from the doc itself (near-dup-sized in
-        # realistic corpora), then broadcast-apply over the full corpus
-        lab_pdf = rep_clusters.to_pandas()
-        rep_lab = dict(zip(lab_pdf.doc_id.to_numpy(), lab_pdf.cluster.to_numpy()))
+        )
+        # resolve every doc through its rep's cluster.  Identity rows
+        # (cluster == rep) resolve to the rep by DEFAULT on both paths below,
+        # so only the non-identity map rows (near-dup-rep-sized, NOT
+        # corpus-sized) ever leave the cluster pipeline; resolution is then
+        # size-adaptive like _labels_to_clusters — sorted-array broadcast +
+        # vectorized searchsorted up to _SMALL_EDGE_LIMIT, distributed
+        # _hash_join above it.  No driver-side dict, no per-row Python loop.
+        import ray
 
-        def emit_labels(b: pa.Table) -> pa.Table:
-            doc = np.asarray(b["doc_id"], dtype=np.int64)
-            rep = np.asarray(b["rep"], dtype=np.int64)
-            lab = np.array([rep_lab.get(r, r) for r in rep], dtype=np.int64)
-            keep = lab != doc
-            return pa.table({"node": pa.array(doc[keep]), "label": pa.array(lab[keep])})
+        def nonidentity(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
 
-        labels = col.map_batches(emit_labels, batch_format="pyarrow")
+            return b.filter(_pc.not_equal(b["cluster"], b["doc_id"]))
+
+        nonid = rep_clusters.map_batches(nonidentity, batch_format="pyarrow").materialize()
+        n_map = nonid.count()
+        if n_map <= _SMALL_EDGE_LIMIT:
+            pdf = nonid.to_pandas()
+            reps = pdf["doc_id"].to_numpy(np.int64) if len(pdf) else np.empty(0, np.int64)
+            labs = pdf["cluster"].to_numpy(np.int64) if len(pdf) else np.empty(0, np.int64)
+            order = np.argsort(reps)
+            ref = ray.put((reps[order], labs[order]))
+
+            class EmitLabels:
+                def __init__(self, ref):
+                    self.reps, self.labs = ray.get(ref)
+
+                def __call__(self, b: pa.Table) -> pa.Table:
+                    doc = np.asarray(b["doc_id"], dtype=np.int64)
+                    rep = np.asarray(b["rep"], dtype=np.int64)
+                    if len(self.reps):
+                        idx = np.searchsorted(self.reps, rep).clip(0, len(self.reps) - 1)
+                        hit = self.reps[idx] == rep
+                        lab = np.where(hit, self.labs[idx], rep)
+                    else:
+                        lab = rep
+                    keep = lab != doc
+                    return pa.table(
+                        {"node": pa.array(doc[keep]), "label": pa.array(lab[keep])}
+                    )
+
+            labels = col.map_batches(
+                EmitLabels,
+                batch_format="pyarrow",
+                concurrency=(1, 8),
+                fn_constructor_kwargs={"ref": ref},
+            )
+        else:
+            joined = _hash_join(
+                col.map_batches(
+                    lambda b: b.select(["doc_id", "rep"]), batch_format="pyarrow"
+                ),
+                nonid,
+                on="rep",
+                right_on="doc_id",
+                parts=parts,
+                how="left",
+                left_schema=pa.schema([("doc_id", pa.int64()), ("rep", pa.int64())]),
+                right_schema=pa.schema([("doc_id", pa.int64()), ("cluster", pa.int64())]),
+            )
+
+            def fin_labels(b: pa.Table) -> pa.Table:
+                doc = np.asarray(b["doc_id"], dtype=np.int64)
+                rep = np.asarray(b["rep"], dtype=np.int64)
+                # pandas left-merge leaves NaN in cluster for identity reps
+                cl = b["cluster"].to_pandas().to_numpy(np.float64, na_value=np.nan)
+                lab = np.where(np.isnan(cl), rep, cl).astype(np.int64)
+                keep = lab != doc
+                return pa.table(
+                    {"node": pa.array(doc[keep]), "label": pa.array(lab[keep])}
+                )
+
+            labels = joined.map_batches(fin_labels, batch_format="pyarrow")
         return _labels_to_clusters(_docs(sf_dir, ["doc_id"]), labels, parts)
     return _dedup_minhash_over(sf_dir, None, threshold, parts)
 

@@ -55,6 +55,45 @@ def test_dedup_exact_planted(planted):
     assert set(range(36)) == set(out.doc_id)
 
 
+def test_dedup_exact_join_path_matches_broadcast(planted):
+    """Force the distributed anti-join path (loser_broadcast_limit=0) and
+    assert survivors are identical to the default broadcast path — the
+    size-adaptive fallback for dup-heavy corpora where the loser-id
+    broadcast would be driver-memory-sized."""
+    from parquet_go_ray.pipelines.dedup import dedup_exact
+
+    small = dedup_exact(planted).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    big = (
+        dedup_exact(planted, loser_broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(big.doc_id) == list(small.doc_id)
+    assert sorted(big.columns) == sorted(small.columns)
+    pd.testing.assert_frame_equal(
+        big[sorted(big.columns)], small[sorted(small.columns)]
+    )
+
+
+def test_dedup_exact_join_path_no_dups(planted, tmp_path):
+    """Join path on a dup-free corpus keeps everything (empty loser table
+    only exercises the broadcast path; plant a single dup so losers=1>0)."""
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(["a doc", "b doc", "c doc", "d doc", "e doc", "a doc"]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    from parquet_go_ray.pipelines.dedup import dedup_exact
+
+    out = dedup_exact(str(tmp_path), loser_broadcast_limit=0).to_pandas()
+    assert sorted(out.doc_id) == [0, 1, 2, 3, 4]
+
+
 def test_dedup_minhash_planted(planted):
     from parquet_go_ray.pipelines.dedup import dedup_minhash
 
@@ -174,6 +213,26 @@ def test_dedup_minhash_collapse_identical_sigs(planted):
     base = dedup_minhash(planted).to_pandas().sort_values("doc_id").reset_index(drop=True)
     fast = (
         dedup_minhash(planted, collapse_identical_signatures=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(base.doc_id) == list(fast.doc_id)
+    assert list(base.cluster) == list(fast.cluster)
+
+
+def test_dedup_minhash_collapse_join_path(planted, monkeypatch):
+    """Force the distributed resolution everywhere (_SMALL_EDGE_LIMIT=0: the
+    collapse-map hash-join, label hash-join, and iterated components all take
+    their large-scale branches) — clusters must equal the default path's."""
+    import parquet_go_ray.pipelines.dedup as dd
+
+    base = (
+        dd.dedup_minhash(planted).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    monkeypatch.setattr(dd, "_SMALL_EDGE_LIMIT", 0)
+    fast = (
+        dd.dedup_minhash(planted, collapse_identical_signatures=True)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
