@@ -242,7 +242,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # DuckDB, and a pyarrow-written delta/BSS file decoded by engine decoders
     from parquet_go_ray.pipelines.native_io import read_native, transcode_native
 
+    from parquet_go_ray.pipelines.native_io import transcode_native_nested
+
     q["transcode_native"] = lambda sf: transcode_native(sf, "customer")
+    q["transcode_native_nested"] = transcode_native_nested
     q["read_native_lineitem"] = lambda sf: read_native(sf, "lineitem")
 
     # -- aggregation (§2.6) --
@@ -556,6 +559,11 @@ def oracle_sql() -> dict[str, str]:
         "scan_pruned_lineitem": "SELECT l_orderkey FROM lineitem WHERE l_orderkey >= 12000",
         "transcode_customer": "SELECT * FROM customer",
         "transcode_native": "SELECT * FROM customer",
+        "transcode_native_nested": (
+            "SELECT vec_id, len(embedding) AS emb_len, "
+            "CAST(embedding[1] AS DOUBLE) AS emb_first, "
+            "label AS s_label, vec_id % 10 AS s_mod FROM embeddings"
+        ),
         "read_native_lineitem": "SELECT * FROM lineitem",
         "skip_rows_lineitem": (
             "SELECT l_orderkey FROM (SELECT l_orderkey, ROW_NUMBER() OVER () AS rn "

