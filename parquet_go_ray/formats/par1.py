@@ -60,6 +60,9 @@ from .parquet_meta import (
     ENC_PLAIN_DICTIONARY,
     ENC_RLE,
     ENC_RLE_DICTIONARY,
+    BO_ASCENDING,
+    BO_DESCENDING,
+    BO_UNORDERED,
     PAGE_DATA,
     PAGE_DATA_V2,
     PAGE_DICTIONARY,
@@ -240,6 +243,50 @@ def _encode_values(enc: str, arr: pa.Array) -> bytes:
     raise ValueError(enc)
 
 
+_STAT_PACK = {PT_INT32: "<i", PT_INT64: "<q", PT_FLOAT: "<f", PT_DOUBLE: "<d"}
+_STAT_MAX_LEN = 256  # skip indexes rather than truncate huge byte-array stats
+
+
+def _stat_bytes(v, pt: int) -> bytes | None:
+    """One min/max value -> its plain-encoded stat bytes (parquet-format
+    Statistics / ColumnIndex encoding: little-endian for numerics, raw bytes
+    for BYTE_ARRAY/FLBA, single byte for BOOLEAN).  None = not representable
+    (NaN, oversized) -> the caller omits the whole index, which the spec
+    allows (reference accumulates the same per-page stats in
+    writer/writer.go:418-481 before serializing the page indexes)."""
+    import math
+    import struct
+
+    if v is None:
+        return None
+    if pt == PT_BOOLEAN:
+        return b"\x01" if v else b"\x00"
+    if pt in (PT_FLOAT, PT_DOUBLE) and math.isnan(v):
+        return None
+    if pt in _STAT_PACK:
+        return struct.pack(_STAT_PACK[pt], v)
+    if isinstance(v, str):
+        v = v.encode()
+    return v if len(v) <= _STAT_MAX_LEN else None
+
+
+def _boundary_order(null_pages: list[bool], mins: list[bytes], maxs: list[bytes], pt: int) -> int:
+    if any(null_pages) or len(mins) < 2:
+        return BO_UNORDERED
+    import struct
+
+    if pt in _STAT_PACK:
+        lo = [struct.unpack(_STAT_PACK[pt], b)[0] for b in mins]
+        hi = [struct.unpack(_STAT_PACK[pt], b)[0] for b in maxs]
+    else:
+        lo, hi = mins, maxs  # unsigned lexicographic == UTF8 order
+    if all(lo[i] >= lo[i - 1] and hi[i] >= hi[i - 1] for i in range(1, len(lo))):
+        return BO_ASCENDING
+    if all(lo[i] <= lo[i - 1] and hi[i] <= hi[i - 1] for i in range(1, len(lo))):
+        return BO_DESCENDING
+    return BO_UNORDERED
+
+
 def _write_page(out, writer_specs, page_type: int, header_struct: dict, payload: bytes, comp: int):
     body = _compress(payload, comp)
     w = CompactWriter(writer_specs)
@@ -357,6 +404,11 @@ def _write_leaf_chunk(out, comp: int, st: LeafStream, enc: str, page_rows: int) 
         chunk_unc += u
         chunk_comp += c
     data_off = out.tell()
+    page_locs: list[dict] = []
+    null_pages: list[bool] = []
+    null_counts: list[int] = []
+    mins: list[bytes | None] = []
+    maxs: list[bytes | None] = []
     for rlo in range(0, max(n_rows, 1), page_rows):
         if n_rows:
             pos0 = int(row_starts[rlo])
@@ -365,6 +417,19 @@ def _write_leaf_chunk(out, comp: int, st: LeafStream, enc: str, page_rows: int) 
             pos0 = pos1 = 0
         v0 = int(val_cum[pos0 - 1]) if pos0 else 0
         v1 = int(val_cum[pos1 - 1]) if pos1 else 0
+        page_off = out.tell()
+        null_pages.append(v1 == v0)
+        null_counts.append((pos1 - pos0) - (v1 - v0))
+        if v1 > v0:
+            mm = pc.min_max(vals.slice(v0, v1 - v0))
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if pt in (PT_FLOAT, PT_DOUBLE) and lo is not None and lo > hi:
+                lo = hi = None  # all-NaN page: Arrow yields inverted +/-inf
+            mins.append(_stat_bytes(lo, pt))
+            maxs.append(_stat_bytes(hi, pt))
+        else:
+            mins.append(b"")
+            maxs.append(b"")
         payload = b""
         if max_rep:
             payload += encode_levels(rep[pos0:pos1].astype(np.uint64), max_rep)
@@ -392,22 +457,47 @@ def _write_leaf_chunk(out, comp: int, st: LeafStream, enc: str, page_rows: int) 
         )
         chunk_unc += u
         chunk_comp += c
+        page_locs.append(
+            {"offset": page_off, "compressed_page_size": c, "first_row_index": rlo}
+        )
         if not n_rows:
             break
     enc_list = sorted({ENC_RLE, enc_id} | ({ENC_PLAIN} if enc == "dict" else set()))
+    meta = {
+        "type": pt,
+        "encodings": enc_list,
+        "path_in_schema": st.path,
+        "codec": comp,
+        "num_values": n_slots,
+        "total_uncompressed_size": chunk_unc,
+        "total_compressed_size": chunk_comp,
+        "data_page_offset": data_off,
+        "dictionary_page_offset": dict_off,
+    }
+    column_index = None
+    if all(m is not None for m in mins) and all(m is not None for m in maxs):
+        column_index = {
+            "null_pages": null_pages,
+            "min_values": mins,
+            "max_values": maxs,
+            "boundary_order": _boundary_order(null_pages, mins, maxs, pt),
+            "null_counts": null_counts,
+        }
+        if len(vals):
+            mm = pc.min_max(vals)
+            lo_b = _stat_bytes(mm["min"].as_py(), pt)
+            hi_b = _stat_bytes(mm["max"].as_py(), pt)
+            if lo_b is not None and hi_b is not None:
+                meta["statistics"] = {
+                    "min_value": lo_b,
+                    "max_value": hi_b,
+                    "null_count": sum(null_counts),
+                }
     return {
         "file_offset": first_off,
-        "meta_data": {
-            "type": pt,
-            "encodings": enc_list,
-            "path_in_schema": st.path,
-            "codec": comp,
-            "num_values": n_slots,
-            "total_uncompressed_size": chunk_unc,
-            "total_compressed_size": chunk_comp,
-            "data_page_offset": data_off,
-            "dictionary_page_offset": dict_off,
-        },
+        "meta_data": meta,
+        "_column_index": column_index,
+        "_offset_index": {"page_locations": page_locs},
     }
 
 
@@ -467,12 +557,37 @@ def write_par1(
                     "total_compressed_size": rg_comp,
                 }
             )
+        # Page indexes (parquet-format PageIndex layout: all ColumnIndex
+        # structs, then all OffsetIndex structs, after the data and before
+        # the footer; reference serializes the same pair in
+        # writer/writer.go:157-204).  Each ColumnChunk records where its
+        # structs landed so readers can page-prune without touching data.
+        for rg in row_groups:
+            for ch in rg["columns"]:
+                ci = ch.pop("_column_index", None)
+                if ci is not None:
+                    w = CompactWriter(SPECS)
+                    w.write_struct("ColumnIndex", ci)
+                    ch["column_index_offset"] = out.tell()
+                    ch["column_index_length"] = len(w.out)
+                    out.write(bytes(w.out))
+        for rg in row_groups:
+            for ch in rg["columns"]:
+                oi = ch.pop("_offset_index", None)
+                if oi is not None:
+                    w = CompactWriter(SPECS)
+                    w.write_struct("OffsetIndex", oi)
+                    ch["offset_index_offset"] = out.tell()
+                    ch["offset_index_length"] = len(w.out)
+                    out.write(bytes(w.out))
+        n_leaves = sum(len(leaf_specs(nodes[n])) for n in names)
         fmd = {
             "version": 1,
             "schema": schema_elems,
             "num_rows": table.num_rows,
             "row_groups": row_groups,
             "created_by": "parquet_go_ray",
+            "column_orders": [{"TYPE_ORDER": {}}] * n_leaves,
         }
         w = CompactWriter(SPECS)
         w.write_struct("FileMetaData", fmd)
@@ -498,6 +613,28 @@ def read_par1_meta(path: str) -> dict:
         footer = f.read(flen)
     fmd, _ = CompactReader(SPECS, footer).read_struct("FileMetaData")
     return fmd
+
+
+def read_par1_page_index(path: str) -> list[list[dict]]:
+    """Read back the ColumnIndex/OffsetIndex pair for every column chunk:
+    result[row_group][column] = {"column_index": dict|None, "offset_index":
+    dict|None}.  Engine-side analog of the reference's index readers so tests
+    (and page-pruning scans) can use the structures without parquet-cpp."""
+    fmd = read_par1_meta(path)
+    out: list[list[dict]] = []
+    with open(path, "rb") as f:
+        for rg in fmd.get("row_groups", []):
+            row = []
+            for ch in rg.get("columns", []):
+                entry: dict = {"column_index": None, "offset_index": None}
+                for key, spec in (("column_index", "ColumnIndex"), ("offset_index", "OffsetIndex")):
+                    off, ln = ch.get(f"{key}_offset"), ch.get(f"{key}_length")
+                    if off is not None and ln:
+                        f.seek(off)
+                        entry[key], _ = CompactReader(SPECS, f.read(ln)).read_struct(spec)
+                row.append(entry)
+            out.append(row)
+    return out
 
 
 def _decode_value_bytes(

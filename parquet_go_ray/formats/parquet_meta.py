@@ -39,6 +39,8 @@ PAGE_INDEX = 1
 PAGE_DICTIONARY = 2
 PAGE_DATA_V2 = 3
 
+BO_UNORDERED, BO_ASCENDING, BO_DESCENDING = range(3)
+
 CONV_UTF8 = 0
 CONV_MAP = 1
 CONV_MAP_KEY_VALUE = 2
@@ -116,6 +118,25 @@ SPECS: dict[str, dict[int, tuple[str, str]]] = {
         1: ("file_path", "string"),
         2: ("file_offset", "i64"),
         3: ("meta_data", "struct:ColumnMetaData"),
+        4: ("offset_index_offset", "i64"),
+        5: ("offset_index_length", "i32"),
+        6: ("column_index_offset", "i64"),
+        7: ("column_index_length", "i32"),
+    },
+    "PageLocation": {
+        1: ("offset", "i64"),
+        2: ("compressed_page_size", "i32"),
+        3: ("first_row_index", "i64"),
+    },
+    "OffsetIndex": {
+        1: ("page_locations", "list:struct:PageLocation"),
+    },
+    "ColumnIndex": {
+        1: ("null_pages", "list:bool"),
+        2: ("min_values", "list:binary"),
+        3: ("max_values", "list:binary"),
+        4: ("boundary_order", "i32"),
+        5: ("null_counts", "list:i64"),
     },
     "RowGroup": {
         1: ("columns", "list:struct:ColumnChunk"),

@@ -363,3 +363,124 @@ def test_read_par1_nested_v2_pages(tmp_path):
         g = got[name].combine_chunks()
         w = t[name].combine_chunks().cast(g.type)
         assert g.equals(w), name
+
+
+# -- ColumnIndex / OffsetIndex (round-3 verdict item 4) -----------------------
+
+
+def test_write_par1_page_index_exposed_and_roundtrips(tmp_path):
+    """Engine-written files carry per-chunk ColumnIndex/OffsetIndex (the
+    reference serializes the same pair in writer/writer.go:157-204): pyarrow's
+    metadata must flag them, the thrift structures must round-trip through the
+    engine reader with correct per-page min/max/null stats, and every
+    PageLocation.offset must land exactly on a parseable page header."""
+    from parquet_go_ray.formats.par1 import read_par1_page_index
+
+    t = pa.table(
+        {
+            "a": pa.array(list(range(1000)), pa.int64()),
+            "s": pa.array([f"key{i % 7}" for i in range(1000)]),
+            "f": pa.array([None if i % 5 == 0 else i * 0.5 for i in range(1000)], pa.float64()),
+            "l": pa.array(
+                [[i, i + 1] if i % 3 else None for i in range(1000)], pa.list_(pa.int64())
+            ),
+        }
+    )
+    path = str(tmp_path / "idx.parquet")
+    write_par1(t, path, codec="snappy", row_group_rows=400, page_rows=100)
+
+    md = pq.read_metadata(path)
+    for rg in range(md.num_row_groups):
+        for col in range(md.num_columns):
+            cc = md.row_group(rg).column(col)
+            assert cc.has_column_index and cc.has_offset_index, (rg, col)
+
+    # chunk-level Statistics must agree with the data
+    c_f = md.row_group(0).column(2)
+    assert c_f.statistics.null_count == 80
+    assert c_f.statistics.min == 0.5 and c_f.statistics.max == 199.5
+
+    idx = read_par1_page_index(path)
+    assert len(idx) == md.num_row_groups
+    ci = idx[0][0]["column_index"]  # column "a", rows 0..399, 4 pages of 100
+    assert ci["null_pages"] == [False] * 4
+    assert ci["boundary_order"] == 1  # ASCENDING
+    assert [int.from_bytes(b, "little", signed=True) for b in ci["min_values"]] == [0, 100, 200, 300]
+    assert [int.from_bytes(b, "little", signed=True) for b in ci["max_values"]] == [99, 199, 299, 399]
+    ci_f = idx[0][2]["column_index"]
+    assert ci_f["null_counts"] == [20] * 4
+
+    # every OffsetIndex location points at a real page header
+    with open(path, "rb") as f:
+        data = f.read()
+    rg_rows = [400, 400, 200]
+    for n_rows, rg_idx in zip(rg_rows, idx):
+        for entry in rg_idx:
+            locs = entry["offset_index"]["page_locations"]
+            assert [pl["first_row_index"] for pl in locs] == list(range(0, n_rows, 100))
+            for pl in locs:
+                hdr, end = CompactReader(SPECS, data[pl["offset"] : pl["offset"] + 64]).read_struct(
+                    "PageHeader", 0
+                )
+                assert hdr["type"] == 0 and "data_page_header" in hdr
+                assert pl["compressed_page_size"] >= hdr["compressed_page_size"]
+
+
+def test_write_par1_page_index_all_null_and_nan(tmp_path):
+    """All-null pages are flagged null_pages=true with empty min/max; NaN is
+    skipped when computing page extremes (per spec), and an all-NaN page —
+    whose extremes would BE NaN — suppresses that chunk's ColumnIndex
+    entirely rather than writing NaN stats."""
+    import struct
+
+    from parquet_go_ray.formats.par1 import read_par1_page_index
+
+    t = pa.table(
+        {
+            "g": pa.array([None] * 3 + [7, 8, 9], pa.int64()),
+            "nanf": pa.array([1.0, float("nan"), 2.0, 3.0, 4.0, 5.0], pa.float64()),
+            "allnan": pa.array([float("nan")] * 3 + [1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    path = str(tmp_path / "nulls.parquet")
+    write_par1(t, path, codec="none", page_rows=3)
+    idx = read_par1_page_index(path)
+    ci = idx[0][0]["column_index"]
+    assert ci["null_pages"] == [True, False]
+    assert ci["min_values"][0] == b"" and ci["null_counts"] == [3, 0]
+    ci_nan = idx[0][1]["column_index"]  # NaN skipped: page extremes 1.0/2.0
+    assert struct.unpack("<d", ci_nan["min_values"][0])[0] == 1.0
+    assert struct.unpack("<d", ci_nan["max_values"][0])[0] == 2.0
+    assert idx[0][2]["column_index"] is None  # all-NaN page -> index omitted
+    assert idx[0][2]["offset_index"] is not None  # offsets always present
+    got = pq.read_table(path)
+    assert got["g"].combine_chunks().equals(t["g"].combine_chunks())
+
+
+def test_write_par1_duckdb_filter_on_indexed_file(tmp_path):
+    """DuckDB predicate pushdown over an engine-written file with page
+    indexes + chunk statistics returns exact results (and the stats give it
+    row-group pruning)."""
+    import duckdb
+
+    t = pa.table(
+        {
+            "a": pa.array(list(range(20000)), pa.int64()),
+            "s": pa.array([f"v{i:05d}" for i in range(20000)]),
+        }
+    )
+    path = str(tmp_path / "big.parquet")
+    write_par1(t, path, codec="zstd", row_group_rows=5000, page_rows=1000)
+    con = duckdb.connect()
+    try:
+        n, lo, hi = con.sql(
+            f"SELECT count(*), min(a), max(a) FROM read_parquet('{path}') "
+            "WHERE a BETWEEN 7100 AND 7200"
+        ).fetchall()[0]
+        assert (n, lo, hi) == (101, 7100, 7200)
+        (sv,) = con.sql(
+            f"SELECT count(*) FROM read_parquet('{path}') WHERE s = 'v00042'"
+        ).fetchall()[0]
+        assert sv == 1
+    finally:
+        con.close()
