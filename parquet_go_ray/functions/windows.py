@@ -44,12 +44,51 @@ SESSION_SCHEMA = pa.schema(
 )
 
 
-def _w_table(df: pd.DataFrame) -> pa.Table:
-    if not len(df):
+_PART_SCHEMA = pa.schema(list(W_SCHEMA) + [pa.field("__part", pa.int64())])
+
+
+def _window_partial(w: np.ndarray, event_type, value) -> pa.Table:
+    """One batch's (w, event_type) -> count/min/max partial, fully
+    Arrow-native (pa.Table.group_by C kernels — no pandas object conversion
+    on the string column; round-3 verdict #9).  __part comes from a Knuth
+    multiplicative hash of the window id: window count >> FOLD_PARTS, so
+    partitions balance without hashing strings."""
+    t = pa.table({"w": pa.array(w), "event_type": event_type, "value": value})
+    agg = t.group_by(["w", "event_type"]).aggregate(
+        [("value", "count"), ("value", "min"), ("value", "max")]
+    )
+    wv = agg["w"].to_numpy()
+    with np.errstate(over="ignore"):
+        part = (
+            (wv.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        ) % np.uint64(FOLD_PARTS)
+    return pa.table(
+        {
+            "w": agg["w"],
+            "event_type": agg["event_type"],
+            "n": agg["value_count"],
+            "min_v": agg["value_min"],
+            "max_v": agg["value_max"],
+            "__part": pa.array(part.astype(np.int64)),
+        }
+    ).cast(_PART_SCHEMA)
+
+
+def _window_fold(g: pa.Table) -> pa.Table:
+    if g.num_rows == 0:
         return W_SCHEMA.empty_table()
-    return pa.Table.from_pandas(
-        df, schema=W_SCHEMA, preserve_index=False
-    ).replace_schema_metadata(None)
+    agg = g.group_by(["w", "event_type"]).aggregate(
+        [("n", "sum"), ("min_v", "min"), ("max_v", "max")]
+    )
+    return pa.table(
+        {
+            "w": agg["w"],
+            "event_type": agg["event_type"],
+            "n": agg["n_sum"],
+            "min_v": agg["min_v_min"],
+            "max_v": agg["max_v_max"],
+        }
+    ).cast(W_SCHEMA)
 
 
 def tumbling_window_agg(sf_dir: str, window_sec: int = 900) -> rd.Dataset:
@@ -63,35 +102,11 @@ def tumbling_window_agg(sf_dir: str, window_sec: int = 900) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         w = ts // (window_sec * 1_000_000)
-        pdf = pd.DataFrame(
-            {
-                "w": w,
-                "event_type": batch["event_type"].to_pandas(),
-                "value": batch["value"].to_pandas(),
-            }
-        )
-        agg = (
-            pdf.groupby(["w", "event_type"], sort=False)
-            .agg(n=("value", "size"), min_v=("value", "min"), max_v=("value", "max"))
-            .reset_index()
-        )
-        part = (
-            pd.util.hash_pandas_object(agg[["w", "event_type"]], index=False).to_numpy()
-            % FOLD_PARTS
-        )
-        agg["__part"] = part.astype(np.int64)
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
-
-    def fold(g: pd.DataFrame) -> pa.Table:
-        return _w_table(
-            g.groupby(["w", "event_type"], sort=False)
-            .agg(n=("n", "sum"), min_v=("min_v", "min"), max_v=("max_v", "max"))
-            .reset_index()
-        )
+        return _window_partial(w, batch["event_type"], batch["value"])
 
     ds = _read_parquet_any(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("__part").map_groups(fold, batch_format="pandas")
+    return partials.groupby("__part").map_groups(_window_fold, batch_format="pyarrow")
 
 
 def session_windows(sf_dir: str, gap_sec: int = 1800) -> rd.Dataset:
@@ -178,35 +193,19 @@ def hopping_window_agg(sf_dir: str, window_sec: int = 1800, hop_sec: int = 600) 
         ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         last = ts // hop_us  # newest window containing the event
         w = np.repeat(last, nwin) - np.tile(np.arange(nwin, dtype=np.int64), len(ts))
-        pdf = pd.DataFrame(
-            {
-                "w": w,
-                "event_type": batch["event_type"].to_pandas().repeat(nwin).to_numpy(),
-                "value": batch["value"].to_pandas().repeat(nwin).to_numpy(),
-            }
-        )
-        agg = (
-            pdf.groupby(["w", "event_type"], sort=False)
-            .agg(n=("value", "size"), min_v=("value", "min"), max_v=("value", "max"))
-            .reset_index()
-        )
-        part = (
-            pd.util.hash_pandas_object(agg[["w", "event_type"]], index=False).to_numpy()
-            % FOLD_PARTS
-        )
-        agg["__part"] = part.astype(np.int64)
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
-
-    def fold(g: pd.DataFrame) -> pa.Table:
-        return _w_table(
-            g.groupby(["w", "event_type"], sort=False)
-            .agg(n=("n", "sum"), min_v=("min_v", "min"), max_v=("max_v", "max"))
-            .reset_index()
-        )
+        # replicate rows with an Arrow take (C kernel) — no pandas objects
+        idx = pa.array(np.repeat(np.arange(len(ts), dtype=np.int64), nwin))
+        et = batch["event_type"]
+        val = batch["value"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        return _window_partial(w, et.take(idx), val.take(idx))
 
     ds = _read_parquet_any(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
     return ds.map_batches(partial, batch_format="pyarrow").groupby("__part").map_groups(
-        fold, batch_format="pandas"
+        _window_fold, batch_format="pyarrow"
     )
 
 

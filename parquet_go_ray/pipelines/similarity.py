@@ -74,28 +74,54 @@ def load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     return qpdf.vec_id.to_numpy(), np.stack(qpdf.embedding.to_numpy()).astype(np.float64)
 
 
+def _final_topk(group: pa.Table, k: int) -> pa.Table:
+    """Reduce one query's candidate set to its final ranked top-k (self-match
+    excluded, cosine rounded for stable ordering, tie-break vec_id asc)."""
+    qid = np.asarray(group["query_id"], dtype=np.int64)
+    vid = np.asarray(group["vec_id"], dtype=np.int64)
+    cos = np.asarray(group["cosine"], dtype=np.float64).round(9)
+    m = qid != vid
+    qid, vid, cos = qid[m], vid[m], cos[m]
+    order = np.lexsort((vid, -cos))[:k]
+    return pa.table(
+        {
+            "query_id": pa.array(qid[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "vec_id": pa.array(vid[order]),
+            "cosine": pa.array(cos[order]),
+        }
+    )
+
+
 def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 16) -> pd.DataFrame:
     """Exact top-k cosine neighbors (self-match excluded); deterministic
-    tie-break (cosine desc, vec_id asc)."""
+    tie-break (cosine desc, vec_id asc).
+
+    Per-batch candidates (<= (k+1) x n_queries rows each) fold to the final
+    per-query top-k through a distributed groupby — top-k is a semilattice,
+    so the union of batch-local top-k's reduces exactly.  The driver receives
+    only (queries x k) rows regardless of corpus size (round-3 verdict #8)."""
     queries = load_queries(sf_dir, n_queries)
     # small query set: ship by value in the actor ctor (no object-store ref —
     # avoids Ray's actor-restart warning).  For a LARGE query matrix, switch
     # to ray.put + ray.get inside __init__ (the class handles both forms).
     ds = _read_parquet_any(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    cands = ds.map_batches(
-        _BatchTopK,
-        fn_constructor_args=(queries, k),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).to_pandas()
-    cands = cands[cands.query_id != cands.vec_id]
-    cands["cosine"] = cands.cosine.round(9)
-    cands = cands.sort_values(
-        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    out = (
+        ds.map_batches(
+            _BatchTopK,
+            fn_constructor_args=(queries, k),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .groupby("query_id")
+        .map_groups(lambda g: _final_topk(g, k), batch_format="pyarrow")
+        .to_pandas()
     )
-    out = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    return out[["query_id", "rank", "vec_id", "cosine"]]
+    return (
+        out.sort_values(["query_id", "rank"]).reset_index(drop=True)[
+            ["query_id", "rank", "vec_id", "cosine"]
+        ]
+    )
 
 
 def train_centroids(
