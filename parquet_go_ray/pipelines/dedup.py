@@ -470,20 +470,68 @@ def jaccard_batch(texts_a: pa.Array, texts_b: pa.Array, k: int = SHINGLE) -> np.
     n = len(texts_a)
     if n == 0:
         return np.empty(0, np.float64)
-    ha, na = _shingle_hashes(texts_a, k)
-    hb, nb = _shingle_hashes(texts_b, k)
-    da = np.repeat(np.arange(n, dtype=np.int64), na)
-    db = np.repeat(np.arange(n, dtype=np.int64), nb)
-    ua_d, ua_h = _uniq_per_doc(da, ha)
-    ub_d, ub_h = _uniq_per_doc(db, hb)
-    ca = np.bincount(ua_d, minlength=n)
-    cb = np.bincount(ub_d, minlength=n)
-    cd = np.concatenate([ua_d, ub_d])
-    ch = np.concatenate([ua_h, ub_h])
-    order = np.lexsort((ch, cd))
-    cds, chs = cd[order], ch[order]
-    dup = (cds[1:] == cds[:-1]) & (chs[1:] == chs[:-1])
-    inter = np.bincount(cds[1:][dup], minlength=n)
+    # factorize FIRST and shingle each distinct text once: star-verification
+    # blocks repeat each representative's text in thousands of pairs, and
+    # re-shingling it per pair dominated the adversarial-corpus verify stage
+    comb = pa.concat_arrays(
+        [texts_a.cast(pa.string()), texts_b.cast(pa.string())]
+    ).dictionary_encode()
+    codes = np.asarray(comb.indices, dtype=np.int64)
+    uniq = comb.dictionary
+    nu = len(uniq)
+    hu, n_sh = _shingle_hashes(uniq, k)
+    du = np.repeat(np.arange(nu, dtype=np.int64), n_sh)
+    ud, uh = _uniq_per_doc(du, hu)
+    cu = np.bincount(ud, minlength=nu)  # per-distinct-text unique-set size
+    starts_u = np.concatenate(([0], np.cumsum(cu[:-1])))
+
+    def expand(c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        reps = cu[c]
+        total = int(reps.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        pos = np.repeat(starts_u[c], reps) + within
+        return np.repeat(np.arange(len(c), dtype=np.int64), reps), uh[pos]
+
+    ca_codes, cb_codes = codes[:n], codes[n:]
+    ca, cb = cu[ca_codes], cu[cb_codes]
+    inter = np.zeros(n, np.int64)
+
+    # HOT-side split: a pair whose one text repeats across many pairs (the
+    # star-verification shape — one representative against thousands of
+    # members) intersects via searchsorted into that text's SHARED sorted
+    # set: no per-pair re-expansion of the hot side, no corpus-sized lexsort.
+    # Cold pairs (both texts rare) keep the expand + combined-sort kernel.
+    HOT = 32
+    freq = np.bincount(codes, minlength=nu)
+    swap = freq[cb_codes] > freq[ca_codes]
+    s_codes = np.where(swap, cb_codes, ca_codes)  # set (hot) side
+    m_codes = np.where(swap, ca_codes, cb_codes)  # member side
+    hot = freq[s_codes] >= HOT
+    hot_idx = np.flatnonzero(hot)
+    if len(hot_idx):
+        o = np.argsort(s_codes[hot_idx], kind="stable")
+        hot_sorted = hot_idx[o]
+        sc = s_codes[hot_sorted]
+        bounds = np.flatnonzero(sc[1:] != sc[:-1]) + 1
+        for seg in np.split(hot_sorted, bounds):  # one per distinct hot text
+            code = int(s_codes[seg[0]])
+            S = uh[starts_u[code] : starts_u[code] + cu[code]]  # sorted
+            dmem, hmem = expand(m_codes[seg])
+            pos = np.searchsorted(S, hmem).clip(0, max(len(S) - 1, 0))
+            ok = S[pos] == hmem if len(S) else np.zeros(len(hmem), bool)
+            inter[seg] = np.bincount(dmem[ok], minlength=len(seg))
+    cold_idx = np.flatnonzero(~hot)
+    if len(cold_idx):
+        da, ha = expand(ca_codes[cold_idx])
+        db, hb = expand(cb_codes[cold_idx])
+        cd = np.concatenate([da, db])
+        ch = np.concatenate([ha, hb])
+        order = np.lexsort((ch, cd))
+        cds, chs = cd[order], ch[order]
+        dup = (cds[1:] == cds[:-1]) & (chs[1:] == chs[:-1])
+        inter[cold_idx] = np.bincount(cds[1:][dup], minlength=len(cold_idx))
     return inter / np.maximum(ca + cb - inter, 1)
 
 
@@ -562,12 +610,49 @@ def minhash_bands(sf_dir: str, sigs: rd.Dataset | None = None) -> rd.Dataset:
     return sigs.map_batches(fn, batch_format="pyarrow")
 
 
-def _run_pairs_idx(keys_sorted: np.ndarray, cap: int = 2000) -> tuple[np.ndarray, np.ndarray]:
+def _star_offsets(L: int, n_reps: int) -> tuple[np.ndarray, np.ndarray]:
+    """Within-run offset pairs (lo < hi) of the representative STAR for a run
+    of length L: every member pairs with each of the first `n_reps` positions
+    — O(n_reps * L) pairs instead of O(L^2).
+
+    Runs are sorted by doc_id, so "first positions" = the n_reps SMALLEST
+    doc_ids in the bucket.  That choice is deliberate: mega-buckets in
+    different bands share most of their membership, so the same low-id docs
+    are reps EVERYWHERE and the distinct star-pair count stays ~n_reps * n
+    across all 16 bands (strided/random reps differ per band and multiply
+    it); and min-label clustering labels components by smallest doc_id, so
+    rep edges point straight at the eventual labels."""
+    R = min(n_reps, L)
+    i = np.repeat(np.arange(R, dtype=np.int64), L)
+    j = np.tile(np.arange(L, dtype=np.int64), R)
+    m = j > i
+    return i[m], j[m]
+
+
+def _run_pairs_idx(
+    keys_sorted: np.ndarray,
+    cap: int = 2000,
+    sample_above: int | None = None,
+    n_reps: int = 16,
+    with_star_mask: bool = False,
+):
     """Global index pairs (i < j) within equal-key runs of a SORTED key
-    array, skipping runs longer than `cap` (mega-bucket skew guard).  No
-    per-bucket Python loop: runs are grouped by length and each distinct
-    length costs ONE broadcasted triu expansion — a band with millions of
-    tiny buckets has only a handful of distinct bucket sizes."""
+    array.  No per-bucket Python loop: runs are grouped by length and each
+    distinct length costs ONE broadcasted expansion — a band with millions
+    of tiny buckets has only a handful of distinct bucket sizes.
+
+    Mega-bucket handling:
+      * sample_above=None (default): runs longer than `cap` are SKIPPED
+        (the original skew guard; minhash_bucket_stats reports the drops).
+      * sample_above=S: runs of length <= S expand fully (exact); LONGER
+        runs — with NO upper bound — expand as a representative star
+        (_star_offsets): linear in run length, so even corpus-sized buckets
+        stay tractable.  Recall bound: a true pair whose only collision is a
+        sampled bucket is emitted directly iff one endpoint is a rep, and is
+        still recovered TRANSITIVELY (for clustering) iff both endpoints
+        verify against a common rep — exact for cohesive buckets (every
+        member similar to every rep), which is what LSH mega-buckets are in
+        the adversarial tiny-vocabulary case this path targets."""
     n = len(keys_sorted)
     empty = np.empty(0, np.int64)
     if n == 0:
@@ -575,48 +660,98 @@ def _run_pairs_idx(keys_sorted: np.ndarray, cap: int = 2000) -> tuple[np.ndarray
     bounds = np.flatnonzero(keys_sorted[1:] != keys_sorted[:-1]) + 1
     starts = np.concatenate(([0], bounds))
     lens = np.diff(np.concatenate((starts, [n])))
-    sel = (lens >= 2) & (lens <= cap)
-    starts, lens = starts[sel], lens[sel]
+    full_limit = cap if sample_above is None else sample_above
+    sel = (lens >= 2) & (lens <= full_limit)
+    full_starts, full_lens = starts[sel], lens[sel]
     outs_a, outs_b = [], []
-    for L in np.unique(lens):
-        s = starts[lens == L]
+    n_full = 0
+    for L in np.unique(full_lens):
+        s = full_starts[full_lens == L]
         i, j = np.triu_indices(int(L), k=1)
         outs_a.append((s[:, None] + i[None, :]).ravel())
         outs_b.append((s[:, None] + j[None, :]).ravel())
+        n_full += outs_a[-1].size
+    if sample_above is not None:
+        samp = lens > sample_above
+        samp_starts, samp_lens = starts[samp], lens[samp]
+        for L in np.unique(samp_lens):
+            s = samp_starts[samp_lens == L]
+            lo, hi = _star_offsets(int(L), n_reps)
+            outs_a.append((s[:, None] + lo[None, :]).ravel())
+            outs_b.append((s[:, None] + hi[None, :]).ravel())
     if not outs_a:
-        return empty, empty
-    return np.concatenate(outs_a), np.concatenate(outs_b)
+        return (empty, empty, np.empty(0, bool)) if with_star_mask else (empty, empty)
+    ia, ib = np.concatenate(outs_a), np.concatenate(outs_b)
+    if with_star_mask:
+        star = np.zeros(len(ia), dtype=bool)
+        star[n_full:] = True
+        return ia, ib, star
+    return ia, ib
 
 
-def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+def _band_pairs(
+    group: pd.DataFrame,
+    cap: int = 2000,
+    sample_above: int | None = None,
+    n_reps: int = 16,
+) -> pd.DataFrame:
     """All bucket pairs within ONE band: lexsort by (key, doc_id) so ids are
     ascending inside each key-run, then vectorized run-pair expansion."""
     keys = group["key"].to_numpy()
     ids = group["doc_id"].to_numpy()
     order = np.lexsort((ids, keys))
     ks, di = keys[order], ids[order]
-    ia, ib = _run_pairs_idx(ks)
-    return pd.DataFrame({"a": di[ia], "b": di[ib]})
+    ia, ib, star = _run_pairs_idx(
+        ks, cap=cap, sample_above=sample_above, n_reps=n_reps, with_star_mask=True
+    )
+    # star pairs were ALREADY sampled once — weight them so the downstream
+    # band-collision-count prefilter (n_bands >= k) cannot kill them: a
+    # sampled pair is emitted in ~1 band even when it truly collides in all
+    # BANDS, so its count is not a similarity estimate.  Full pairs keep
+    # weight 1 (sum over bands == collision count, as before).
+    w = np.where(star, np.int64(BANDS), np.int64(1))
+    return pd.DataFrame({"a": di[ia], "b": di[ib], "w": w})
 
 
-def minhash_bucket_stats(sf_dir: str, cap: int = 2000) -> pd.DataFrame:
+def minhash_bucket_stats(
+    sf_dir: str, cap: int = 2000, sample_above: int | None = None, n_reps: int = 16
+) -> pd.DataFrame:
     """Diagnostic for the mega-bucket skew guard ("no silent caps"): per-band
-    bucket-size distribution and how many buckets/docs the cap would drop.
+    bucket-size distribution, how many buckets/docs the cap would drop, and —
+    when `sample_above` is set — how many buckets the representative-star
+    path would sample plus the pair-count both strategies would emit.
     Run this when dedup recall matters — dropped mega-buckets are usually
     boilerplate (license headers, empty docs) but that's a per-corpus call."""
     bands = minhash_bands(sf_dir)
 
     def stats(group: pd.DataFrame) -> pd.DataFrame:
         sizes = group.groupby("key", sort=False).size()
-        return pd.DataFrame(
-            {
-                "band": [int(group["band"].iloc[0])],
-                "buckets": [len(sizes)],
-                "max_bucket": [int(sizes.max())],
-                "dropped_buckets": [int((sizes > cap).sum())],
-                "dropped_docs": [int(sizes[sizes > cap].sum())],
-            }
-        )
+        sz = sizes.to_numpy()
+        out = {
+            "band": [int(group["band"].iloc[0])],
+            "buckets": [len(sizes)],
+            "max_bucket": [int(sizes.max())],
+            "dropped_buckets": [int((sizes > cap).sum())],
+            "dropped_docs": [int(sizes[sizes > cap].sum())],
+        }
+        full_limit = cap if sample_above is None else sample_above
+        full = sz[(sz >= 2) & (sz <= full_limit)]
+        out["pairs_full"] = [int((full * (full - 1) // 2).sum())]
+        if sample_above is None:
+            out["sampled_buckets"] = [0]
+            out["pairs_star"] = [0]
+        else:
+            samp = sz[sz > sample_above]
+            out["sampled_buckets"] = [int(len(samp))]
+            out["pairs_star"] = [
+                int(
+                    sum(
+                        len(_star_offsets(int(L), n_reps)[0]) * int((samp == L).sum())
+                        for L in np.unique(samp)
+                    )
+                )
+            ]
+        return pd.DataFrame(out)
 
     return (
         bands.groupby("band")
@@ -632,6 +767,8 @@ def minhash_candidate_pairs_ds(
     sigs: rd.Dataset | None = None,
     parts: int = DEFAULT_PARTS,
     with_counts: bool = False,
+    sample_above: int | None = None,
+    n_reps: int = 16,
 ) -> rd.Dataset:
     """Distinct candidate pairs (a < b) from LSH buckets, as a Dataset —
     distinct runs as a hash-partitioned groupby, not a driver drop_duplicates.
@@ -639,8 +776,11 @@ def minhash_candidate_pairs_ds(
     with_counts=True keeps n_bands = how many of the 16 bands the pair
     collided in — a FREE similarity estimate (E[n_bands] = BANDS * J^r), used
     to prune candidates before any signature or text moves."""
+    import functools
+
     bands = minhash_bands(sf_dir, sigs=sigs)
-    pairs = bands.groupby("band").map_groups(_arrow_out(_band_pairs), batch_format="pandas")
+    expand = functools.partial(_band_pairs, sample_above=sample_above, n_reps=n_reps)
+    pairs = bands.groupby("band").map_groups(_arrow_out(expand), batch_format="pandas")
     if not with_counts:
         return _distinct(pairs, ["a", "b"], parts).map_batches(
             _conform(_PAIR_SCHEMA), batch_format="pyarrow"
@@ -654,7 +794,10 @@ def minhash_candidate_pairs_ds(
         return b.append_column("__part", pa.array((h % np.uint64(parts)).astype(np.int64)))
 
     def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["a", "b"], sort=False).size().reset_index(name="n_bands")
+        # n_bands = sum of pair weights: band-collision count for fully
+        # expanded pairs (w=1 per colliding band), pre-satisfied (w=BANDS)
+        # for representative-star pairs from sampled mega-buckets
+        out = g.groupby(["a", "b"], sort=False)["w"].sum().reset_index(name="n_bands")
         return out
 
     counted = (
@@ -718,63 +861,83 @@ def _broadcast_pair_verify(
 ):
     """Verify candidate pairs against a big value table with ONE pass over
     the values and ONE shuffle: the (small, output-sized) pair list is
-    broadcast via ray.put; each value batch emits (pair_idx, side, value)
-    rows only for docs that appear in some pair; pair partitions reunite both
-    sides and run `reduce_fn(merged_df) -> verified pairs df` vectorized.
+    broadcast via ray.put; each value batch emits (doc, value) rows ONCE PER
+    pair-PARTITION that needs the doc — not once per pair, so a star-shaped
+    pair list (one hot doc in thousands of pairs, the sampled-mega-bucket
+    shape) ships the hot doc's value at most `parts` times; each pair
+    partition rebuilds (a, b, val_a, val_b) from the broadcast pair list and
+    runs `reduce_fn(df) -> verified pairs df` vectorized.
 
     Replaces two union+groupby hash joins with a single exchange whose
-    payload is exactly the values the pairs need."""
+    payload is exactly the distinct values each partition needs."""
     import ray
 
     a = pairs_pdf["a"].to_numpy(np.int64)
     b = pairs_pdf["b"].to_numpy(np.int64)
-    oa, ob = np.argsort(a, kind="stable"), np.argsort(b, kind="stable")
-    ref = ray.put((a, b, a[oa], oa.astype(np.int64), b[ob], ob.astype(np.int64)))
+    # partition pairs by the b side (Knuth hash): all pairs sharing a b-doc
+    # land in ONE partition, so that doc's value ships & shingles once — for
+    # star pair lists (a = few hot reps, b = members) this cuts duplicate
+    # member work ~(pairs-per-member)x vs round-robin; b is near-uniform so
+    # balance holds (a mega-hub doc on the b side would skew, but stars put
+    # hubs on the a side by construction: a < b and reps are smallest ids)
+    with np.errstate(over="ignore"):
+        pair_part = (
+            ((b.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+            % np.uint64(parts)
+        ).astype(np.int64)
+    # CSR need-list over distinct (doc, partition): which partitions need
+    # which doc's value
+    nd = np.concatenate([a, b])
+    np_ = np.tile(pair_part, 2)
+    order = np.lexsort((np_, nd))
+    nd, np_ = nd[order], np_[order]
+    keep = np.ones(len(nd), bool)
+    keep[1:] = (nd[1:] != nd[:-1]) | (np_[1:] != np_[:-1])
+    need_doc, need_part = nd[keep], np_[keep]
+    uniq_docs, doc_start = np.unique(need_doc, return_index=True)
+    doc_counts = np.diff(np.concatenate((doc_start, [len(need_doc)])))
+    ref = ray.put((a, b, pair_part, uniq_docs, doc_start, doc_counts, need_part))
 
     class Emit:
         def __init__(self, ref):
-            self.a, self.b, self.sa, self.ia, self.sb, self.ib = ray.get(ref)
+            (
+                self.a, self.b, self.pair_part,
+                self.uniq_docs, self.doc_start, self.doc_counts, self.need_part,
+            ) = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             doc = np.asarray(batch["doc_id"], np.int64)
             vals = batch[col]
             if isinstance(vals, pa.ChunkedArray):
                 vals = vals.combine_chunks()
-            pid_all, side_all, row_all = [], [], []
-            for side, (skeys, sidx) in enumerate(
-                ((self.sa, self.ia), (self.sb, self.ib))
-            ):
-                lo = np.searchsorted(skeys, doc, "left")
-                hi = np.searchsorted(skeys, doc, "right")
-                counts = hi - lo
-                nz = np.flatnonzero(counts)
-                if not len(nz):
-                    continue
-                reps = counts[nz]
-                total = int(reps.sum())
-                within = np.arange(total, dtype=np.int64) - np.repeat(
-                    np.cumsum(reps) - reps, reps
-                )
-                pos = np.repeat(lo[nz], reps) + within
-                pid_all.append(sidx[pos])
-                side_all.append(np.full(total, side, dtype=np.int8))
-                row_all.append(np.repeat(nz, reps))
-            if not pid_all:
+            lo = np.searchsorted(self.uniq_docs, doc)
+            lo_c = np.minimum(lo, max(len(self.uniq_docs) - 1, 0))
+            hit = (
+                (lo < len(self.uniq_docs)) & (self.uniq_docs[lo_c] == doc)
+                if len(self.uniq_docs)
+                else np.zeros(len(doc), bool)
+            )
+            nz = np.flatnonzero(hit)
+            if not len(nz):
                 return pa.table(
                     {
-                        "pid": pa.array([], pa.int64()),
-                        "side": pa.array([], pa.int8()),
+                        "doc_id": pa.array([], pa.int64()),
                         "val": pa.array([], vals.type),
                         "__part": pa.array([], pa.int64()),
                     }
                 )
-            pid = np.concatenate(pid_all)
+            u = lo[nz]
+            reps = self.doc_counts[u]
+            total = int(reps.sum())
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(reps) - reps, reps
+            )
+            pos = np.repeat(self.doc_start[u], reps) + within
             return pa.table(
                 {
-                    "pid": pa.array(pid),
-                    "side": pa.array(np.concatenate(side_all)),
-                    "val": vals.take(pa.array(np.concatenate(row_all))),
-                    "__part": pa.array(pid % np.int64(parts)),
+                    "doc_id": pa.array(np.repeat(doc[nz], reps)),
+                    "val": vals.take(pa.array(np.repeat(nz, reps))),
+                    "__part": pa.array(self.need_part[pos]),
                 }
             )
 
@@ -785,13 +948,26 @@ def _broadcast_pair_verify(
     def reunite(g: pd.DataFrame) -> pd.DataFrame:
         import ray as _ray
 
-        a_arr, b_arr = _ray.get(ref)[:2]
-        ga = g[g.side == 0][["pid", "val"]]
-        gb = g[g.side == 1][["pid", "val"]]
-        m = ga.merge(gb, on="pid", suffixes=("_a", "_b"))
-        if not len(m):
-            return reduce_fn(m.assign(a=[], b=[]))
-        m = m.assign(a=a_arr[m.pid.to_numpy()], b=b_arr[m.pid.to_numpy()])
+        a_arr, b_arr, pp = _ray.get(ref)[:3]
+        empty_m = pd.DataFrame({"a": [], "b": [], "val_a": [], "val_b": []})
+        if not len(g):
+            return reduce_fn(empty_m)
+        part = int(g["__part"].iloc[0])
+        sel = pp == part
+        pa_, pb_ = a_arr[sel], b_arr[sel]
+        docs = g["doc_id"].to_numpy(np.int64)
+        o = np.argsort(docs, kind="stable")
+        docs_s = docs[o]
+        vals_s = g["val"].to_numpy()[o]
+        hi = max(len(docs_s) - 1, 0)
+        ia = np.minimum(np.searchsorted(docs_s, pa_), hi)
+        ib = np.minimum(np.searchsorted(docs_s, pb_), hi)
+        ok = (docs_s[ia] == pa_) & (docs_s[ib] == pb_)  # drop valueless docs
+        if not ok.any():
+            return reduce_fn(empty_m)
+        m = pd.DataFrame(
+            {"a": pa_[ok], "b": pb_[ok], "val_a": vals_s[ia[ok]], "val_b": vals_s[ib[ok]]}
+        )
         return reduce_fn(m)
 
     return emitted.groupby("__part").map_groups(_arrow_out(reunite), batch_format="pandas")
@@ -999,6 +1175,8 @@ def dedup_minhash(
     threshold: float = 0.8,
     parts: int = DEFAULT_PARTS,
     collapse_identical_signatures: bool = False,
+    bucket_sample_above: int | None = None,
+    bucket_reps: int = 16,
 ) -> rd.Dataset:
     """Near-dup clusters: (doc_id, cluster) for ALL docs; cluster = min doc_id
     reachable through verified near-dup pairs.
@@ -1008,6 +1186,17 @@ def dedup_minhash(
     joined in, and clustering is iterated min-label propagation over
     Datasets.  The only materialized intermediates are the signature table
     (~0.5% of corpus bytes, reused twice) and the verified pair list.
+
+    ``bucket_sample_above``/``bucket_reps``: opt-in LSH mega-bucket sampling
+    for adversarial corpora where DISTINCT-signature buckets blow up (e.g. a
+    tiny-vocabulary crawl where every doc is a shingle-space near-neighbor of
+    every other): buckets larger than ``bucket_sample_above`` expand as a
+    ``bucket_reps``-representative star (linear in bucket size) instead of
+    all-pairs; the skip-cap no longer applies to them.  Exact pair recall
+    inside a sampled bucket holds for any pair with a rep endpoint; CLUSTER
+    recall additionally holds whenever both endpoints verify against a
+    common representative — exact for cohesive buckets (see _run_pairs_idx).
+    Off by default: results are bit-identical to round-3 behavior unless set.
 
     ``collapse_identical_signatures``: pre-collapse signature-identical docs
     to one representative before banding (see _collapse_identical_sigs) —
@@ -1025,7 +1214,9 @@ def dedup_minhash(
 
         rep_sigs = col.map_batches(only_reps, batch_format="pyarrow").materialize()
         rep_clusters = _dedup_minhash_over(
-            sf_dir, rep_sigs, threshold, parts, docs_ids=rep_sigs.select_columns(["doc_id"])
+            sf_dir, rep_sigs, threshold, parts,
+            docs_ids=rep_sigs.select_columns(["doc_id"]),
+            sample_above=bucket_sample_above, n_reps=bucket_reps,
         )
         # resolve every doc through its rep's cluster.  Identity rows
         # (cluster == rep) resolve to the rep by DEFAULT on both paths below,
@@ -1101,7 +1292,10 @@ def dedup_minhash(
 
             labels = joined.map_batches(fin_labels, batch_format="pyarrow")
         return _labels_to_clusters(_docs(sf_dir, ["doc_id"]), labels, parts)
-    return _dedup_minhash_over(sf_dir, None, threshold, parts)
+    return _dedup_minhash_over(
+        sf_dir, None, threshold, parts,
+        sample_above=bucket_sample_above, n_reps=bucket_reps,
+    )
 
 
 def _dedup_minhash_over(
@@ -1110,13 +1304,18 @@ def _dedup_minhash_over(
     threshold: float,
     parts: int,
     docs_ids: rd.Dataset | None = None,
+    sample_above: int | None = None,
+    n_reps: int = 16,
 ) -> rd.Dataset:
-    counted = minhash_candidate_pairs_ds(sf_dir, sigs=sigs, parts=parts, with_counts=True)
+    counted = minhash_candidate_pairs_ds(
+        sf_dir, sigs=sigs, parts=parts, with_counts=True,
+        sample_above=sample_above, n_reps=n_reps,
+    )
     # band-collision prefilter, FREE (no extra shuffle): E[n_bands] =
     # BANDS * J^ROWS_PER_BAND, so requiring est-J >= threshold - 0.25 maps to
     # a minimum collision count; random one-band coincidences die here
     min_bands = max(1, int(np.ceil(BANDS * max(threshold - 0.25, 0.0) ** ROWS_PER_BAND)))
-    cand = counted.filter(expr=f"n_bands >= {min_bands}").select_columns(["a", "b"]).materialize()
+    cand = counted.filter(expr=f"n_bands >= {min_bands}").materialize()
     docs = docs_ids if docs_ids is not None else _docs(sf_dir, ["doc_id"])
     n_cand = cand.count()
     if n_cand == 0:
@@ -1127,13 +1326,28 @@ def _dedup_minhash_over(
     if n_cand > 500_000:
         # residual signature prefilter for very large surviving sets — only
         # now is the signature table worth materializing (reuse the caller's
-        # signature table when it already exists)
-        if sigs is None:
-            sigs = minhash_signatures(sf_dir).materialize()
-        cand = _attach_pair_values(cand, sigs, "sig", parts).map_batches(
-            _sig_prefilter(threshold), batch_format="pyarrow"
-        ).materialize()
+        # signature table when it already exists).  Pairs with n_bands >=
+        # BANDS skip it: they are either all-band colliders (est-J = 1.0,
+        # the prefilter would pass them) or weighted star pairs from sampled
+        # mega-buckets (the signature attach would be pure overhead — the
+        # profiled adversarial corpus spent 47 of 60 s shipping signatures
+        # for pairs the prefilter then kept 100% of).
+        unsure = cand.filter(expr=f"n_bands < {BANDS}").select_columns(["a", "b"]).materialize()
+        certain = cand.filter(expr=f"n_bands >= {BANDS}").select_columns(["a", "b"])
+        if unsure.count() > 500_000:
+            if sigs is None:
+                sigs = minhash_signatures(sf_dir).materialize()
+            unsure = _attach_pair_values(unsure, sigs, "sig", parts).map_batches(
+                _sig_prefilter(threshold), batch_format="pyarrow"
+            )
+        cand = (
+            unsure.map_batches(_conform(_PAIR_SCHEMA), batch_format="pyarrow")
+            .union(certain.map_batches(_conform(_PAIR_SCHEMA), batch_format="pyarrow"))
+            .materialize()
+        )
         n_cand = cand.count()
+    else:
+        cand = cand.select_columns(["a", "b"]).materialize()
     texts = _docs(sf_dir, ["doc_id", "text"])
     if n_cand <= _VERIFY_BROADCAST_LIMIT:
         # broadcast the pair list; one pass over texts + one shuffle

@@ -279,3 +279,68 @@ def test_dedup_minhash_collapse_adversarial_density(ray_session, tmp_path):
     # planted exact dups land in their original's cluster
     for i in range(60):
         assert fast.cluster[300 + i] == fast.cluster[i]
+
+
+def test_run_pairs_idx_star_sampling():
+    """sample_above: runs <= S expand fully (identical to triu); longer runs
+    emit exactly the n_reps-representative star — every member paired with
+    every rep, pairs (i < j), connectivity covers the whole run."""
+    from parquet_go_ray.pipelines.dedup import _run_pairs_idx, _star_offsets
+
+    # one small run (full expansion) + one big run (sampled)
+    ks = np.concatenate([np.zeros(4, np.int64), np.ones(50, np.int64)])
+    ia, ib = _run_pairs_idx(ks, cap=10, sample_above=8, n_reps=4)
+    got = set(zip(ia.tolist(), ib.tolist()))
+    # run 1 (positions 0..3): full triu
+    full = {(i, j) for i in range(4) for j in range(i + 1, 4)}
+    # run 2 (positions 4..53): star around reps at strided offsets
+    lo, hi = _star_offsets(50, 4)
+    star = {(4 + a, 4 + b) for a, b in zip(lo.tolist(), hi.tolist())}
+    assert got == full | star
+    assert all(a < b for a, b in got)
+    # star covers every member of the sampled run
+    touched = {a for a, _ in star} | {b for _, b in star}
+    assert touched == set(range(4, 54))
+    # linear, not quadratic: ~reps*L not L^2/2
+    assert len(star) <= 4 * 50
+
+    # without sample_above the big run is skipped entirely (old guard)
+    ia2, ib2 = _run_pairs_idx(ks, cap=10)
+    assert set(zip(ia2.tolist(), ib2.tolist())) == full
+
+
+def test_dedup_minhash_bucket_sampling_recall(planted):
+    """Opt-in mega-bucket star sampling keeps the planted exact+near dups in
+    their originals' clusters even when EVERY bucket goes through the sampled
+    path (sample_above=1 forces it)."""
+    from parquet_go_ray.pipelines.dedup import dedup_minhash
+
+    base = dedup_minhash(planted).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    samp = (
+        dedup_minhash(planted, bucket_sample_above=1, bucket_reps=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(samp.doc_id) == list(range(40))
+    # planted exact dups (36..39) and near dups (32..35) keep their clusters
+    for i in range(32, 40):
+        assert samp.cluster[i] == base.cluster[i], i
+    # with reps >= max bucket size the star degenerates to the exact result
+    samp_full = (
+        dedup_minhash(planted, bucket_sample_above=1, bucket_reps=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(samp_full.cluster) == list(base.cluster)
+
+
+def test_minhash_bucket_stats_sampling_columns(planted):
+    from parquet_go_ray.pipelines.dedup import minhash_bucket_stats
+
+    st = minhash_bucket_stats(planted, sample_above=2, n_reps=4)
+    assert {"sampled_buckets", "pairs_full", "pairs_star"} <= set(st.columns)
+    assert (st.pairs_star >= 0).all() and st.sampled_buckets.sum() > 0
+    st0 = minhash_bucket_stats(planted)
+    assert st0.sampled_buckets.sum() == 0 and st0.pairs_star.sum() == 0
