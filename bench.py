@@ -41,6 +41,11 @@ def run_bench() -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # NOTE: glibc malloc tuning for workers (MALLOC_MMAP_MAX_=0 etc.
+            # via runtime_env) was A/B-tested in round 4 and did NOT help the
+            # real pipeline (tuned median 13.0 s vs untuned 11.6 s,
+            # interleaved) — the encode path is C-kernel/compression bound,
+            # not allocation bound.  Kept out deliberately; see BASELINE.md.
         )
     import ray.data as rd
     from ray.data import DataContext

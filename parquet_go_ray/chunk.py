@@ -246,14 +246,25 @@ _OUTER_ALIASES = {
 }
 
 
+_CODEC_CACHE: dict[tuple[str, int | None], pa.Codec] = {}
+
+
+def _codec(name: str, level: int | None) -> pa.Codec:
+    # one Codec per (name, level) per worker process: avoids re-creating the
+    # compressor context (and its internal buffers) on every chunk
+    c = _CODEC_CACHE.get((name, level))
+    if c is None:
+        c = _CODEC_CACHE[(name, level)] = pa.Codec(name, compression_level=level)
+    return c
+
+
 def _outer_compress(body: bytes, name: str, level: int) -> bytes:
     if name == "none":
         return body
     if name in _OUTER_ALIASES:
         name, lvl = _OUTER_ALIASES[name]
         level = lvl if lvl is not None else level
-    codec = pa.Codec(name, compression_level=level if name == "zstd" else None)
-    return codec.compress(body, asbytes=True)
+    return _codec(name, level if name == "zstd" else None).compress(body, asbytes=True)
 
 
 def _outer_decompress(body: bytes, name: str, raw_len: int) -> bytes:
@@ -261,7 +272,7 @@ def _outer_decompress(body: bytes, name: str, raw_len: int) -> bytes:
         return body
     if name in _OUTER_ALIASES:
         name = _OUTER_ALIASES[name][0]
-    return pa.Codec(name).decompress(body, raw_len, asbytes=True)
+    return _codec(name, None).decompress(body, raw_len, asbytes=True)
 
 
 def raw_nbytes(arr: pa.Array) -> int:

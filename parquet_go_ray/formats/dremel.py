@@ -45,6 +45,10 @@ class Node:
     opt: bool = True
     children: list["Node"] = field(default_factory=list)
     mid_name: str = ""
+    # physical-type override for leaves whose storage differs from the
+    # arrow-type default (reader side: INT96 decodes as binary(12) then
+    # converts to timestamp[ns]); None = derive from `type`
+    phys: int | None = None
 
 
 @dataclass

@@ -73,6 +73,7 @@ from .parquet_meta import (
     PT_FLOAT,
     PT_INT32,
     PT_INT64,
+    PT_INT96,
     REP_OPTIONAL,
     REP_REPEATED,
     REP_REQUIRED,
@@ -98,16 +99,26 @@ _COMP_ARROW = {
 }
 
 
+_CODEC_CACHE: dict[str, pa.Codec] = {}
+
+
+def _codec(name: str) -> pa.Codec:
+    c = _CODEC_CACHE.get(name)
+    if c is None:
+        c = _CODEC_CACHE[name] = pa.Codec(name)
+    return c
+
+
 def _compress(body: bytes, comp: int) -> bytes:
     if comp == COMP_UNCOMPRESSED:
         return body
-    return pa.Codec(_COMP_ARROW[comp]).compress(body, asbytes=True)
+    return _codec(_COMP_ARROW[comp]).compress(body, asbytes=True)
 
 
 def _decompress(body: bytes, comp: int, raw_len: int) -> bytes:
     if comp == COMP_UNCOMPRESSED:
         return body
-    return pa.Codec(_COMP_ARROW[comp]).decompress(body, raw_len, asbytes=True)
+    return _codec(_COMP_ARROW[comp]).decompress(body, raw_len, asbytes=True)
 
 
 # -- type mapping -------------------------------------------------------------
@@ -186,6 +197,10 @@ def _logical_type(elem: dict) -> pa.DataType:
         return pa.binary()
     if pt == PT_FLBA:
         return pa.binary(elem.get("type_length", 0))
+    if pt == PT_INT96:
+        # deprecated INT96 timestamps (reference reads them as ns,
+        # encoding/encodingread.go): decoded as binary(12), converted after
+        return pa.timestamp("ns")
     raise NotImplementedError(f"PAR1 reader: unsupported physical type {pt}")
 
 
@@ -363,11 +378,23 @@ def _emit_schema(node: Node, elems: list[dict]) -> None:
     _emit_schema(node.children[1], elems)
 
 
-def _write_leaf_chunk(out, comp: int, st: LeafStream, enc: str, page_rows: int) -> dict:
-    """Write one leaf's column chunk (dict page + v1 data pages, paged on ROW
-    boundaries — pages never split a record mid-list).  Returns the
-    ColumnChunk dict."""
+def _write_leaf_chunk(
+    out,
+    comp: int,
+    st: LeafStream,
+    enc: str,
+    page_rows: int,
+    page_version: int = 1,
+    pt_override: int | None = None,
+) -> dict:
+    """Write one leaf's column chunk (dict page + v1 or v2 data pages, paged
+    on ROW boundaries — pages never split a record mid-list).  Returns the
+    ColumnChunk dict.  pt_override=PT_INT96 marks a binary(12) stream as the
+    deprecated INT96 physical (stats/indexes suppressed: INT96 ordering is
+    undefined by the spec)."""
     pt, _, _, storage = _physical(st.node.type)
+    if pt_override is not None:
+        pt = pt_override
     vals = st.values
     if isinstance(vals, pa.ChunkedArray):
         vals = vals.combine_chunks()
@@ -420,7 +447,10 @@ def _write_leaf_chunk(out, comp: int, st: LeafStream, enc: str, page_rows: int) 
         page_off = out.tell()
         null_pages.append(v1 == v0)
         null_counts.append((pos1 - pos0) - (v1 - v0))
-        if v1 > v0:
+        if pt_override is not None:
+            mins.append(None)  # INT96: no defined order -> no index/stats
+            maxs.append(None)
+        elif v1 > v0:
             mm = pc.min_max(vals.slice(v0, v1 - v0))
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
             if pt in (PT_FLOAT, PT_DOUBLE) and lo is not None and lo > hi:
@@ -430,31 +460,72 @@ def _write_leaf_chunk(out, comp: int, st: LeafStream, enc: str, page_rows: int) 
         else:
             mins.append(b"")
             maxs.append(b"")
-        payload = b""
-        if max_rep:
-            payload += encode_levels(rep[pos0:pos1].astype(np.uint64), max_rep)
-        if max_def:
-            payload += encode_levels(defs[pos0:pos1].astype(np.uint64), max_def)
         if enc == "dict":
             w_bits = bit_width(max(len(dict_vals) - 1, 0))
-            payload += bytes([w_bits]) + encode_hybrid(idx_np[v0:v1], w_bits)
+            values_b = bytes([w_bits]) + encode_hybrid(idx_np[v0:v1], w_bits)
         else:
-            payload += _encode_values(enc, vals.slice(v0, v1 - v0))
-        u, c = _write_page(
-            out,
-            SPECS,
-            PAGE_DATA,
-            {
-                "data_page_header": {
-                    "num_values": pos1 - pos0,
-                    "encoding": enc_id,
-                    "definition_level_encoding": ENC_RLE,
-                    "repetition_level_encoding": ENC_RLE,
-                }
-            },
-            payload,
-            comp,
-        )
+            values_b = _encode_values(enc, vals.slice(v0, v1 - v0))
+        if page_version == 2:
+            # v2 framing (reference: layout/page.go:297-323): rep/def level
+            # streams are RAW hybrid (no u32 prefix) and stay UNCOMPRESSED;
+            # only the value bytes compress
+            rep_b = (
+                encode_hybrid(rep[pos0:pos1].astype(np.uint64), bit_width(max_rep))
+                if max_rep
+                else b""
+            )
+            def_b = (
+                encode_hybrid(defs[pos0:pos1].astype(np.uint64), bit_width(max_def))
+                if max_def
+                else b""
+            )
+            body = _compress(values_b, comp)
+            w = CompactWriter(SPECS)
+            w.write_struct(
+                "PageHeader",
+                {
+                    "type": PAGE_DATA_V2,
+                    "uncompressed_page_size": len(rep_b) + len(def_b) + len(values_b),
+                    "compressed_page_size": len(rep_b) + len(def_b) + len(body),
+                    "data_page_header_v2": {
+                        "num_values": pos1 - pos0,
+                        "num_nulls": (pos1 - pos0) - (v1 - v0),
+                        "num_rows": min(page_rows, n_rows - rlo) if n_rows else 0,
+                        "encoding": enc_id,
+                        "definition_levels_byte_length": len(def_b),
+                        "repetition_levels_byte_length": len(rep_b),
+                        "is_compressed": comp != COMP_UNCOMPRESSED,
+                    },
+                },
+            )
+            out.write(bytes(w.out))
+            out.write(rep_b)
+            out.write(def_b)
+            out.write(body)
+            u = len(w.out) + len(rep_b) + len(def_b) + len(values_b)
+            c = len(w.out) + len(rep_b) + len(def_b) + len(body)
+        else:
+            payload = b""
+            if max_rep:
+                payload += encode_levels(rep[pos0:pos1].astype(np.uint64), max_rep)
+            if max_def:
+                payload += encode_levels(defs[pos0:pos1].astype(np.uint64), max_def)
+            payload += values_b
+            u, c = _write_page(
+                out,
+                SPECS,
+                PAGE_DATA,
+                {
+                    "data_page_header": {
+                        "num_values": pos1 - pos0,
+                        "encoding": enc_id,
+                        "definition_level_encoding": ENC_RLE,
+                        "repetition_level_encoding": ENC_RLE,
+                    }
+                },
+                payload,
+                comp,
+            )
         chunk_unc += u
         chunk_comp += c
         page_locs.append(
@@ -508,6 +579,8 @@ def write_par1(
     encodings: dict[str, str] | None = None,
     row_group_rows: int | None = None,
     page_rows: int = 65536,
+    data_page_version: int = 1,
+    int96_timestamps: bool = False,
 ) -> dict:
     """Write `table` as a real parquet file through the engine's encoders.
 
@@ -515,9 +588,29 @@ def write_par1(
     of plain/delta_bp/delta_length_ba/delta_ba/byte_stream_split/dict;
     unspecified leaves get a light auto policy.  Nested columns (list/
     struct/map) are shredded into Dremel rep/def level streams per leaf
-    (formats/dremel.py).  Returns the footer dict (for tests/metrics)."""
+    (formats/dremel.py).  `data_page_version=2` writes DataPageV2 framing
+    (reference v2 path: layout/page.go:297-323).  `int96_timestamps` writes
+    top-level timestamp columns as the deprecated INT96 physical
+    (encoding/encodingwrite.go:85-91 analog: 8-byte nanos-of-day + 4-byte
+    Julian day, PLAIN only, stats suppressed).  Returns the footer dict."""
+    assert data_page_version in (1, 2), data_page_version
     comp = _COMP_NAME[codec]
-    encodings = encodings or {}
+    encodings = dict(encodings or {})
+    int96_cols: set[str] = set()
+    if int96_timestamps:
+        from ..functions.converters import timestamp_to_int96
+
+        for i, name in enumerate(table.column_names):
+            f = table.schema.field(name)
+            if pa.types.is_timestamp(f.type):
+                col = table[name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                table = table.set_column(
+                    i, pa.field(name, pa.binary(12)), timestamp_to_int96(col)
+                )
+                int96_cols.add(name)
+                encodings[name] = "plain"  # INT96 pages are PLAIN in practice
     names = table.column_names
     nodes = {n: node_from_arrow(n, table.schema.field(n).type) for n in names}
     schema_elems: list[dict] = [{"name": "schema", "num_children": len(names)}]
@@ -525,6 +618,12 @@ def write_par1(
         _emit_schema(nodes[name], schema_elems)
         for _path, leaf, _mr, _md in leaf_specs(nodes[name]):
             _physical(leaf.type)  # validate leaf types up front
+    for el in schema_elems:
+        if el.get("name") in int96_cols and el.get("type") == PT_FLBA:
+            el["type"] = PT_INT96
+            el.pop("type_length", None)
+            el.pop("converted_type", None)
+            el.pop("logicalType", None)
 
     rg_rows = row_group_rows or table.num_rows or 1
     row_groups = []
@@ -544,7 +643,11 @@ def write_par1(
                         or encodings.get(name)
                         or _default_encoding(st.values, st.node.type)
                     )
-                    cm = _write_leaf_chunk(out, comp, st, enc, page_rows)
+                    cm = _write_leaf_chunk(
+                        out, comp, st, enc, page_rows,
+                        page_version=data_page_version,
+                        pt_override=PT_INT96 if name in int96_cols else None,
+                    )
                     chunks_meta.append(cm)
                     rg_unc += cm["meta_data"]["total_uncompressed_size"]
                     rg_comp += cm["meta_data"]["total_compressed_size"]
@@ -582,7 +685,7 @@ def write_par1(
                     out.write(bytes(w.out))
         n_leaves = sum(len(leaf_specs(nodes[n])) for n in names)
         fmd = {
-            "version": 1,
+            "version": data_page_version,
             "schema": schema_elems,
             "num_rows": table.num_rows,
             "row_groups": row_groups,
@@ -805,7 +908,8 @@ def _schema_tree(fmd: dict) -> list[Node]:
                 raise NotImplementedError(
                     "PAR1 reader: legacy 2-level repeated field (unannotated list)"
                 )
-            return Node("leaf", name, _logical_type(elem), opt)
+            phys = PT_INT96 if elem.get("type") == PT_INT96 else None
+            return Node("leaf", name, _logical_type(elem), opt, phys=phys)
         conv = elem.get("converted_type")
         lt = elem.get("logicalType") or {}
         mid = kids[0]["elem"]
@@ -861,10 +965,17 @@ def read_par1(
             for node in want:
                 streams = []
                 for lpath, leaf, mr, md in leaf_specs(node):
-                    _, _, _, storage = _physical(leaf.type)
+                    if leaf.phys == PT_INT96:
+                        storage = pa.binary(12)
+                    else:
+                        _, _, _, storage = _physical(leaf.type)
                     rep, defs, vals = read_par1_chunk_streams(
                         f, chunk_by_path[tuple(lpath)], storage, mr, md
                     )
+                    if leaf.phys == PT_INT96:
+                        from ..functions.converters import int96_to_timestamp
+
+                        vals = int96_to_timestamp(vals, "ns")
                     streams.append(LeafStream(lpath, leaf, mr, md, rep, defs, vals))
                 cols[node.name].append(assemble(node, streams))
     out = {}

@@ -484,3 +484,63 @@ def test_write_par1_duckdb_filter_on_indexed_file(tmp_path):
         assert sv == 1
     finally:
         con.close()
+
+
+# -- v2 data-page WRITE + INT96 physical (round-3 "missing #3") ---------------
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy", "zstd"])
+def test_write_par1_v2_pages(tmp_path, codec):
+    """Engine-written DataPageV2 files (raw uncompressed level streams +
+    separately-compressed values, reference layout/page.go:297-323) read back
+    identically via pyarrow, DuckDB, and the engine's own v2 reader — flat
+    and nested columns, across page/row-group splits."""
+    import duckdb
+
+    t = _nested_table()
+    path = str(tmp_path / "v2w.parquet")
+    write_par1(t, path, codec=codec, data_page_version=2, row_group_rows=4, page_rows=3)
+    back = pq.read_table(path)
+    mine = read_par1(path)
+    for name in t.column_names:
+        want = t[name].combine_chunks()
+        assert back[name].combine_chunks().cast(want.type).equals(want), name
+        assert mine[name].combine_chunks().cast(want.type).equals(want), ("self", name)
+    con = duckdb.connect()
+    try:
+        (n,) = con.sql(f"SELECT count(*) FROM read_parquet('{path}')").fetchall()[0]
+    finally:
+        con.close()
+    assert n == t.num_rows
+
+
+def test_write_par1_int96_timestamps(tmp_path):
+    """int96_timestamps=True writes timestamp columns as the deprecated INT96
+    physical (nanos-of-day + Julian day, PLAIN, stats suppressed —
+    encoding/encodingwrite.go:85-91 analog); pyarrow reads them back as
+    timestamp[ns] and the engine reader converts through the same
+    int96_to_timestamp kernel the chunk container uses."""
+    import numpy as np
+
+    ts = pa.array(
+        np.arange(1_700_000_000_000_000, 1_700_000_000_000_000 + 50, 7),
+        pa.timestamp("us"),
+    )
+    t = pa.table({"event_id": pa.array(range(len(ts)), pa.int64()), "ts": ts})
+    path = str(tmp_path / "i96.parquet")
+    fmd = write_par1(t, path, codec="snappy", int96_timestamps=True)
+    # schema element carries the INT96 physical, not FLBA
+    elems = {e.get("name"): e for e in fmd["schema"]}
+    assert elems["ts"]["type"] == 3  # PT_INT96
+    back = pq.read_table(path)
+    assert back["ts"].type == pa.timestamp("ns")
+    assert back["ts"].cast(pa.timestamp("us")).combine_chunks().equals(ts)
+    mine = read_par1(path)
+    assert mine["ts"].type == pa.timestamp("ns")
+    assert mine["ts"].cast(pa.timestamp("us")).combine_chunks().equals(ts)
+    # INT96 chunks carry no column index / stats (undefined order)
+    from parquet_go_ray.formats.par1 import read_par1_page_index
+
+    idx = read_par1_page_index(path)
+    assert idx[0][1]["column_index"] is None
+    assert idx[0][0]["column_index"] is not None  # the int64 column keeps its
