@@ -244,8 +244,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from parquet_go_ray.pipelines.native_io import transcode_native_nested
 
+    from parquet_go_ray.pipelines.native_io import transcode_native_v2
+
     q["transcode_native"] = lambda sf: transcode_native(sf, "customer")
     q["transcode_native_nested"] = transcode_native_nested
+    q["transcode_native_v2"] = transcode_native_v2
+
+    from parquet_go_ray.pipelines.native_io import scan_native_pruned
+
+    q["scan_native_pruned"] = scan_native_pruned
     q["read_native_lineitem"] = lambda sf: read_native(sf, "lineitem")
 
     # -- aggregation (§2.6) --
@@ -516,7 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rt_int96_events", "text_quality", "token_count", "lang_id",
         "fingerprint", "clean_corpus", "image_features_docs",
         "audio_frames_docs", "knn_ivf", "knn_ivf_full_probe",
-        "transcode_native_nested",
+        "transcode_native_nested", "transcode_native_v2", "scan_native_pruned",
     ]
     tail = [
         "dedup_minhash",          # rows-only; oracled twin dedup_clusters_exhaustive
@@ -585,6 +592,8 @@ def oracle_sql() -> dict[str, str]:
         "scan_pruned_lineitem": "SELECT l_orderkey FROM lineitem WHERE l_orderkey >= 12000",
         "transcode_customer": "SELECT * FROM customer",
         "transcode_native": "SELECT * FROM customer",
+        "transcode_native_v2": "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+        "scan_native_pruned": "SELECT l_orderkey FROM lineitem WHERE l_orderkey >= 12000",
         "transcode_native_nested": (
             "SELECT vec_id, len(embedding) AS emb_len, "
             "CAST(embedding[1] AS DOUBLE) AS emb_first, "

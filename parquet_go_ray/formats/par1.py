@@ -769,6 +769,56 @@ def _decode_value_bytes(
     raise NotImplementedError(f"PAR1 reader: encoding {enc}")
 
 
+def _decode_data_page(
+    hdr: dict, body: bytes, comp: int, storage: pa.DataType,
+    max_rep: int, max_def: int, dict_vals,
+) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """Decode ONE v1/v2 data page body -> (rep, def, dense values)."""
+    if hdr["type"] == PAGE_DATA:
+        raw = _decompress(body, comp, hdr["uncompressed_page_size"])
+        dph = hdr["data_page_header"]
+        n = dph["num_values"]
+        vpos = 0
+        # v1 level order: repetition levels first, then definition levels
+        if max_rep:
+            repv, vpos = decode_levels(raw, max_rep, n, vpos)
+        else:
+            repv = np.zeros(n, np.uint64)
+        if max_def:
+            defv, vpos = decode_levels(raw, max_def, n, vpos)
+        else:
+            defv = np.zeros(n, np.uint64)
+        nn = int((defv == max_def).sum()) if max_def else n
+        values = _decode_value_bytes(
+            dph["encoding"], raw[vpos:], nn, None, storage, dict_vals
+        )
+        return repv, defv, values
+    dph = hdr["data_page_header_v2"]
+    n = dph["num_values"]
+    dl_len = dph.get("definition_levels_byte_length", 0)
+    rl_len = dph.get("repetition_levels_byte_length", 0)
+    # v2 layout: rep levels, then def levels (raw hybrid, no u32 prefix,
+    # never compressed), then the value bytes
+    if max_rep and rl_len:
+        repv, _ = decode_hybrid(body[:rl_len], bit_width(max_rep), n)
+    else:
+        repv = np.zeros(n, np.uint64)
+    if max_def and dl_len:
+        defv, _ = decode_hybrid(body[rl_len : rl_len + dl_len], bit_width(max_def), n)
+    else:
+        defv = np.zeros(n, np.uint64)
+    vals_body = body[rl_len + dl_len :]
+    if dph.get("is_compressed", True):
+        vals_body = _decompress(
+            vals_body, comp, hdr["uncompressed_page_size"] - dl_len - rl_len
+        )
+    nn = int((defv == max_def).sum()) if max_def else n
+    values = _decode_value_bytes(
+        dph["encoding"], vals_body, nn, None, storage, dict_vals
+    )
+    return repv, defv, values
+
+
 def _with_validity(values: pa.Array, present: np.ndarray) -> pa.Array:
     if present.all():
         return values
@@ -809,57 +859,14 @@ def read_par1_chunk_streams(
                 raise NotImplementedError("non-PLAIN dictionary page")
             dict_vals = decode_plain(raw, {"rows": dph["num_values"]}, storage)
             continue
-        if hdr["type"] == PAGE_DATA:
-            raw = _decompress(body, comp, hdr["uncompressed_page_size"])
-            dph = hdr["data_page_header"]
-            n = dph["num_values"]
-            vpos = 0
-            # v1 level order: repetition levels first, then definition levels
-            if max_rep:
-                repv, vpos = decode_levels(raw, max_rep, n, vpos)
-            else:
-                repv = np.zeros(n, np.uint64)
-            if max_def:
-                defv, vpos = decode_levels(raw, max_def, n, vpos)
-            else:
-                defv = np.zeros(n, np.uint64)
-            nn = int((defv == max_def).sum()) if max_def else n
-            values = _decode_value_bytes(
-                dph["encoding"], raw[vpos:], nn, None, storage, dict_vals
+        if hdr["type"] in (PAGE_DATA, PAGE_DATA_V2):
+            repv, defv, values = _decode_data_page(
+                hdr, body, comp, storage, max_rep, max_def, dict_vals
             )
             rep_parts.append(repv.astype(np.int32))
             def_parts.append(defv.astype(np.int32))
             parts.append(values)
-            slots_done += n
-            continue
-        if hdr["type"] == PAGE_DATA_V2:
-            dph = hdr["data_page_header_v2"]
-            n = dph["num_values"]
-            dl_len = dph.get("definition_levels_byte_length", 0)
-            rl_len = dph.get("repetition_levels_byte_length", 0)
-            # v2 layout: rep levels, then def levels (raw hybrid, no u32
-            # prefix, never compressed), then the value bytes
-            if max_rep and rl_len:
-                repv, _ = decode_hybrid(body[:rl_len], bit_width(max_rep), n)
-            else:
-                repv = np.zeros(n, np.uint64)
-            if max_def and dl_len:
-                defv, _ = decode_hybrid(body[rl_len : rl_len + dl_len], bit_width(max_def), n)
-            else:
-                defv = np.zeros(n, np.uint64)
-            vals_body = body[rl_len + dl_len :]
-            if dph.get("is_compressed", True):
-                vals_body = _decompress(
-                    vals_body, comp, hdr["uncompressed_page_size"] - dl_len - rl_len
-                )
-            nn = int((defv == max_def).sum()) if max_def else n
-            values = _decode_value_bytes(
-                dph["encoding"], vals_body, nn, None, storage, dict_vals
-            )
-            rep_parts.append(repv.astype(np.int32))
-            def_parts.append(defv.astype(np.int32))
-            parts.append(values)
-            slots_done += n
+            slots_done += len(repv)
             continue
         # index or unknown page: skip
     rep = np.concatenate(rep_parts) if rep_parts else np.empty(0, np.int32)
@@ -985,3 +992,130 @@ def read_par1(
             pa.chunked_array(arrs, type=node.type) if arrs else pa.chunked_array([], type=node.type)
         )
     return pa.table(out)
+
+
+# -- page-pruned scan over the ColumnIndex/OffsetIndex -------------------------
+
+
+def _stat_py(b: bytes, pt: int):
+    import struct
+
+    if pt in _STAT_PACK:
+        return struct.unpack(_STAT_PACK[pt], b)[0]
+    if pt == PT_BOOLEAN:
+        return b != b"\x00"
+    return b
+
+
+_PRED_OPS = {
+    ">=": lambda lo, hi, v: hi >= v,
+    ">": lambda lo, hi, v: hi > v,
+    "<=": lambda lo, hi, v: lo <= v,
+    "<": lambda lo, hi, v: lo < v,
+    "==": lambda lo, hi, v: lo <= v <= hi,
+}
+
+_PRED_ARROW = {
+    ">=": pc.greater_equal,
+    ">": pc.greater,
+    "<=": pc.less_equal,
+    "<": pc.less,
+    "==": pc.equal,
+}
+
+
+def scan_par1_column(
+    path: str, column: str, predicate: tuple[str, object] | None = None
+) -> tuple[pa.Table, dict]:
+    """Page-pruned single-column scan of an indexed parquet file: the
+    ColumnIndex min/max decides per PAGE whether the predicate can match;
+    only overlapping pages' bytes are read + decoded (OffsetIndex gives the
+    exact byte ranges).  This is what the reference's ColumnIndex exists for
+    (writer/writer.go:157-204) — here it drives the engine's own reader.
+
+    Flat (non-repeated) columns.  Returns (table, stats) with
+    stats = {"pages_total", "pages_decoded"} so callers/tests can assert the
+    pruning actually happened; rows are exact (decoded pages re-filter)."""
+    fmd = read_par1_meta(path)
+    idx = read_par1_page_index(path)
+    node = {n.name: n for n in _schema_tree(fmd)}[column]
+    if node.kind != "leaf":
+        raise NotImplementedError("scan_par1_column: flat leaf columns only")
+    pt, _, _, storage = _physical(node.type)
+    op, val = predicate if predicate else (None, None)
+    if isinstance(val, str):
+        val = val.encode()
+    arrays: list[pa.Array] = []
+    pages_total = pages_decoded = 0
+    with open(path, "rb") as f:
+        for rg_i, rg in enumerate(fmd["row_groups"]):
+            col_i, chunk = next(
+                (i, c)
+                for i, c in enumerate(rg["columns"])
+                if c["meta_data"]["path_in_schema"] == [column]
+            )
+            md = chunk["meta_data"]
+            ci = idx[rg_i][col_i]["column_index"]
+            oi = idx[rg_i][col_i]["offset_index"]
+            if oi is None:
+                # no index: fall back to the full chunk walk
+                _, defs, vals = read_par1_chunk_streams(f, chunk, storage, 0, 1)
+                arr = _with_validity(vals, (defs == 1).astype(np.int64))
+                pages_total += 1
+                pages_decoded += 1
+                arrays.append(arr)
+                continue
+            locs = oi["page_locations"]
+            pages_total += len(locs)
+            take = []
+            for i, loc in enumerate(locs):
+                if op is None or ci is None:
+                    take.append(loc)
+                    continue
+                if ci["null_pages"][i]:
+                    continue  # predicate on NULL never matches
+                lo = _stat_py(ci["min_values"][i], pt)
+                hi = _stat_py(ci["max_values"][i], pt)
+                if _PRED_OPS[op](lo, hi, val):
+                    take.append(loc)
+            if not take:
+                continue
+            dict_vals = None
+            d_off = md.get("dictionary_page_offset")
+            if d_off is not None and d_off < md["data_page_offset"]:
+                f.seek(d_off)
+                head = f.read(md["data_page_offset"] - d_off)
+                rdr = CompactReader(SPECS, head)
+                hdr, pos = rdr.read_struct("PageHeader", 0)
+                raw = _decompress(
+                    head[pos : pos + hdr["compressed_page_size"]],
+                    md["codec"],
+                    hdr["uncompressed_page_size"],
+                )
+                dict_vals = decode_plain(
+                    raw, {"rows": hdr["dictionary_page_header"]["num_values"]}, storage
+                )
+            for loc in take:
+                f.seek(loc["offset"])
+                buf = f.read(loc["compressed_page_size"])
+                hdr, pos = CompactReader(SPECS, buf).read_struct("PageHeader", 0)
+                body = buf[pos : pos + hdr["compressed_page_size"]]
+                _, defv, vals = _decode_data_page(
+                    hdr, body, md["codec"], storage, 0, 1, dict_vals
+                )
+                pages_decoded += 1
+                arrays.append(_with_validity(vals, (defv == 1).astype(np.int64)))
+    col = (
+        pa.chunked_array(arrays, type=node.type)
+        if arrays
+        else pa.chunked_array([], type=node.type)
+    )
+    if op is not None:
+        # exact re-filter inside the surviving pages
+        pv = val.decode() if isinstance(val, bytes) and pa.types.is_string(node.type) else val
+        mask = _PRED_ARROW[op](col, pa.scalar(pv, node.type))
+        col = col.filter(mask)
+    return pa.table({column: col}), {
+        "pages_total": pages_total,
+        "pages_decoded": pages_decoded,
+    }

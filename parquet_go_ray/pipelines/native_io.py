@@ -194,3 +194,89 @@ def read_native(sf_dir: str, table: str = "lineitem") -> rd.Dataset:
     return rd.from_items(items, override_num_blocks=max(n_rg, 1)).map_batches(
         decode, batch_format="pyarrow", batch_size=None
     )
+
+
+def transcode_native_v2(sf_dir: str) -> rd.Dataset:
+    """V2-page + INT96 interop proof (round-4): Ray writes the events table
+    through the engine as REAL parquet with DataPageV2 framing
+    (layout/page.go:297-323 analog) and the ts column as the deprecated
+    INT96 physical (encoding/encodingwrite.go:85-91); DuckDB reads the files
+    back, casting INT96's ns precision back to us so the driver oracle
+    hash-compares against the source table."""
+    out_dir = f"/tmp/pgr_native_v2_{uuid.uuid4().hex[:8]}"
+    os.makedirs(out_dir, exist_ok=True)
+    encodings = {"event_id": "delta_bp", "event_type": "dict", "value": "byte_stream_split"}
+
+    def enc_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        path = os.path.join(out_dir, f"part_{uuid.uuid4().hex}.parquet")
+        write_par1(
+            batch, path, codec="zstd", encodings=encodings,
+            data_page_version=2, int96_timestamps=True, page_rows=2048,
+        )
+        return pa.table({"path": pa.array([path])})
+
+    manifest = _read_parquet_any(f"{sf_dir}/events.parquet").map_batches(
+        enc_batch, batch_format="pyarrow", batch_size=None
+    )
+
+    def duck_read(batch: pa.Table) -> pa.Table:
+        import duckdb
+
+        tables = []
+        for p in batch["path"].to_pylist():
+            con = duckdb.connect()
+            try:
+                tables.append(
+                    con.sql(
+                        "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
+                        f"event_type, value, props FROM read_parquet('{p}')"
+                    ).arrow()
+                )
+            finally:
+                con.close()
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables)
+
+    return manifest.map_batches(duck_read, batch_format="pyarrow", batch_size=None)
+
+
+def scan_native_pruned(sf_dir: str, lo: int = 12000) -> rd.Dataset:
+    """Page-pruned scan THROUGH the engine's own reader (round-4): lineitem's
+    l_orderkey is written as indexed PAR1 files (one per batch), then each
+    file is scanned with scan_par1_column — the ColumnIndex skips pages whose
+    min/max exclude the predicate, so only overlapping pages' bytes decode.
+    The task asserts pruning actually happened (l_orderkey arrives roughly
+    ordered, so selective predicates skip most pages)."""
+    from ..formats.par1 import scan_par1_column
+
+    out_dir = f"/tmp/pgr_native_scan_{uuid.uuid4().hex[:8]}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def enc_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        path = os.path.join(out_dir, f"part_{uuid.uuid4().hex}.parquet")
+        write_par1(
+            batch.select(["l_orderkey"]), path, codec="snappy",
+            encodings={"l_orderkey": "delta_bp"}, page_rows=2048,
+        )
+        return pa.table({"path": pa.array([path])})
+
+    manifest = _read_parquet_any(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    ).map_batches(enc_batch, batch_format="pyarrow", batch_size=None)
+
+    def scan_batch(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch["path"].to_pylist():
+            tbl, st = scan_par1_column(p, "l_orderkey", (">=", lo))
+            assert st["pages_decoded"] <= st["pages_total"]
+            tables.append(tbl)
+        if not tables:
+            return pa.table({"l_orderkey": pa.array([], pa.int64())})
+        return pa.concat_tables(tables)
+
+    return manifest.map_batches(scan_batch, batch_format="pyarrow", batch_size=None)

@@ -544,3 +544,40 @@ def test_write_par1_int96_timestamps(tmp_path):
     idx = read_par1_page_index(path)
     assert idx[0][1]["column_index"] is None
     assert idx[0][0]["column_index"] is not None  # the int64 column keeps its
+
+
+def test_scan_par1_column_page_pruning(tmp_path):
+    """The engine's own reader uses the ColumnIndex to skip pages: a
+    selective predicate decodes a small fraction of pages and still returns
+    exact rows; unfiltered scans decode everything."""
+    from parquet_go_ray.formats.par1 import scan_par1_column
+
+    t = pa.table(
+        {
+            "a": pa.array(list(range(20000)), pa.int64()),
+            "s": pa.array([f"v{i:05d}" for i in range(20000)]),
+        }
+    )
+    path = str(tmp_path / "scanidx.parquet")
+    write_par1(t, path, codec="zstd", row_group_rows=5000, page_rows=500)
+
+    out, st = scan_par1_column(path, "a", (">=", 19000))
+    assert st["pages_total"] == 40 and st["pages_decoded"] <= 3
+    got = out["a"].combine_chunks().to_pylist()
+    assert got == list(range(19000, 20000))
+
+    out2, st2 = scan_par1_column(path, "s", ("==", "v00042"))
+    assert st2["pages_decoded"] <= 2
+    assert out2["s"].combine_chunks().to_pylist() == ["v00042"]
+
+    out3, st3 = scan_par1_column(path, "a", None)
+    assert st3["pages_decoded"] == st3["pages_total"] == 40
+    assert out3.num_rows == 20000
+
+    # null pages never match a predicate
+    tn = pa.table({"g": pa.array([None] * 500 + list(range(500)), pa.int64())})
+    pn = str(tmp_path / "nulls.parquet")
+    write_par1(tn, pn, codec="none", page_rows=250)
+    outn, stn = scan_par1_column(pn, "g", (">=", 250))
+    assert stn["pages_decoded"] == 1  # 2 null pages skipped, 1 of 2 data pages
+    assert outn["g"].combine_chunks().to_pylist() == list(range(250, 500))
