@@ -23,6 +23,8 @@ repeated) lists are out of scope and raise.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -302,6 +304,30 @@ def _boundary_order(null_pages: list[bool], mins: list[bytes], maxs: list[bytes]
     return BO_UNORDERED
 
 
+def _crc_i32(data: bytes) -> int:
+    """PageHeader.crc (parquet-format PARQUET-2147): standard zlib CRC-32 of
+    the page body — the compressed data for v1/dictionary pages, the
+    rep-levels + def-levels + compressed-values concatenation for v2 pages —
+    stored as a signed thrift i32."""
+    c = zlib.crc32(data) & 0xFFFFFFFF
+    return c - (1 << 32) if c >= (1 << 31) else c
+
+
+def _check_crc(hdr: dict, body: bytes, where: str) -> None:
+    """Verify a page body against its header CRC (no-op when absent).
+    `body` is exactly the bytes between the header and the next page, which
+    for every page type matches the spec's CRC coverage."""
+    stored = hdr.get("crc")
+    if stored is None:
+        return
+    actual = zlib.crc32(body) & 0xFFFFFFFF
+    if actual != stored & 0xFFFFFFFF:
+        raise ValueError(
+            f"parquet page CRC mismatch ({where}): stored "
+            f"0x{stored & 0xFFFFFFFF:08x}, computed 0x{actual:08x}"
+        )
+
+
 def _write_page(out, writer_specs, page_type: int, header_struct: dict, payload: bytes, comp: int):
     body = _compress(payload, comp)
     w = CompactWriter(writer_specs)
@@ -309,6 +335,7 @@ def _write_page(out, writer_specs, page_type: int, header_struct: dict, payload:
         "type": page_type,
         "uncompressed_page_size": len(payload),
         "compressed_page_size": len(body),
+        "crc": _crc_i32(body),
     }
     hdr.update(header_struct)
     w.write_struct("PageHeader", hdr)
@@ -487,6 +514,7 @@ def _write_leaf_chunk(
                     "type": PAGE_DATA_V2,
                     "uncompressed_page_size": len(rep_b) + len(def_b) + len(values_b),
                     "compressed_page_size": len(rep_b) + len(def_b) + len(body),
+                    "crc": _crc_i32(rep_b + def_b + body),
                     "data_page_header_v2": {
                         "num_values": pos1 - pos0,
                         "num_nulls": (pos1 - pos0) - (v1 - v0),
@@ -592,7 +620,10 @@ def write_par1(
     (reference v2 path: layout/page.go:297-323).  `int96_timestamps` writes
     top-level timestamp columns as the deprecated INT96 physical
     (encoding/encodingwrite.go:85-91 analog: 8-byte nanos-of-day + 4-byte
-    Julian day, PLAIN only, stats suppressed).  Returns the footer dict."""
+    Julian day, PLAIN only, stats suppressed).  Every page header carries a
+    CRC-32 of its page body (PageHeader.crc, PARQUET-2147 coverage rules);
+    readers opt in via read_par1(verify_crc=True) or pyarrow's
+    page_checksum_verification.  Returns the footer dict."""
     assert data_page_version in (1, 2), data_page_version
     comp = _COMP_NAME[codec]
     encodings = dict(encodings or {})
@@ -828,7 +859,8 @@ def _with_validity(values: pa.Array, present: np.ndarray) -> pa.Array:
 
 
 def read_par1_chunk_streams(
-    f, chunk: dict, storage: pa.DataType, max_rep: int, max_def: int
+    f, chunk: dict, storage: pa.DataType, max_rep: int, max_def: int,
+    verify_crc: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, pa.Array]:
     """Decode one leaf column chunk from an open file through the engine
     decoders into raw Dremel streams (rep, defs, dense values) — page walk
@@ -852,6 +884,8 @@ def read_par1_chunk_streams(
         hdr, pos = rdr.read_struct("PageHeader", pos)
         body = buf[pos : pos + hdr["compressed_page_size"]]
         pos += hdr["compressed_page_size"]
+        if verify_crc:
+            _check_crc(hdr, body, "chunk page walk")
         if hdr["type"] == PAGE_DICTIONARY:
             raw = _decompress(body, comp, hdr["uncompressed_page_size"])
             dph = hdr["dictionary_page_header"]
@@ -882,9 +916,13 @@ def read_par1_chunk_streams(
     return rep, defs, vals
 
 
-def read_par1_chunk(f, chunk: dict, storage: pa.DataType, optional: bool) -> pa.Array:
+def read_par1_chunk(
+    f, chunk: dict, storage: pa.DataType, optional: bool, verify_crc: bool = False
+) -> pa.Array:
     """Back-compat flat-chunk read: decode one flat column chunk to an Array."""
-    rep, defs, vals = read_par1_chunk_streams(f, chunk, storage, 0, 1 if optional else 0)
+    rep, defs, vals = read_par1_chunk_streams(
+        f, chunk, storage, 0, 1 if optional else 0, verify_crc=verify_crc
+    )
     if not optional:
         return vals
     return _with_validity(vals, (defs == 1).astype(np.int64))
@@ -953,10 +991,17 @@ def _schema_tree(fmd: dict) -> list[Node]:
 
 
 def read_par1(
-    path: str, columns: list[str] | None = None, row_groups: list[int] | None = None
+    path: str,
+    columns: list[str] | None = None,
+    row_groups: list[int] | None = None,
+    verify_crc: bool = False,
 ) -> pa.Table:
     """Read a parquet file (ours or a foreign writer's), flat or nested,
-    entirely through the engine's page decoders + Dremel assembly."""
+    entirely through the engine's page decoders + Dremel assembly.
+    `verify_crc=True` checks each page body against PageHeader.crc when the
+    writer recorded one (pyarrow: `write_page_checksum=True`; this engine:
+    always) and raises on mismatch — mirrors pyarrow's opt-in
+    `page_checksum_verification` default."""
     fmd = read_par1_meta(path)
     nodes = _schema_tree(fmd)
     want = [n for n in nodes if columns is None or n.name in columns]
@@ -977,7 +1022,8 @@ def read_par1(
                     else:
                         _, _, _, storage = _physical(leaf.type)
                     rep, defs, vals = read_par1_chunk_streams(
-                        f, chunk_by_path[tuple(lpath)], storage, mr, md
+                        f, chunk_by_path[tuple(lpath)], storage, mr, md,
+                        verify_crc=verify_crc,
                     )
                     if leaf.phys == PT_INT96:
                         from ..functions.converters import int96_to_timestamp
@@ -1025,7 +1071,10 @@ _PRED_ARROW = {
 
 
 def scan_par1_column(
-    path: str, column: str, predicate: tuple[str, object] | None = None
+    path: str,
+    column: str,
+    predicate: tuple[str, object] | None = None,
+    verify_crc: bool = False,
 ) -> tuple[pa.Table, dict]:
     """Page-pruned single-column scan of an indexed parquet file: the
     ColumnIndex min/max decides per PAGE whether the predicate can match;
@@ -1059,7 +1108,9 @@ def scan_par1_column(
             oi = idx[rg_i][col_i]["offset_index"]
             if oi is None:
                 # no index: fall back to the full chunk walk
-                _, defs, vals = read_par1_chunk_streams(f, chunk, storage, 0, 1)
+                _, defs, vals = read_par1_chunk_streams(
+                    f, chunk, storage, 0, 1, verify_crc=verify_crc
+                )
                 arr = _with_validity(vals, (defs == 1).astype(np.int64))
                 pages_total += 1
                 pages_decoded += 1
@@ -1087,6 +1138,10 @@ def scan_par1_column(
                 head = f.read(md["data_page_offset"] - d_off)
                 rdr = CompactReader(SPECS, head)
                 hdr, pos = rdr.read_struct("PageHeader", 0)
+                if verify_crc:
+                    _check_crc(
+                        hdr, head[pos : pos + hdr["compressed_page_size"]], "dict page"
+                    )
                 raw = _decompress(
                     head[pos : pos + hdr["compressed_page_size"]],
                     md["codec"],
@@ -1100,6 +1155,8 @@ def scan_par1_column(
                 buf = f.read(loc["compressed_page_size"])
                 hdr, pos = CompactReader(SPECS, buf).read_struct("PageHeader", 0)
                 body = buf[pos : pos + hdr["compressed_page_size"]]
+                if verify_crc:
+                    _check_crc(hdr, body, "pruned page read")
                 _, defv, vals = _decode_data_page(
                     hdr, body, md["codec"], storage, 0, 1, dict_vals
                 )

@@ -581,3 +581,42 @@ def test_scan_par1_column_page_pruning(tmp_path):
     outn, stn = scan_par1_column(pn, "g", (">=", 250))
     assert stn["pages_decoded"] == 1  # 2 null pages skipped, 1 of 2 data pages
     assert outn["g"].combine_chunks().to_pylist() == list(range(250, 500))
+
+
+def test_page_crc_interop(tmp_path):
+    """PageHeader.crc both directions: pyarrow verifies engine-written CRCs
+    (v1+v2, compressed+not), the engine verifies pyarrow-written CRCs, and a
+    flipped byte in a page body fails BOTH verifiers."""
+    t = _mixed_table(4000)
+    for v in (1, 2):
+        for codec in ("snappy", "none"):
+            p = str(tmp_path / f"crc_v{v}_{codec}.parquet")
+            write_par1(t, p, codec=codec, data_page_version=v, page_rows=1000)
+            got = pq.ParquetFile(p, page_checksum_verification=True).read()
+            assert got.num_rows == t.num_rows
+            back = read_par1(p, verify_crc=True)
+            assert _tables_equal(back, t)
+
+    # pyarrow-written checksummed file through the engine verifier
+    p2 = str(tmp_path / "pa_crc.parquet")
+    pq.write_table(t, p2, write_page_checksum=True, compression="snappy")
+    assert _tables_equal(read_par1(p2, verify_crc=True), t)
+
+    # corruption: flip one byte inside the first data page body
+    p3 = str(tmp_path / "bad.parquet")
+    write_par1(t.select(["i64"]), p3, codec="none", page_rows=1000)
+    raw = bytearray(open(p3, "rb").read())
+    raw[200] ^= 0xFF
+    open(p3, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        read_par1(p3, verify_crc=True)
+    with pytest.raises(Exception, match="CRC"):
+        pq.ParquetFile(p3, page_checksum_verification=True).read()
+
+    # page-pruned scan path verifies too
+    from parquet_go_ray.formats.par1 import scan_par1_column
+
+    p4 = str(tmp_path / "scan.parquet")
+    write_par1(pa.table({"a": pa.array(range(5000), pa.int64())}), p4, page_rows=500)
+    out, st = scan_par1_column(p4, "a", (">=", 4500), verify_crc=True)
+    assert out.num_rows == 500 and st["pages_decoded"] == 1
