@@ -609,6 +609,9 @@ def write_par1(
     page_rows: int = 65536,
     data_page_version: int = 1,
     int96_timestamps: bool = False,
+    key_value_metadata: dict[str, str] | None = None,
+    column_key_value_metadata: dict[str, dict[str, str]] | None = None,
+    sorting_columns: list[tuple[str, bool, bool]] | None = None,
 ) -> dict:
     """Write `table` as a real parquet file through the engine's encoders.
 
@@ -623,7 +626,17 @@ def write_par1(
     Julian day, PLAIN only, stats suppressed).  Every page header carries a
     CRC-32 of its page body (PageHeader.crc, PARQUET-2147 coverage rules);
     readers opt in via read_par1(verify_crc=True) or pyarrow's
-    page_checksum_verification.  Returns the footer dict."""
+    page_checksum_verification.
+
+    `key_value_metadata` lands in FileMetaData.key_value_metadata and
+    `column_key_value_metadata` (column name -> {k: v}) in each chunk's
+    ColumnMetaData.key_value_metadata — the reference exposes both through
+    Footer/MetaData mutation (example/keyvalue_metadata.go:56-82).
+    `sorting_columns` = [(column, descending, nulls_first), ...] declares the
+    row-group sort order (RowGroup.sorting_columns; readable back via
+    pyarrow metadata) — it is a declaration, the caller sorts.
+
+    Returns the footer dict."""
     assert data_page_version in (1, 2), data_page_version
     comp = _COMP_NAME[codec]
     encodings = dict(encodings or {})
@@ -656,6 +669,20 @@ def write_par1(
             el.pop("converted_type", None)
             el.pop("logicalType", None)
 
+    leaf_order = [
+        ".".join(lp) for name in names for lp, _, _, _ in leaf_specs(nodes[name])
+    ]
+    sc_list = None
+    if sorting_columns:
+        sc_list = [
+            {
+                "column_idx": leaf_order.index(col),
+                "descending": bool(desc),
+                "nulls_first": bool(nf),
+            }
+            for col, desc, nf in sorting_columns
+        ]
+    col_kv = column_key_value_metadata or {}
     rg_rows = row_group_rows or table.num_rows or 1
     row_groups = []
     with open(path, "wb") as out:
@@ -679,18 +706,24 @@ def write_par1(
                         page_version=data_page_version,
                         pt_override=PT_INT96 if name in int96_cols else None,
                     )
+                    kv = col_kv.get(".".join(st.path)) or col_kv.get(name)
+                    if kv:
+                        cm["meta_data"]["key_value_metadata"] = [
+                            {"key": k, "value": v} for k, v in kv.items()
+                        ]
                     chunks_meta.append(cm)
                     rg_unc += cm["meta_data"]["total_uncompressed_size"]
                     rg_comp += cm["meta_data"]["total_compressed_size"]
-            row_groups.append(
-                {
-                    "columns": chunks_meta,
-                    "total_byte_size": rg_unc,
-                    "num_rows": rg.num_rows,
-                    "file_offset": chunks_meta[0]["file_offset"],
-                    "total_compressed_size": rg_comp,
-                }
-            )
+            rg_meta = {
+                "columns": chunks_meta,
+                "total_byte_size": rg_unc,
+                "num_rows": rg.num_rows,
+                "file_offset": chunks_meta[0]["file_offset"],
+                "total_compressed_size": rg_comp,
+            }
+            if sc_list is not None:
+                rg_meta["sorting_columns"] = sc_list
+            row_groups.append(rg_meta)
         # Page indexes (parquet-format PageIndex layout: all ColumnIndex
         # structs, then all OffsetIndex structs, after the data and before
         # the footer; reference serializes the same pair in
@@ -723,6 +756,10 @@ def write_par1(
             "created_by": "parquet_go_ray",
             "column_orders": [{"TYPE_ORDER": {}}] * n_leaves,
         }
+        if key_value_metadata:
+            fmd["key_value_metadata"] = [
+                {"key": k, "value": v} for k, v in key_value_metadata.items()
+            ]
         w = CompactWriter(SPECS)
         w.write_struct("FileMetaData", fmd)
         out.write(bytes(w.out))

@@ -110,6 +110,7 @@ SPECS: dict[str, dict[int, tuple[str, str]]] = {
         5: ("num_values", "i64"),
         6: ("total_uncompressed_size", "i64"),
         7: ("total_compressed_size", "i64"),
+        8: ("key_value_metadata", "list:struct:KeyValue"),
         9: ("data_page_offset", "i64"),
         11: ("dictionary_page_offset", "i64"),
         12: ("statistics", "struct:Statistics"),
@@ -138,10 +139,16 @@ SPECS: dict[str, dict[int, tuple[str, str]]] = {
         4: ("boundary_order", "i32"),
         5: ("null_counts", "list:i64"),
     },
+    "SortingColumn": {
+        1: ("column_idx", "i32"),
+        2: ("descending", "bool"),
+        3: ("nulls_first", "bool"),
+    },
     "RowGroup": {
         1: ("columns", "list:struct:ColumnChunk"),
         2: ("total_byte_size", "i64"),
         3: ("num_rows", "i64"),
+        4: ("sorting_columns", "list:struct:SortingColumn"),
         5: ("file_offset", "i64"),
         6: ("total_compressed_size", "i64"),
     },

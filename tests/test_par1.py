@@ -620,3 +620,40 @@ def test_page_crc_interop(tmp_path):
     write_par1(pa.table({"a": pa.array(range(5000), pa.int64())}), p4, page_rows=500)
     out, st = scan_par1_column(p4, "a", (">=", 4500), verify_crc=True)
     assert out.num_rows == 500 and st["pages_decoded"] == 1
+
+
+def test_kv_metadata_and_sorting_columns(tmp_path):
+    """Footer + chunk-level KeyValue metadata (reference surface:
+    example/keyvalue_metadata.go:56-82) and RowGroup.sorting_columns, read
+    back by pyarrow, DuckDB and the engine's own footer parser."""
+    import duckdb
+
+    from parquet_go_ray.formats.par1 import read_par1_meta
+
+    t = pa.table(
+        {
+            "k": pa.array(range(3000), pa.int64()),
+            "ls": pa.array([[i] for i in range(3000)], pa.list_(pa.int32())),
+        }
+    )
+    p = str(tmp_path / "kv.parquet")
+    write_par1(
+        t, p, row_group_rows=1000,
+        key_value_metadata={"writer": "parquet_go_ray"},
+        column_key_value_metadata={"k": {"role": "sort_key"}},
+        sorting_columns=[("k", False, False)],
+    )
+    md = pq.ParquetFile(p).metadata
+    assert md.metadata[b"writer"] == b"parquet_go_ray"
+    sc = md.row_group(0).sorting_columns
+    assert len(sc) == 1 and sc[0].column_index == 0 and not sc[0].descending
+    assert (b"writer", b"parquet_go_ray") in duckdb.sql(
+        f"select key, value from parquet_kv_metadata('{p}')"
+    ).fetchall()
+    fmd = read_par1_meta(p)
+    assert fmd["row_groups"][1]["sorting_columns"] == [
+        {"column_idx": 0, "descending": False, "nulls_first": False}
+    ]
+    k_meta = fmd["row_groups"][0]["columns"][0]["meta_data"]
+    assert k_meta["key_value_metadata"] == [{"key": "role", "value": "sort_key"}]
+    assert _tables_equal(read_par1(p, verify_crc=True), t)
