@@ -250,9 +250,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcode_native_nested"] = transcode_native_nested
     q["transcode_native_v2"] = transcode_native_v2
 
-    from parquet_go_ray.pipelines.native_io import scan_native_pruned
+    from parquet_go_ray.pipelines.native_io import (
+        read_native_pruned_multi,
+        scan_native_pruned,
+    )
 
     q["scan_native_pruned"] = scan_native_pruned
+    q["read_native_pruned_multi"] = read_native_pruned_multi
     q["read_native_lineitem"] = lambda sf: read_native(sf, "lineitem")
 
     # -- aggregation (§2.6) --
@@ -524,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint", "clean_corpus", "image_features_docs",
         "audio_frames_docs", "knn_ivf", "knn_ivf_full_probe",
         "transcode_native_nested", "transcode_native_v2", "scan_native_pruned",
+        "read_native_pruned_multi",
     ]
     tail = [
         "dedup_minhash",          # rows-only; oracled twin dedup_clusters_exhaustive
@@ -594,6 +599,10 @@ def oracle_sql() -> dict[str, str]:
         "transcode_native": "SELECT * FROM customer",
         "transcode_native_v2": "SELECT event_id, ts, user_id, event_type, value, props FROM events",
         "scan_native_pruned": "SELECT l_orderkey FROM lineitem WHERE l_orderkey >= 12000",
+        "read_native_pruned_multi": (
+            "SELECT l_orderkey, l_extendedprice, l_returnflag "
+            "FROM lineitem WHERE l_orderkey < 3000"
+        ),
         "transcode_native_nested": (
             "SELECT vec_id, len(embedding) AS emb_len, "
             "CAST(embedding[1] AS DOUBLE) AS emb_first, "

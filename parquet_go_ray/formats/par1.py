@@ -1213,3 +1213,210 @@ def scan_par1_column(
         "pages_total": pages_total,
         "pages_decoded": pages_decoded,
     }
+
+
+def _load_dict_page(f, md: dict, storage: pa.DataType, verify_crc: bool):
+    """Load a chunk's dictionary page (None when the chunk has none)."""
+    d_off = md.get("dictionary_page_offset")
+    if d_off is None or d_off >= md["data_page_offset"]:
+        return None
+    f.seek(d_off)
+    head = f.read(md["data_page_offset"] - d_off)
+    hdr, pos = CompactReader(SPECS, head).read_struct("PageHeader", 0)
+    body = head[pos : pos + hdr["compressed_page_size"]]
+    if verify_crc:
+        _check_crc(hdr, body, "dict page")
+    raw = _decompress(body, md["codec"], hdr["uncompressed_page_size"])
+    return decode_plain(raw, {"rows": hdr["dictionary_page_header"]["num_values"]}, storage)
+
+
+def read_par1_pruned(
+    path: str,
+    columns: list[str] | None = None,
+    predicate: tuple[str, str, object] | None = None,
+    verify_crc: bool = False,
+) -> tuple[pa.Table, dict]:
+    """Projection + predicate read of one parquet file using BOTH pruning
+    levels the format provides: row groups whose chunk Statistics exclude
+    the predicate are skipped footer-only, and inside surviving row groups
+    the predicate column's ColumnIndex selects surviving pages whose
+    OffsetIndex row ranges then bound which pages of EVERY projected column
+    are read + decoded (the PageIndex design intent: the reference writes
+    these structures in writer/writer.go:157-204; this engine also reads
+    them back).  `predicate` = (column, op, value) with op in
+    >= > <= < ==.  Flat leaf columns only; rows are exact (surviving pages
+    re-filter).  Returns (table, stats) with stats =
+    {row_groups_total, row_groups_read, pages_total, pages_decoded}."""
+    fmd = read_par1_meta(path)
+    node_list = _schema_tree(fmd)
+    nodes = {n.name: n for n in node_list}
+    names = list(columns) if columns is not None else [n.name for n in node_list]
+    pcol = pop = pval = None
+    if predicate is not None:
+        pcol, pop, pval = predicate
+        if isinstance(pval, str):
+            pval = pval.encode()
+    need = names + ([pcol] if pcol is not None and pcol not in names else [])
+    for nm in need:
+        if nm not in nodes:
+            raise KeyError(f"column {nm!r} not in {path}")
+        if nodes[nm].kind != "leaf":
+            raise NotImplementedError("read_par1_pruned: flat leaf columns only")
+    idx = read_par1_page_index(path)
+    stats = {
+        "row_groups_total": len(fmd["row_groups"]),
+        "row_groups_read": 0,
+        "pages_total": 0,
+        "pages_decoded": 0,
+    }
+    chunk_pos_by_rg = []
+    for rg_i, rg in enumerate(fmd["row_groups"]):
+        pos_map = {
+            c["meta_data"]["path_in_schema"][0]: i
+            for i, c in enumerate(rg["columns"])
+            if len(c["meta_data"]["path_in_schema"]) == 1
+        }
+        chunk_pos_by_rg.append(pos_map)
+        for nm in need:
+            oi = idx[rg_i][pos_map[nm]]["offset_index"]
+            stats["pages_total"] += len(oi["page_locations"]) if oi else 1
+    out_tables: list[pa.Table] = []
+    with open(path, "rb") as f:
+        for rg_i, rg in enumerate(fmd["row_groups"]):
+            pos_map = chunk_pos_by_rg[rg_i]
+            rg_rows = rg["num_rows"]
+            pt_p = None
+            if pcol is not None:
+                md_p = rg["columns"][pos_map[pcol]]["meta_data"]
+                pt_p = md_p["type"]
+                st_meta = md_p.get("statistics")
+                if (
+                    st_meta is not None
+                    and st_meta.get("min_value") is not None
+                    and st_meta.get("max_value") is not None
+                    and not _PRED_OPS[pop](
+                        _stat_py(st_meta["min_value"], pt_p),
+                        _stat_py(st_meta["max_value"], pt_p),
+                        pval,
+                    )
+                ):
+                    continue  # whole row group excluded by chunk Statistics
+            ranges: list[tuple[int, int]] | None = None
+            if pcol is not None:
+                ent = idx[rg_i][pos_map[pcol]]
+                ci, oi = ent["column_index"], ent["offset_index"]
+                if ci is not None and oi is not None:
+                    locs = oi["page_locations"]
+                    firsts = [loc["first_row_index"] for loc in locs] + [rg_rows]
+                    merged: list[list[int]] = []
+                    for i in range(len(locs)):
+                        if ci["null_pages"][i]:
+                            continue
+                        if not _PRED_OPS[pop](
+                            _stat_py(ci["min_values"][i], pt_p),
+                            _stat_py(ci["max_values"][i], pt_p),
+                            pval,
+                        ):
+                            continue
+                        a, b = firsts[i], firsts[i + 1]
+                        if merged and a <= merged[-1][1]:
+                            merged[-1][1] = max(b, merged[-1][1])
+                        else:
+                            merged.append([a, b])
+                    if not merged:
+                        continue  # every page excluded
+                    ranges = [(a, b) for a, b in merged]
+            stats["row_groups_read"] += 1
+            cols: dict[str, pa.ChunkedArray] = {}
+            for nm in need:
+                node = nodes[nm]
+                ch = rg["columns"][pos_map[nm]]
+                md_c = ch["meta_data"]
+                if md_c["type"] == PT_INT96:
+                    storage = pa.binary(12)
+                else:
+                    _, _, _, storage = _physical(node.type)
+                mdl = 1 if node.opt else 0
+                oi_c = idx[rg_i][pos_map[nm]]["offset_index"]
+                pieces: list[pa.Array] = []
+                if ranges is None or oi_c is None:
+                    _, defs, vals = read_par1_chunk_streams(
+                        f, ch, storage, 0, mdl, verify_crc=verify_crc
+                    )
+                    arr = (
+                        _with_validity(vals, (defs == mdl).astype(np.int64))
+                        if mdl
+                        else vals
+                    )
+                    if isinstance(arr, pa.ChunkedArray):
+                        arr = arr.combine_chunks()
+                    stats["pages_decoded"] += (
+                        len(oi_c["page_locations"]) if oi_c else 1
+                    )
+                    for a, b in ranges or [(0, rg_rows)]:
+                        pieces.append(arr.slice(a, b - a))
+                else:
+                    locs = oi_c["page_locations"]
+                    firsts = [loc["first_row_index"] for loc in locs] + [rg_rows]
+                    dict_vals = _load_dict_page(f, md_c, storage, verify_crc)
+                    for i, loc in enumerate(locs):
+                        p0, p1 = firsts[i], firsts[i + 1]
+                        sub = [
+                            (max(a, p0), min(b, p1))
+                            for a, b in ranges
+                            if a < p1 and b > p0
+                        ]
+                        if not sub:
+                            continue
+                        f.seek(loc["offset"])
+                        buf = f.read(loc["compressed_page_size"])
+                        hdr, pos = CompactReader(SPECS, buf).read_struct(
+                            "PageHeader", 0
+                        )
+                        body = buf[pos : pos + hdr["compressed_page_size"]]
+                        if verify_crc:
+                            _check_crc(hdr, body, "pruned page read")
+                        _, defv, vals = _decode_data_page(
+                            hdr, body, md_c["codec"], storage, 0, mdl, dict_vals
+                        )
+                        stats["pages_decoded"] += 1
+                        arr = (
+                            _with_validity(vals, (defv == mdl).astype(np.int64))
+                            if mdl
+                            else vals
+                        )
+                        if isinstance(arr, pa.ChunkedArray):
+                            arr = arr.combine_chunks()
+                        for a, b in sub:
+                            pieces.append(arr.slice(a - p0, b - a))
+                col = (
+                    pa.chunked_array(pieces)
+                    if pieces
+                    else pa.chunked_array([], type=storage)
+                )
+                if md_c["type"] == PT_INT96:
+                    from ..functions.converters import int96_to_timestamp
+
+                    col = pa.chunked_array([int96_to_timestamp(col.combine_chunks(), "ns")])
+                elif col.type != node.type:
+                    col = col.cast(node.type)
+                cols[nm] = col
+            tbl = pa.table({nm: cols[nm] for nm in names})
+            if pcol is not None:
+                node_p = nodes[pcol]
+                pv = (
+                    pval.decode()
+                    if isinstance(pval, bytes) and pa.types.is_string(node_p.type)
+                    else pval
+                )
+                mask = _PRED_ARROW[pop](cols[pcol], pa.scalar(pv, node_p.type))
+                if isinstance(mask, pa.ChunkedArray):
+                    mask = mask.combine_chunks()
+                tbl = tbl.filter(mask)
+            out_tables.append(tbl)
+    if not out_tables:
+        empty = pa.table(
+            {nm: pa.chunked_array([], type=nodes[nm].type) for nm in names}
+        )
+        return empty, stats
+    return pa.concat_tables(out_tables), stats

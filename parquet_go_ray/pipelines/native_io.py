@@ -280,3 +280,74 @@ def scan_native_pruned(sf_dir: str, lo: int = 12000) -> rd.Dataset:
         return pa.concat_tables(tables)
 
     return manifest.map_batches(scan_batch, batch_format="pyarrow", batch_size=None)
+
+
+def read_par1_dataset(
+    paths: str | list[str],
+    columns: list[str] | None = None,
+    predicate: tuple[str, str, object] | None = None,
+    verify_crc: bool = False,
+) -> rd.Dataset:
+    """Distributed pruning scan over engine-written parquet files.
+
+    Driver-side state is just the file listing; footer parsing, chunk-
+    Statistics row-group pruning, ColumnIndex page pruning and decode all
+    run inside Ray tasks (one per file, streaming).  This is the native
+    format's 100 TB scan path: per-task bytes are bounded by what the
+    indexes let through, and a predicate that misses a file costs that task
+    one footer read.  Flat leaf columns (read_par1_pruned semantics)."""
+    import glob as _glob
+
+    from ..formats.par1 import _schema_tree, read_par1_pruned
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = sorted(_glob.glob(os.path.join(paths, "*.parquet")))
+        else:
+            paths = [paths]
+    if not paths:
+        raise ValueError("read_par1_dataset: no input files")
+    nodes = {n.name: n for n in _schema_tree(read_par1_meta(paths[0]))}
+    names = list(columns) if columns is not None else list(nodes)
+    empty = pa.table({nm: pa.chunked_array([], type=nodes[nm].type) for nm in names})
+
+    def read_file(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch["path"].to_pylist():
+            tbl, _st = read_par1_pruned(p, names, predicate, verify_crc=verify_crc)
+            if tbl.num_rows:
+                tables.append(tbl)
+        return pa.concat_tables(tables) if tables else empty
+
+    return rd.from_items(
+        [{"path": p} for p in paths], override_num_blocks=len(paths)
+    ).map_batches(read_file, batch_format="pyarrow", batch_size=None)
+
+
+def read_native_pruned_multi(sf_dir: str, lo: int = 3000) -> rd.Dataset:
+    """End-to-end distributed pruned scan (round-4): lineitem projected to
+    three columns is written as MANY indexed engine PAR1 files; then
+    read_par1_dataset scans the directory with an l_orderkey predicate —
+    whole files/row groups drop on chunk Statistics, surviving row groups
+    decode only the pages the ColumnIndex admits, for every projected
+    column (synchronized by OffsetIndex row ranges)."""
+    out_dir = f"/tmp/pgr_native_multi_{uuid.uuid4().hex[:8]}"
+    os.makedirs(out_dir, exist_ok=True)
+    cols = ["l_orderkey", "l_extendedprice", "l_returnflag"]
+
+    def enc_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        path = os.path.join(out_dir, f"part_{uuid.uuid4().hex}.parquet")
+        write_par1(
+            batch.select(cols), path, codec="snappy", page_rows=2048,
+            encodings={"l_orderkey": "delta_bp", "l_returnflag": "dict",
+                       "l_extendedprice": "byte_stream_split"},
+        )
+        return pa.table({"path": pa.array([path])})
+
+    manifest = _read_parquet_any(f"{sf_dir}/lineitem.parquet", columns=cols).map_batches(
+        enc_batch, batch_format="pyarrow", batch_size=4096
+    )
+    paths = [r["path"] for r in manifest.take_all()]
+    return read_par1_dataset(paths, columns=cols, predicate=("l_orderkey", "<", lo))

@@ -657,3 +657,51 @@ def test_kv_metadata_and_sorting_columns(tmp_path):
     k_meta = fmd["row_groups"][0]["columns"][0]["meta_data"]
     assert k_meta["key_value_metadata"] == [{"key": "role", "value": "sort_key"}]
     assert _tables_equal(read_par1(p, verify_crc=True), t)
+
+
+def test_read_par1_pruned(tmp_path):
+    """Two-level pruning read: row groups drop on chunk Statistics, pages
+    drop on the predicate column's ColumnIndex, and every projected column
+    decodes only pages overlapping the surviving OffsetIndex row ranges."""
+    import pyarrow.compute as pc
+
+    from parquet_go_ray.formats.par1 import read_par1_pruned
+
+    n = 20000
+    rng = np.random.default_rng(5)
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),
+            "price": pa.array(rng.normal(100, 20, n), pa.float64()),
+            "flag": pa.array([["A", "B", "C"][i % 3] for i in range(n)]),
+            "opt": pa.array([None if i % 7 == 0 else i * 2 for i in range(n)], pa.int64()),
+            "ts": pa.array(np.arange(n) * 1000, pa.timestamp("us")),
+        }
+    )
+    p = str(tmp_path / "pruned.parquet")
+    write_par1(
+        t, p, codec="snappy", row_group_rows=5000, page_rows=500,
+        encodings={"k": "delta_bp", "flag": "dict", "price": "byte_stream_split"},
+    )
+
+    tb, st = read_par1_pruned(p, ["k", "price", "flag"], ("k", ">=", 19000), verify_crc=True)
+    exp = t.filter(pc.greater_equal(t["k"], 19000)).select(["k", "price", "flag"])
+    assert tb.to_pydict() == exp.to_pydict()
+    assert st["row_groups_read"] == 1 and st["pages_decoded"] <= 6 < st["pages_total"]
+
+    # predicate column not projected; nullable column comes out row-aligned
+    tb2, st2 = read_par1_pruned(p, ["price", "opt"], ("k", "<", 300))
+    exp2 = t.filter(pc.less(t["k"], 300)).select(["price", "opt"])
+    assert tb2.to_pydict() == exp2.to_pydict()
+    assert st2["pages_decoded"] <= 3
+
+    # string predicate spanning everything: no pruning, still exact
+    tb3, _ = read_par1_pruned(p, ["k"], ("flag", "==", "B"))
+    assert tb3.to_pydict() == t.filter(pc.equal(t["flag"], "B")).select(["k"]).to_pydict()
+
+    # projection only (timestamp cast path), and the nothing-survives empty
+    tb4, _ = read_par1_pruned(p, ["ts", "opt"])
+    assert tb4.to_pydict() == t.select(["ts", "opt"]).to_pydict()
+    tb5, st5 = read_par1_pruned(p, ["k", "price"], ("k", ">", 10**9))
+    assert tb5.num_rows == 0 and tb5.schema.types == [pa.int64(), pa.float64()]
+    assert st5["row_groups_read"] == 0 and st5["pages_decoded"] == 0
