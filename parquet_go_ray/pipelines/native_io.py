@@ -351,3 +351,65 @@ def read_native_pruned_multi(sf_dir: str, lo: int = 3000) -> rd.Dataset:
     )
     paths = [r["path"] for r in manifest.take_all()]
     return read_par1_dataset(paths, columns=cols, predicate=("l_orderkey", "<", lo))
+
+
+def write_par1_dataset(
+    ds: rd.Dataset,
+    out_dir: str,
+    codec: str = "snappy",
+    encodings: dict[str, str] | None = None,
+    page_rows: int = 65536,
+    row_group_rows: int | None = None,
+    data_page_version: int = 1,
+    key_value_metadata: dict[str, str] | None = None,
+) -> rd.Dataset:
+    """Distributed native-format sink: every Ray block becomes one indexed
+    PAR1 file (pages + CRC + ColumnIndex/OffsetIndex + Statistics) under
+    `out_dir`.  Part names are CONTENT-DERIVED (hash of the block's first
+    row + row count), writes are atomic (tmp + rename), and an existing
+    part is skipped — so a re-run of the same pipeline over the same input
+    resumes instead of re-encoding, the same partitioned-output discipline
+    as encode_partitioned.  Returns the manifest dataset
+    {path, rows, bytes, skipped} (one row per part), which is also the
+    natural input to read_par1_dataset."""
+    import hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "path": pa.array([], pa.string()),
+                "rows": pa.array([], pa.int64()),
+                "bytes": pa.array([], pa.int64()),
+                "skipped": pa.array([], pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        h = hashlib.sha1(str(batch.num_rows).encode())
+        for pos in {0, batch.num_rows // 2, batch.num_rows - 1}:
+            row = {k: v[0] for k, v in batch.slice(pos, 1).to_pydict().items()}
+            h.update(repr(sorted(row.items())).encode())
+        tag = h.hexdigest()[:16]
+        path = os.path.join(out_dir, f"part_{tag}.parquet")
+        skipped = os.path.exists(path)
+        if not skipped:
+            tmp = f"{path}.tmp.{os.getpid()}"
+            write_par1(
+                batch, tmp, codec=codec, encodings=encodings,
+                page_rows=page_rows, row_group_rows=row_group_rows,
+                data_page_version=data_page_version,
+                key_value_metadata=key_value_metadata,
+            )
+            os.replace(tmp, path)
+        return pa.table(
+            {
+                "path": pa.array([path]),
+                "rows": pa.array([batch.num_rows], pa.int64()),
+                "bytes": pa.array([os.path.getsize(path)], pa.int64()),
+                "skipped": pa.array([skipped]),
+            }
+        )
+
+    return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)

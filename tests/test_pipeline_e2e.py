@@ -281,3 +281,55 @@ def test_encode_partitioned_pack_shuffle(ray_session, tmp_path):
     got_s = got[key].sort_values(key).reset_index(drop=True)
     orig_s = t.to_pandas()[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, orig_s)
+
+
+def test_write_par1_dataset_roundtrip_and_resume(ray_session, tmp_path):
+    """Distributed native sink: each block -> one indexed PAR1 file with a
+    content-derived name; re-running over the same input skips every part;
+    read_par1_dataset round-trips the directory (with pruning)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.native_io import (
+        read_par1_dataset,
+        write_par1_dataset,
+    )
+
+    n = 8000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),
+            "s": pa.array([f"v{i % 13}" for i in range(n)]),
+            "x": pa.array(np.linspace(0, 1, n), pa.float64()),
+        }
+    )
+    out = str(tmp_path / "native_sink")
+    slices = [t.slice(i * 1000, 1000) for i in range(8)]
+    man1 = write_par1_dataset(
+        rd.from_arrow(slices), out, page_rows=250,
+        encodings={"k": "delta_bp", "s": "dict"},
+    ).to_pandas()
+    assert len(man1) == 8 and not man1.skipped.any()
+    assert sorted(man1.rows) == [1000] * 8
+
+    # resume: same input -> every part skipped, same paths
+    man2 = write_par1_dataset(rd.from_arrow(slices), out, page_rows=250).to_pandas()
+    assert man2.skipped.all()
+    assert sorted(man2.path) == sorted(man1.path)
+
+    back = read_par1_dataset(out).to_arrow_refs()
+    import ray
+
+    whole = pa.concat_tables([ray.get(r) for r in back]).sort_by("k")
+    assert whole.to_pydict() == t.to_pydict()
+
+    # pruned read over the sink output
+    got = (
+        read_par1_dataset(out, columns=["k", "x"], predicate=("k", ">=", 7500))
+        .to_pandas()
+        .sort_values("k")
+    )
+    exp = t.filter(pc.greater_equal(t["k"], 7500))
+    assert list(got.k) == exp["k"].to_pylist()
+    assert np.allclose(got.x, exp["x"].to_pylist())
