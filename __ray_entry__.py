@@ -251,12 +251,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcode_native_v2"] = transcode_native_v2
 
     from parquet_go_ray.pipelines.native_io import (
+        native_sink_roundtrip,
         read_native_pruned_multi,
         scan_native_pruned,
     )
 
     q["scan_native_pruned"] = scan_native_pruned
     q["read_native_pruned_multi"] = read_native_pruned_multi
+    q["native_sink_roundtrip"] = native_sink_roundtrip
     q["read_native_lineitem"] = lambda sf: read_native(sf, "lineitem")
 
     # -- aggregation (§2.6) --
@@ -528,7 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint", "clean_corpus", "image_features_docs",
         "audio_frames_docs", "knn_ivf", "knn_ivf_full_probe",
         "transcode_native_nested", "transcode_native_v2", "scan_native_pruned",
-        "read_native_pruned_multi",
+        "read_native_pruned_multi", "native_sink_roundtrip",
     ]
     tail = [
         "dedup_minhash",          # rows-only; oracled twin dedup_clusters_exhaustive
@@ -609,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
             "label AS s_label, vec_id % 10 AS s_mod FROM embeddings"
         ),
         "read_native_lineitem": "SELECT * FROM lineitem",
+        "native_sink_roundtrip": "SELECT * FROM orders",
         "skip_rows_lineitem": (
             "SELECT l_orderkey FROM (SELECT l_orderkey, ROW_NUMBER() OVER () AS rn "
             "FROM lineitem) WHERE rn > 30000 AND rn <= 30500"

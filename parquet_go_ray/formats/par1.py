@@ -1235,6 +1235,7 @@ def read_par1_pruned(
     columns: list[str] | None = None,
     predicate: tuple[str, str, object] | None = None,
     verify_crc: bool = False,
+    row_groups: list[int] | None = None,
 ) -> tuple[pa.Table, dict]:
     """Projection + predicate read of one parquet file using BOTH pruning
     levels the format provides: row groups whose chunk Statistics exclude
@@ -1245,7 +1246,9 @@ def read_par1_pruned(
     these structures in writer/writer.go:157-204; this engine also reads
     them back).  `predicate` = (column, op, value) with op in
     >= > <= < ==.  Flat leaf columns only; rows are exact (surviving pages
-    re-filter).  Returns (table, stats) with stats =
+    re-filter).  `row_groups` restricts the read to those row-group indices
+    (the unit a distributed scan splits one huge file by).  Returns
+    (table, stats) with stats =
     {row_groups_total, row_groups_read, pages_total, pages_decoded}."""
     fmd = read_par1_meta(path)
     node_list = _schema_tree(fmd)
@@ -1263,8 +1266,11 @@ def read_par1_pruned(
         if nodes[nm].kind != "leaf":
             raise NotImplementedError("read_par1_pruned: flat leaf columns only")
     idx = read_par1_page_index(path)
+    rg_sel = None if row_groups is None else set(row_groups)
     stats = {
-        "row_groups_total": len(fmd["row_groups"]),
+        "row_groups_total": (
+            len(fmd["row_groups"]) if rg_sel is None else len(rg_sel)
+        ),
         "row_groups_read": 0,
         "pages_total": 0,
         "pages_decoded": 0,
@@ -1277,12 +1283,16 @@ def read_par1_pruned(
             if len(c["meta_data"]["path_in_schema"]) == 1
         }
         chunk_pos_by_rg.append(pos_map)
+        if rg_sel is not None and rg_i not in rg_sel:
+            continue
         for nm in need:
             oi = idx[rg_i][pos_map[nm]]["offset_index"]
             stats["pages_total"] += len(oi["page_locations"]) if oi else 1
     out_tables: list[pa.Table] = []
     with open(path, "rb") as f:
         for rg_i, rg in enumerate(fmd["row_groups"]):
+            if rg_sel is not None and rg_i not in rg_sel:
+                continue
             pos_map = chunk_pos_by_rg[rg_i]
             rg_rows = rg["num_rows"]
             pt_p = None

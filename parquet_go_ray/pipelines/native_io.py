@@ -287,6 +287,7 @@ def read_par1_dataset(
     columns: list[str] | None = None,
     predicate: tuple[str, str, object] | None = None,
     verify_crc: bool = False,
+    split_row_groups: bool = False,
 ) -> rd.Dataset:
     """Distributed pruning scan over engine-written parquet files.
 
@@ -295,7 +296,14 @@ def read_par1_dataset(
     run inside Ray tasks (one per file, streaming).  This is the native
     format's 100 TB scan path: per-task bytes are bounded by what the
     indexes let through, and a predicate that misses a file costs that task
-    one footer read.  Flat leaf columns (read_par1_pruned semantics)."""
+    one footer read.  Flat leaf columns (read_par1_pruned semantics).
+
+    ``split_row_groups=True`` adds intra-file parallelism for the
+    few-huge-files shape: a first stage of Ray tasks reads only footers and
+    expands each file into (path, row-group) work items, which then scan
+    one row group per item — a 10 GB single file becomes as many tasks as
+    it has row groups instead of one.  The driver holds only the
+    part-count-sized item listing, never data."""
     import glob as _glob
 
     from ..formats.par1 import _schema_tree, read_par1_pruned
@@ -311,17 +319,66 @@ def read_par1_dataset(
     names = list(columns) if columns is not None else list(nodes)
     empty = pa.table({nm: pa.chunked_array([], type=nodes[nm].type) for nm in names})
 
-    def read_file(batch: pa.Table) -> pa.Table:
-        tables = []
+    if not split_row_groups:
+
+        def read_file(batch: pa.Table) -> pa.Table:
+            tables = []
+            for p in batch["path"].to_pylist():
+                tbl, _st = read_par1_pruned(p, names, predicate, verify_crc=verify_crc)
+                if tbl.num_rows:
+                    tables.append(tbl)
+            return pa.concat_tables(tables) if tables else empty
+
+        return rd.from_items(
+            [{"path": p} for p in paths], override_num_blocks=len(paths)
+        ).map_batches(read_file, batch_format="pyarrow", batch_size=None)
+
+    def list_rgs(batch: pa.Table) -> pa.Table:
+        out_p, out_rg = [], []
         for p in batch["path"].to_pylist():
-            tbl, _st = read_par1_pruned(p, names, predicate, verify_crc=verify_crc)
+            for rg_i in range(len(read_par1_meta(p)["row_groups"])):
+                out_p.append(p)
+                out_rg.append(rg_i)
+        return pa.table(
+            {"path": pa.array(out_p, pa.string()), "rg": pa.array(out_rg, pa.int64())}
+        )
+
+    items = (
+        rd.from_items([{"path": p} for p in paths], override_num_blocks=len(paths))
+        .map_batches(list_rgs, batch_format="pyarrow", batch_size=None)
+        .materialize()  # (path, rg) listing: one tiny row per row group
+    )
+    n_items = max(items.count(), 1)
+
+    def read_rgs(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p, rg_i in zip(batch["path"].to_pylist(), batch["rg"].to_pylist()):
+            tbl, _st = read_par1_pruned(
+                p, names, predicate, verify_crc=verify_crc, row_groups=[rg_i]
+            )
             if tbl.num_rows:
                 tables.append(tbl)
         return pa.concat_tables(tables) if tables else empty
 
-    return rd.from_items(
-        [{"path": p} for p in paths], override_num_blocks=len(paths)
-    ).map_batches(read_file, batch_format="pyarrow", batch_size=None)
+    return items.repartition(min(n_items, 4096)).map_batches(
+        read_rgs, batch_format="pyarrow", batch_size=None
+    )
+
+
+def native_sink_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Distributed native sink+source symmetry under the oracle (round-4):
+    orders flows through ``write_par1_dataset`` (each Ray block -> one
+    indexed, checksummed, content-named PAR1 file) and comes back through
+    ``read_par1_dataset`` — every byte the oracle hashes crossed the
+    engine's own encoders AND decoders, distributed both directions."""
+    out_dir = f"/tmp/pgr_native_sink_{uuid.uuid4().hex[:8]}"
+    ds = _read_parquet_any(f"{sf_dir}/orders.parquet").repartition(6)
+    write_par1_dataset(
+        ds, out_dir, codec="zstd", page_rows=4096,
+        encodings={"o_orderkey": "delta_bp", "o_orderstatus": "dict",
+                   "o_totalprice": "byte_stream_split", "o_orderpriority": "dict"},
+    ).materialize()  # manifest is part-count-sized; this drives the writes
+    return read_par1_dataset(out_dir)
 
 
 def read_native_pruned_multi(sf_dir: str, lo: int = 3000) -> rd.Dataset:

@@ -705,3 +705,12 @@ def test_read_par1_pruned(tmp_path):
     tb5, st5 = read_par1_pruned(p, ["k", "price"], ("k", ">", 10**9))
     assert tb5.num_rows == 0 and tb5.schema.types == [pa.int64(), pa.float64()]
     assert st5["row_groups_read"] == 0 and st5["pages_decoded"] == 0
+
+    # row-group subset: the unit a distributed scan splits one huge file by
+    tb6, st6 = read_par1_pruned(p, ["k", "flag"], row_groups=[1, 2])
+    assert tb6.to_pydict() == t.slice(5000, 10000).select(["k", "flag"]).to_pydict()
+    assert st6["row_groups_total"] == 2 and st6["row_groups_read"] == 2
+    # subset + predicate: statistics still prune inside the subset
+    tb7, st7 = read_par1_pruned(p, ["k"], ("k", ">=", 19000), row_groups=[0, 3])
+    assert tb7.to_pydict() == {"k": list(range(19000, 20000))}
+    assert st7["row_groups_read"] == 1

@@ -333,3 +333,38 @@ def test_write_par1_dataset_roundtrip_and_resume(ray_session, tmp_path):
     exp = t.filter(pc.greater_equal(t["k"], 7500))
     assert list(got.k) == exp["k"].to_pylist()
     assert np.allclose(got.x, exp["x"].to_pylist())
+
+
+def test_read_par1_dataset_split_row_groups(ray_session, tmp_path):
+    """Intra-file parallelism: ONE huge file with many row groups becomes
+    one Ray work item per row group; results and pruning match the
+    per-file path."""
+    import pyarrow.compute as pc
+
+    from parquet_go_ray.formats.par1 import write_par1
+    from parquet_go_ray.pipelines.native_io import read_par1_dataset
+
+    n = 12000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(np.arange(n) * 0.5, pa.float64()),
+        }
+    )
+    p = str(tmp_path / "one_big.parquet")
+    write_par1(t, p, codec="snappy", row_group_rows=1500, page_rows=500,
+               encodings={"k": "delta_bp"})
+
+    ds = read_par1_dataset(p, split_row_groups=True)
+    got = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(got.k) == list(range(n))
+    # the split path made one block per row group (8 groups)
+    assert ds.materialize().num_blocks() == 8
+
+    pruned = (
+        read_par1_dataset(p, columns=["k"], predicate=("k", ">=", 10500),
+                          split_row_groups=True)
+        .to_pandas().sort_values("k")
+    )
+    exp = t.filter(pc.greater_equal(t["k"], 10500))
+    assert list(pruned.k) == exp["k"].to_pylist()
