@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcode_native_v2"] = transcode_native_v2
 
     from parquet_go_ray.pipelines.native_io import (
+        native_bloom_scan,
         native_sink_roundtrip,
         read_native_pruned_multi,
         scan_native_pruned,
@@ -259,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["scan_native_pruned"] = scan_native_pruned
     q["read_native_pruned_multi"] = read_native_pruned_multi
     q["native_sink_roundtrip"] = native_sink_roundtrip
+    q["native_bloom_scan"] = native_bloom_scan
     q["read_native_lineitem"] = lambda sf: read_native(sf, "lineitem")
 
     # -- aggregation (§2.6) --
@@ -531,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frames_docs", "knn_ivf", "knn_ivf_full_probe",
         "transcode_native_nested", "transcode_native_v2", "scan_native_pruned",
         "read_native_pruned_multi", "native_sink_roundtrip",
+        "native_bloom_scan",
     ]
     tail = [
         "dedup_minhash",          # rows-only; oracled twin dedup_clusters_exhaustive
@@ -612,6 +615,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "read_native_lineitem": "SELECT * FROM lineitem",
         "native_sink_roundtrip": "SELECT * FROM orders",
+        "native_bloom_scan": (
+            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem "
+            "WHERE l_partkey = 42"
+        ),
         "skip_rows_lineitem": (
             "SELECT l_orderkey FROM (SELECT l_orderkey, ROW_NUMBER() OVER () AS rn "
             "FROM lineitem) WHERE rn > 30000 AND rn <= 30500"

@@ -413,6 +413,7 @@ def _write_leaf_chunk(
     page_rows: int,
     page_version: int = 1,
     pt_override: int | None = None,
+    bloom_fpp: float | None = None,
 ) -> dict:
     """Write one leaf's column chunk (dict page + v1 or v2 data pages, paged
     on ROW boundaries — pages never split a record mid-list).  Returns the
@@ -427,6 +428,16 @@ def _write_leaf_chunk(
         vals = vals.combine_chunks()
     if vals.type != storage:
         vals = vals.cast(storage)
+    bloom_bytes = None
+    if bloom_fpp is not None and pt_override is None:
+        from .bloom import SplitBlockBloom, hash_arrow_values
+
+        uniq = pc.unique(vals)
+        hashes = hash_arrow_values(uniq, pt)
+        if hashes is not None and len(hashes):
+            sb = SplitBlockBloom.for_ndv(len(hashes), bloom_fpp)
+            sb.insert(hashes)
+            bloom_bytes = sb.to_bytes()
     enc_id = _ENC_ID[enc]
     rep, defs = st.rep, st.defs
     n_slots = len(rep)
@@ -597,6 +608,7 @@ def _write_leaf_chunk(
         "meta_data": meta,
         "_column_index": column_index,
         "_offset_index": {"page_locations": page_locs},
+        "_bloom": bloom_bytes,
     }
 
 
@@ -612,6 +624,7 @@ def write_par1(
     key_value_metadata: dict[str, str] | None = None,
     column_key_value_metadata: dict[str, dict[str, str]] | None = None,
     sorting_columns: list[tuple[str, bool, bool]] | None = None,
+    bloom: dict[str, float] | list[str] | None = None,
 ) -> dict:
     """Write `table` as a real parquet file through the engine's encoders.
 
@@ -635,6 +648,15 @@ def write_par1(
     `sorting_columns` = [(column, descending, nulls_first), ...] declares the
     row-group sort order (RowGroup.sorting_columns; readable back via
     pyarrow metadata) — it is a declaration, the caller sorts.
+
+    `bloom`: columns (or leaf paths) to attach spec split-block Bloom
+    filters to — a list (fpp 0.01) or {column: fpp}.  Per-chunk SBBF over
+    the chunk's distinct values, XXH64-hashed per the parquet-format
+    BloomFilter spec (formats/bloom.py), serialized after the page indexes
+    with ColumnMetaData.bloom_filter_offset/length pointing at the header.
+    The reference has no bloom support (its pruning stops at min/max);
+    read_par1_pruned probes these on == predicates to drop row groups whose
+    statistics cannot.
 
     Returns the footer dict."""
     assert data_page_version in (1, 2), data_page_version
@@ -683,6 +705,9 @@ def write_par1(
             for col, desc, nf in sorting_columns
         ]
     col_kv = column_key_value_metadata or {}
+    bloom_fpp: dict[str, float] = (
+        {c: 0.01 for c in bloom} if isinstance(bloom, list) else dict(bloom or {})
+    )
     rg_rows = row_group_rows or table.num_rows or 1
     row_groups = []
     with open(path, "wb") as out:
@@ -705,6 +730,7 @@ def write_par1(
                         out, comp, st, enc, page_rows,
                         page_version=data_page_version,
                         pt_override=PT_INT96 if name in int96_cols else None,
+                        bloom_fpp=bloom_fpp.get(".".join(st.path), bloom_fpp.get(name)),
                     )
                     kv = col_kv.get(".".join(st.path)) or col_kv.get(name)
                     if kv:
@@ -747,6 +773,27 @@ def write_par1(
                     ch["offset_index_offset"] = out.tell()
                     ch["offset_index_length"] = len(w.out)
                     out.write(bytes(w.out))
+        # Bloom filter sections (parquet-format BloomFilter layout: header +
+        # bitset, located by ColumnMetaData.bloom_filter_offset/length)
+        for rg in row_groups:
+            for ch in rg["columns"]:
+                bb = ch.pop("_bloom", None)
+                if bb is not None:
+                    off = out.tell()
+                    w = CompactWriter(SPECS)
+                    w.write_struct(
+                        "BloomFilterHeader",
+                        {
+                            "numBytes": len(bb),
+                            "algorithm": {"BLOCK": {}},
+                            "hash": {"XXHASH": {}},
+                            "compression": {"UNCOMPRESSED": {}},
+                        },
+                    )
+                    out.write(bytes(w.out))
+                    out.write(bb)
+                    ch["meta_data"]["bloom_filter_offset"] = off
+                    ch["meta_data"]["bloom_filter_length"] = len(w.out) + len(bb)
         n_leaves = sum(len(leaf_specs(nodes[n])) for n in names)
         fmd = {
             "version": data_page_version,
@@ -1230,6 +1277,43 @@ def _load_dict_page(f, md: dict, storage: pa.DataType, verify_crc: bool):
     return decode_plain(raw, {"rows": hdr["dictionary_page_header"]["num_values"]}, storage)
 
 
+def _load_bloom_md(f, md: dict):
+    """Load a chunk's split-block Bloom filter from its ColumnMetaData
+    pointer; None when absent or written with an algorithm/hash/compression
+    this engine does not speak (then pruning falls back to statistics)."""
+    from .bloom import SplitBlockBloom
+
+    off = md.get("bloom_filter_offset")
+    if off is None:
+        return None
+    f.seek(off)
+    ln = md.get("bloom_filter_length")
+    buf = f.read(ln) if ln else f.read(1 << 16)
+    hdr, pos = CompactReader(SPECS, buf).read_struct("BloomFilterHeader", 0)
+    if "BLOCK" not in (hdr.get("algorithm") or {}):
+        return None
+    if "XXHASH" not in (hdr.get("hash") or {}):
+        return None
+    comp = hdr.get("compression")
+    if comp is not None and "UNCOMPRESSED" not in comp:
+        return None
+    nb = hdr["numBytes"]
+    if pos + nb > len(buf):
+        buf += f.read(pos + nb - len(buf))
+    return SplitBlockBloom.from_bytes(buf[pos : pos + nb])
+
+
+def read_par1_bloom(path: str, rg_index: int, column: str):
+    """Standalone probe API: the (rg, column) chunk's SBBF, or None."""
+    fmd = read_par1_meta(path)
+    for ch in fmd["row_groups"][rg_index]["columns"]:
+        md = ch["meta_data"]
+        if ".".join(md["path_in_schema"]) == column:
+            with open(path, "rb") as f:
+                return _load_bloom_md(f, md)
+    return None
+
+
 def read_par1_pruned(
     path: str,
     columns: list[str] | None = None,
@@ -1311,6 +1395,15 @@ def read_par1_pruned(
                     )
                 ):
                     continue  # whole row group excluded by chunk Statistics
+                if pop == "==" and md_p.get("bloom_filter_offset") is not None:
+                    from .bloom import hash_plain_scalar
+
+                    sb = _load_bloom_md(f, md_p)
+                    hv = hash_plain_scalar(pval, pt_p) if sb is not None else None
+                    if hv is not None and not bool(
+                        sb.check(np.array([hv], dtype=np.uint64))[0]
+                    ):
+                        continue  # bloom says the probe value is absent
             ranges: list[tuple[int, int]] | None = None
             if pcol is not None:
                 ent = idx[rg_i][pos_map[pcol]]

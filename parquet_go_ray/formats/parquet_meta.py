@@ -114,6 +114,26 @@ SPECS: dict[str, dict[int, tuple[str, str]]] = {
         9: ("data_page_offset", "i64"),
         11: ("dictionary_page_offset", "i64"),
         12: ("statistics", "struct:Statistics"),
+        14: ("bloom_filter_offset", "i64"),
+        15: ("bloom_filter_length", "i32"),
+    },
+    "SplitBlockAlgorithm": {},
+    "BloomFilterAlgorithm": {
+        1: ("BLOCK", "struct:SplitBlockAlgorithm"),
+    },
+    "XxHash": {},
+    "BloomFilterHash": {
+        1: ("XXHASH", "struct:XxHash"),
+    },
+    "Uncompressed": {},
+    "BloomFilterCompression": {
+        1: ("UNCOMPRESSED", "struct:Uncompressed"),
+    },
+    "BloomFilterHeader": {
+        1: ("numBytes", "i32"),
+        2: ("algorithm", "struct:BloomFilterAlgorithm"),
+        3: ("hash", "struct:BloomFilterHash"),
+        4: ("compression", "struct:BloomFilterCompression"),
     },
     "ColumnChunk": {
         1: ("file_path", "string"),

@@ -365,6 +365,28 @@ def read_par1_dataset(
     )
 
 
+def native_bloom_scan(sf_dir: str, partkey: int = 42) -> rd.Dataset:
+    """Equality scan where SPEC Bloom filters prune and statistics cannot
+    (round-4): l_partkey values interleave across the whole table, so every
+    part file's [min, max] range admits any probe — but each file's
+    split-block bloom (formats/bloom.py, XXH64 per the parquet-format
+    BloomFilter spec; the reference's pruning stops at min/max) rejects
+    files that don't actually contain the probe value, so their row groups
+    never decode."""
+    out_dir = f"/tmp/pgr_native_bloom_{uuid.uuid4().hex[:8]}"
+    cols = ["l_orderkey", "l_partkey", "l_quantity"]
+    ds = _read_parquet_any(f"{sf_dir}/lineitem.parquet", columns=cols).repartition(8)
+    write_par1_dataset(
+        ds, out_dir, codec="snappy", page_rows=2048,
+        encodings={"l_orderkey": "delta_bp", "l_partkey": "delta_bp",
+                   "l_quantity": "byte_stream_split"},
+        bloom={"l_partkey": 0.005},
+    ).materialize()
+    return read_par1_dataset(
+        out_dir, columns=cols, predicate=("l_partkey", "==", partkey)
+    )
+
+
 def native_sink_roundtrip(sf_dir: str) -> rd.Dataset:
     """Distributed native sink+source symmetry under the oracle (round-4):
     orders flows through ``write_par1_dataset`` (each Ray block -> one
@@ -419,6 +441,7 @@ def write_par1_dataset(
     row_group_rows: int | None = None,
     data_page_version: int = 1,
     key_value_metadata: dict[str, str] | None = None,
+    bloom: dict[str, float] | list[str] | None = None,
 ) -> rd.Dataset:
     """Distributed native-format sink: every Ray block becomes one indexed
     PAR1 file (pages + CRC + ColumnIndex/OffsetIndex + Statistics) under
@@ -457,7 +480,7 @@ def write_par1_dataset(
                 batch, tmp, codec=codec, encodings=encodings,
                 page_rows=page_rows, row_group_rows=row_group_rows,
                 data_page_version=data_page_version,
-                key_value_metadata=key_value_metadata,
+                key_value_metadata=key_value_metadata, bloom=bloom,
             )
             os.replace(tmp, path)
         return pa.table(
