@@ -1314,10 +1314,26 @@ def read_par1_bloom(path: str, rg_index: int, column: str):
     return None
 
 
+def _intersect_ranges(
+    r1: list[tuple[int, int]], r2: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    i = j = 0
+    while i < len(r1) and j < len(r2):
+        a, b = max(r1[i][0], r2[j][0]), min(r1[i][1], r2[j][1])
+        if a < b:
+            out.append((a, b))
+        if r1[i][1] < r2[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
 def read_par1_pruned(
     path: str,
     columns: list[str] | None = None,
-    predicate: tuple[str, str, object] | None = None,
+    predicate: tuple[str, str, object] | list[tuple[str, str, object]] | None = None,
     verify_crc: bool = False,
     row_groups: list[int] | None = None,
 ) -> tuple[pa.Table, dict]:
@@ -1329,21 +1345,31 @@ def read_par1_pruned(
     are read + decoded (the PageIndex design intent: the reference writes
     these structures in writer/writer.go:157-204; this engine also reads
     them back).  `predicate` = (column, op, value) with op in
-    >= > <= < ==.  Flat leaf columns only; rows are exact (surviving pages
-    re-filter).  `row_groups` restricts the read to those row-group indices
-    (the unit a distributed scan splits one huge file by).  Returns
-    (table, stats) with stats =
-    {row_groups_total, row_groups_read, pages_total, pages_decoded}."""
+    >= > <= < ==, or a LIST of such clauses ANDed together — each clause
+    prunes row groups via its chunk Statistics (+ bloom on ==) and the
+    surviving page row-ranges are the INTERSECTION across clauses.  Flat
+    leaf columns only; rows are exact (surviving pages re-filter).
+    `row_groups` restricts the read to those row-group indices (the unit a
+    distributed scan splits one huge file by).  Returns (table, stats) with
+    stats = {row_groups_total, row_groups_read, pages_total,
+    pages_decoded}."""
     fmd = read_par1_meta(path)
     node_list = _schema_tree(fmd)
     nodes = {n.name: n for n in node_list}
     names = list(columns) if columns is not None else [n.name for n in node_list]
-    pcol = pop = pval = None
-    if predicate is not None:
-        pcol, pop, pval = predicate
-        if isinstance(pval, str):
-            pval = pval.encode()
-    need = names + ([pcol] if pcol is not None and pcol not in names else [])
+    if predicate is None:
+        preds: list[tuple] = []
+    elif isinstance(predicate, tuple):
+        preds = [predicate]
+    else:
+        preds = list(predicate)
+    preds = [
+        (c, op, v.encode() if isinstance(v, str) else v) for c, op, v in preds
+    ]
+    need = list(names)
+    for c, _op, _v in preds:
+        if c not in need:
+            need.append(c)
     for nm in need:
         if nm not in nodes:
             raise KeyError(f"column {nm!r} not in {path}")
@@ -1379,8 +1405,8 @@ def read_par1_pruned(
                 continue
             pos_map = chunk_pos_by_rg[rg_i]
             rg_rows = rg["num_rows"]
-            pt_p = None
-            if pcol is not None:
+            excluded = False
+            for pcol, pop, pval in preds:
                 md_p = rg["columns"][pos_map[pcol]]["meta_data"]
                 pt_p = md_p["type"]
                 st_meta = md_p.get("statistics")
@@ -1394,7 +1420,8 @@ def read_par1_pruned(
                         pval,
                     )
                 ):
-                    continue  # whole row group excluded by chunk Statistics
+                    excluded = True  # whole row group excluded by Statistics
+                    break
                 if pop == "==" and md_p.get("bloom_filter_offset") is not None:
                     from .bloom import hash_plain_scalar
 
@@ -1403,32 +1430,41 @@ def read_par1_pruned(
                     if hv is not None and not bool(
                         sb.check(np.array([hv], dtype=np.uint64))[0]
                     ):
-                        continue  # bloom says the probe value is absent
+                        excluded = True  # bloom says the probe value is absent
+                        break
+            if excluded:
+                continue
             ranges: list[tuple[int, int]] | None = None
-            if pcol is not None:
+            for pcol, pop, pval in preds:
+                pt_p = rg["columns"][pos_map[pcol]]["meta_data"]["type"]
                 ent = idx[rg_i][pos_map[pcol]]
                 ci, oi = ent["column_index"], ent["offset_index"]
-                if ci is not None and oi is not None:
-                    locs = oi["page_locations"]
-                    firsts = [loc["first_row_index"] for loc in locs] + [rg_rows]
-                    merged: list[list[int]] = []
-                    for i in range(len(locs)):
-                        if ci["null_pages"][i]:
-                            continue
-                        if not _PRED_OPS[pop](
-                            _stat_py(ci["min_values"][i], pt_p),
-                            _stat_py(ci["max_values"][i], pt_p),
-                            pval,
-                        ):
-                            continue
-                        a, b = firsts[i], firsts[i + 1]
-                        if merged and a <= merged[-1][1]:
-                            merged[-1][1] = max(b, merged[-1][1])
-                        else:
-                            merged.append([a, b])
-                    if not merged:
-                        continue  # every page excluded
-                    ranges = [(a, b) for a, b in merged]
+                if ci is None or oi is None:
+                    continue
+                locs = oi["page_locations"]
+                firsts = [loc["first_row_index"] for loc in locs] + [rg_rows]
+                merged: list[list[int]] = []
+                for i in range(len(locs)):
+                    if ci["null_pages"][i]:
+                        continue
+                    if not _PRED_OPS[pop](
+                        _stat_py(ci["min_values"][i], pt_p),
+                        _stat_py(ci["max_values"][i], pt_p),
+                        pval,
+                    ):
+                        continue
+                    a, b = firsts[i], firsts[i + 1]
+                    if merged and a <= merged[-1][1]:
+                        merged[-1][1] = max(b, merged[-1][1])
+                    else:
+                        merged.append([a, b])
+                clause = [(a, b) for a, b in merged]
+                ranges = clause if ranges is None else _intersect_ranges(ranges, clause)
+                if not ranges:
+                    excluded = True  # no page row-range survives the AND
+                    break
+            if excluded:
+                continue
             stats["row_groups_read"] += 1
             cols: dict[str, pa.ChunkedArray] = {}
             for nm in need:
@@ -1504,19 +1540,19 @@ def read_par1_pruned(
                 elif col.type != node.type:
                     col = col.cast(node.type)
                 cols[nm] = col
-            tbl = pa.table({nm: cols[nm] for nm in names})
-            if pcol is not None:
+            tbl = pa.table({nm: cols[nm] for nm in need})
+            for pcol, pop, pval in preds:
                 node_p = nodes[pcol]
                 pv = (
                     pval.decode()
                     if isinstance(pval, bytes) and pa.types.is_string(node_p.type)
                     else pval
                 )
-                mask = _PRED_ARROW[pop](cols[pcol], pa.scalar(pv, node_p.type))
+                mask = _PRED_ARROW[pop](tbl[pcol], pa.scalar(pv, node_p.type))
                 if isinstance(mask, pa.ChunkedArray):
                     mask = mask.combine_chunks()
                 tbl = tbl.filter(mask)
-            out_tables.append(tbl)
+            out_tables.append(tbl.select(names))
     if not out_tables:
         empty = pa.table(
             {nm: pa.chunked_array([], type=nodes[nm].type) for nm in names}

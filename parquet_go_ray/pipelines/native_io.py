@@ -285,7 +285,7 @@ def scan_native_pruned(sf_dir: str, lo: int = 12000) -> rd.Dataset:
 def read_par1_dataset(
     paths: str | list[str],
     columns: list[str] | None = None,
-    predicate: tuple[str, str, object] | None = None,
+    predicate: tuple[str, str, object] | list[tuple[str, str, object]] | None = None,
     verify_crc: bool = False,
     split_row_groups: bool = False,
 ) -> rd.Dataset:

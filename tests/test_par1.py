@@ -706,6 +706,22 @@ def test_read_par1_pruned(tmp_path):
     assert tb5.num_rows == 0 and tb5.schema.types == [pa.int64(), pa.float64()]
     assert st5["row_groups_read"] == 0 and st5["pages_decoded"] == 0
 
+    # AND of clauses: page row-ranges intersect across predicate columns,
+    # and the exact re-filter applies every clause (one clause's column,
+    # "flag", is not even projected)
+    tb_and, st_and = read_par1_pruned(
+        p, ["k", "price"], [("k", ">=", 18000), ("flag", "==", "B"), ("k", "<", 19000)]
+    )
+    m = pc.and_(
+        pc.and_(pc.greater_equal(t["k"], 18000), pc.less(t["k"], 19000)),
+        pc.equal(t["flag"], "B"),
+    )
+    assert tb_and.to_pydict() == t.filter(m).select(["k", "price"]).to_pydict()
+    assert st_and["row_groups_read"] == 1 and st_and["pages_decoded"] < st_and["pages_total"]
+    # contradictory clauses: intersection is empty, nothing decodes
+    tb_c, st_c = read_par1_pruned(p, ["k"], [("k", "<", 100), ("k", ">=", 19000)])
+    assert tb_c.num_rows == 0 and st_c["pages_decoded"] == 0
+
     # row-group subset: the unit a distributed scan splits one huge file by
     tb6, st6 = read_par1_pruned(p, ["k", "flag"], row_groups=[1, 2])
     assert tb6.to_pydict() == t.slice(5000, 10000).select(["k", "flag"]).to_pydict()
