@@ -1314,6 +1314,23 @@ def read_par1_bloom(path: str, rg_index: int, column: str):
     return None
 
 
+def _stat_min_max(st_meta: dict | None, pt: int) -> tuple[bytes, bytes] | None:
+    """Chunk Statistics (min, max) for pruning: modern min_value/max_value
+    first; legacy writers only fill the deprecated min/max pair, whose
+    SIGNED ordering is trustworthy for numeric physicals but undefined for
+    byte arrays (PARQUET-686) — so the fallback is numeric-only."""
+    if st_meta is None:
+        return None
+    lo, hi = st_meta.get("min_value"), st_meta.get("max_value")
+    if lo is not None and hi is not None:
+        return lo, hi
+    if pt in (PT_INT32, PT_INT64, PT_FLOAT, PT_DOUBLE):
+        lo, hi = st_meta.get("min"), st_meta.get("max")
+        if lo is not None and hi is not None:
+            return lo, hi
+    return None
+
+
 def _intersect_ranges(
     r1: list[tuple[int, int]], r2: list[tuple[int, int]]
 ) -> list[tuple[int, int]]:
@@ -1409,16 +1426,9 @@ def read_par1_pruned(
             for pcol, pop, pval in preds:
                 md_p = rg["columns"][pos_map[pcol]]["meta_data"]
                 pt_p = md_p["type"]
-                st_meta = md_p.get("statistics")
-                if (
-                    st_meta is not None
-                    and st_meta.get("min_value") is not None
-                    and st_meta.get("max_value") is not None
-                    and not _PRED_OPS[pop](
-                        _stat_py(st_meta["min_value"], pt_p),
-                        _stat_py(st_meta["max_value"], pt_p),
-                        pval,
-                    )
+                mm = _stat_min_max(md_p.get("statistics"), pt_p)
+                if mm is not None and not _PRED_OPS[pop](
+                    _stat_py(mm[0], pt_p), _stat_py(mm[1], pt_p), pval
                 ):
                     excluded = True  # whole row group excluded by Statistics
                     break

@@ -53,7 +53,9 @@ CONV_TIMESTAMP_MICROS = 10
 
 SPECS: dict[str, dict[int, tuple[str, str]]] = {
     "Statistics": {
-        3: ("null_count", "i64"),
+        1: ("max", "binary"),  # deprecated pair: legacy writers only fill
+        2: ("min", "binary"),  # these; signed order is trustworthy for
+        3: ("null_count", "i64"),  # numeric physicals, undefined for strings
         4: ("distinct_count", "i64"),
         5: ("max_value", "binary"),
         6: ("min_value", "binary"),

@@ -730,3 +730,67 @@ def test_read_par1_pruned(tmp_path):
     tb7, st7 = read_par1_pruned(p, ["k"], ("k", ">=", 19000), row_groups=[0, 3])
     assert tb7.to_pydict() == {"k": list(range(19000, 20000))}
     assert st7["row_groups_read"] == 1
+
+
+def test_stat_min_max_legacy_fallback():
+    """Deprecated Statistics.min/max (legacy writers) prune numeric chunks
+    but are ignored for byte arrays, whose legacy ordering is undefined."""
+    from parquet_go_ray.formats.par1 import _stat_min_max
+    from parquet_go_ray.formats.parquet_meta import (
+        PT_BYTE_ARRAY, PT_DOUBLE, PT_INT64,
+    )
+
+    modern = {"min_value": b"\x01", "max_value": b"\x02", "min": b"\x09", "max": b"\x0a"}
+    assert _stat_min_max(modern, PT_INT64) == (b"\x01", b"\x02")  # modern wins
+    legacy = {"min": b"\x01\x00\x00\x00\x00\x00\x00\x00", "max": b"\x05\x00\x00\x00\x00\x00\x00\x00"}
+    assert _stat_min_max(legacy, PT_INT64) == (legacy["min"], legacy["max"])
+    assert _stat_min_max(legacy, PT_DOUBLE) == (legacy["min"], legacy["max"])
+    assert _stat_min_max({"min": b"a", "max": b"z"}, PT_BYTE_ARRAY) is None
+    assert _stat_min_max(None, PT_INT64) is None
+    assert _stat_min_max({}, PT_INT64) is None
+
+
+def test_read_par1_pruned_random_and_predicates(tmp_path):
+    """Property check: for random AND-conjunctions, the pruned read equals
+    full-read-then-filter exactly."""
+    import pyarrow.compute as pc
+
+    from parquet_go_ray.formats.par1 import read_par1_pruned
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    t = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 500, n), pa.int64()),
+            "b": pa.array(rng.normal(0, 1, n), pa.float64()),
+            "c": pa.array([f"g{int(x)}" for x in rng.integers(0, 40, n)]),
+        }
+    )
+    p = str(tmp_path / "prop.parquet")
+    write_par1(t, p, codec="zstd", row_group_rows=1500, page_rows=300,
+               bloom=["a", "c"])
+    ops = [">=", ">", "<=", "<", "=="]
+    arrow_ops = {
+        ">=": pc.greater_equal, ">": pc.greater, "<=": pc.less_equal,
+        "<": pc.less, "==": pc.equal,
+    }
+    for trial in range(25):
+        k = rng.integers(1, 4)
+        preds = []
+        for _ in range(k):
+            col = ["a", "b", "c"][rng.integers(0, 3)]
+            op = ops[rng.integers(0, 5)]
+            if col == "a":
+                val = int(rng.integers(-10, 520))
+            elif col == "b":
+                val = float(rng.normal(0, 1))
+            else:
+                val = f"g{int(rng.integers(0, 45))}"
+            preds.append((col, op, val))
+        got, _st = read_par1_pruned(p, ["a", "b"], preds)
+        mask = None
+        for col, op, val in preds:
+            m = arrow_ops[op](t[col], pa.scalar(val, t[col].type))
+            mask = m if mask is None else pc.and_(mask, m)
+        exp = t.filter(mask).select(["a", "b"])
+        assert got.to_pydict() == exp.to_pydict(), (trial, preds)
