@@ -225,6 +225,40 @@ def run_bench() -> dict:
     except ImportError:
         pass
 
+    # -- native PAR1 sink + pruned scan (round 4: the distributed native
+    # source/sink pair with page indexes + spec blooms) --
+    try:
+        import uuid as _uuid
+
+        from parquet_go_ray.pipelines.native_io import (
+            read_par1_dataset, write_par1_dataset,
+        )
+
+        nat_dir = f"/tmp/pgr_bench_native_{_uuid.uuid4().hex[:8]}"
+        cols = ["l_orderkey", "l_partkey", "l_extendedprice"]
+        ds_n = ray.data.read_parquet(
+            f"{SF_DIR}/lineitem.parquet", columns=cols
+        ).repartition(32)
+        t0 = time.time()
+        man = write_par1_dataset(
+            ds_n, nat_dir, codec="snappy", page_rows=8192,
+            encodings={"l_orderkey": "delta_bp", "l_partkey": "delta_bp",
+                       "l_extendedprice": "byte_stream_split"},
+            bloom={"l_partkey": 0.01},
+        ).to_pandas()
+        queries["native_write"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        n_pruned = read_par1_dataset(
+            nat_dir, columns=cols,
+            predicate=[("l_orderkey", "<", 30000), ("l_partkey", ">=", 500)],
+        ).count()
+        queries["native_pruned_scan"] = round(time.time() - t0, 3)
+        extras["native_files"] = int(len(man))
+        extras["native_pruned_rows"] = int(n_pruned)
+        shutil.rmtree(nat_dir, ignore_errors=True)
+    except ImportError:
+        pass
+
     ray.shutdown()
     return {
         "metric": "headline_encode_sec",

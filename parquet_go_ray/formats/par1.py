@@ -240,6 +240,10 @@ _ENC_ID = {
 # both forms.
 _EMPTY_DELTA = bytes([0x80, 0x01, 0x04, 0x00, 0x00])
 
+# dictionary-page byte cap before falling back to PLAIN (parquet-mr's
+# dictionary_page_size default): every reader holds the dict page whole
+_DICT_PAGE_LIMIT = 1 << 20
+
 
 def _encode_values(enc: str, arr: pa.Array) -> bytes:
     if len(arr) == 0:
@@ -455,19 +459,26 @@ def _write_leaf_chunk(
         denc = vals.dictionary_encode()
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
-        dict_vals = denc.dictionary
-        idx_np = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
-        dict_off = out.tell()
-        u, c = _write_page(
-            out,
-            SPECS,
-            PAGE_DICTIONARY,
-            {"dictionary_page_header": {"num_values": len(dict_vals), "encoding": ENC_PLAIN}},
-            encode_plain(dict_vals)[0],
-            comp,
-        )
-        chunk_unc += u
-        chunk_comp += c
+        if denc.dictionary.nbytes > _DICT_PAGE_LIMIT:
+            # parquet-mr-style dictionary cap: the dict page is held whole in
+            # every reader's memory, so a high-cardinality chunk falls back
+            # to PLAIN instead of emitting a multi-MB dictionary
+            enc = "plain"
+            enc_id = _ENC_ID["plain"]
+        else:
+            dict_vals = denc.dictionary
+            idx_np = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+            dict_off = out.tell()
+            u, c = _write_page(
+                out,
+                SPECS,
+                PAGE_DICTIONARY,
+                {"dictionary_page_header": {"num_values": len(dict_vals), "encoding": ENC_PLAIN}},
+                encode_plain(dict_vals)[0],
+                comp,
+            )
+            chunk_unc += u
+            chunk_comp += c
     data_off = out.tell()
     page_locs: list[dict] = []
     null_pages: list[bool] = []

@@ -732,6 +732,63 @@ def test_read_par1_pruned(tmp_path):
     assert st7["row_groups_read"] == 1
 
 
+def test_dict_overflow_falls_back_to_plain(tmp_path):
+    """A forced-dict chunk whose dictionary would exceed the 1 MiB page cap
+    (parquet-mr's dictionary_page_size discipline) silently falls back to
+    PLAIN — no multi-MB dict page every reader must hold — while small-dict
+    chunks keep dictionary encoding."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.formats.parquet_meta import (
+        ENC_PLAIN, ENC_RLE_DICTIONARY,
+    )
+
+    big = pa.table({"s": pa.array([f"{'x' * 500}{i}" for i in range(3000)])})
+    p1 = str(tmp_path / "big_dict.parquet")
+    write_par1(big, p1, codec="snappy", encodings={"s": "dict"})
+    pf = pq.ParquetFile(p1)
+    md = pf.metadata.row_group(0).column(0)
+    assert "PLAIN" in str(md.encodings) and "RLE_DICTIONARY" not in str(md.encodings)
+    assert md.has_dictionary_page is False
+    assert pq.read_table(p1).to_pydict() == big.to_pydict()
+
+    small = pa.table({"s": pa.array([f"v{i % 20}" for i in range(3000)])})
+    p2 = str(tmp_path / "small_dict.parquet")
+    write_par1(small, p2, codec="snappy", encodings={"s": "dict"})
+    md2 = pq.ParquetFile(p2).metadata.row_group(0).column(0)
+    assert "RLE_DICTIONARY" in str(md2.encodings)
+    assert pq.read_table(p2).to_pydict() == small.to_pydict()
+
+
+def test_read_par1_pruned_foreign_page_index(tmp_path):
+    """Interop, read direction: a pyarrow-written file with
+    write_page_index=True is pruned by the ENGINE's reader — row groups
+    drop on pyarrow's chunk Statistics, pages drop on pyarrow's
+    ColumnIndex/OffsetIndex, values decode through engine page decoders."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.formats.par1 import read_par1_pruned
+
+    n = 20000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(np.random.default_rng(0).normal(size=n)),
+        }
+    )
+    p = str(tmp_path / "foreign_idx.parquet")
+    pq.write_table(
+        t, p, row_group_size=5000, data_page_size=2000, write_page_index=True,
+        use_dictionary=False,
+        column_encoding={"k": "DELTA_BINARY_PACKED", "v": "BYTE_STREAM_SPLIT"},
+    )
+    tb, st = read_par1_pruned(p, ["k", "v"], ("k", ">=", 19500))
+    assert tb["k"].to_pylist() == list(range(19500, 20000))
+    assert tb["v"].to_pylist() == t["v"].to_pylist()[19500:]
+    assert st["row_groups_read"] == 1
+    assert st["pages_decoded"] < st["pages_total"]
+
+
 def test_stat_min_max_legacy_fallback():
     """Deprecated Statistics.min/max (legacy writers) prune numeric chunks
     but are ignored for byte arrays, whose legacy ordering is undefined."""
