@@ -237,7 +237,8 @@ def _stats(values: pa.Array) -> dict:
 
 # outer block compressors mirror the reference's registry
 # (compress/compress.go:8-30): none/snappy/gzip/zstd/lz4 (+zstd9 alias);
-# LZO/BROTLI unsupported there too (README.md:172-173)
+# plus BROTLI beyond it (the reference can't, README.md:172-173 — any
+# pa.Codec name works here); LZO stays unsupported (pyarrow has no LZO)
 _OUTER_ALIASES = {
     "zstd7": ("zstd", 7),
     "zstd9": ("zstd", 9),

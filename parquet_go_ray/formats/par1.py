@@ -42,6 +42,7 @@ from ..codecs.delta import (
 from ..codecs.plain import decode_plain, encode_plain
 from ..codecs.rle import decode_hybrid, decode_levels, encode_hybrid, encode_levels
 from .parquet_meta import (
+    COMP_BROTLI,
     COMP_GZIP,
     COMP_LZ4_RAW,
     COMP_SNAPPY,
@@ -92,12 +93,14 @@ _COMP_NAME = {
     "gzip": COMP_GZIP,
     "zstd": COMP_ZSTD,
     "lz4_raw": COMP_LZ4_RAW,
+    "brotli": COMP_BROTLI,  # beyond the reference (README.md:172-173)
 }
 _COMP_ARROW = {
     COMP_SNAPPY: "snappy",
     COMP_GZIP: "gzip",
     COMP_ZSTD: "zstd",
     COMP_LZ4_RAW: "lz4_raw",
+    COMP_BROTLI: "brotli",
 }
 
 

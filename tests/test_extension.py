@@ -30,9 +30,11 @@ def test_custom_codec_roundtrip():
     assert (codec, outer) == ("xor_demo", "lz4")
 
 
-def test_gzip_lz4_outer():
+def test_gzip_lz4_brotli_outer():
+    # gzip/lz4 mirror the reference's registry; brotli goes beyond it
+    # (the reference can't write BROTLI at all, README.md:172-173)
     arr = pa.array(["hello gzip"] * 100)
-    for outer in ["gzip", "lz4"]:
+    for outer in ["gzip", "lz4", "brotli"]:
         row = encode_column_chunk(arr, "plain", outer=outer)
         assert decode_column_chunk(row["blob"]).equals(arr)
 

@@ -732,6 +732,33 @@ def test_read_par1_pruned(tmp_path):
     assert st7["row_groups_read"] == 1
 
 
+def test_write_par1_brotli_interop(tmp_path):
+    """BROTLI pages in engine-written files — a codec the reference cannot
+    write (README.md:172-173) — read back by pyarrow and the engine's own
+    decoders with CRC verification.  (DuckDB 1.0's parquet reader does not
+    decode BROTLI pages, so the foreign-reader proof here is pyarrow.)"""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.formats.par1 import read_par1
+
+    n = 5000
+    t = pa.table(
+        {
+            "a": pa.array(np.arange(n), pa.int64()),
+            "s": pa.array([f"v{i % 7}" for i in range(n)]),
+        }
+    )
+    p = str(tmp_path / "brotli.parquet")
+    write_par1(t, p, codec="brotli", encodings={"a": "delta_bp", "s": "dict"},
+               page_rows=1000)
+    assert pq.read_table(p).equals(t)
+    assert read_par1(p, verify_crc=True).to_pydict() == t.to_pydict()
+    # and the read direction: a pyarrow-written brotli file through engine decoders
+    p2 = str(tmp_path / "brotli_foreign.parquet")
+    pq.write_table(t, p2, compression="brotli", use_dictionary=False)
+    assert read_par1(p2).to_pydict() == t.to_pydict()
+
+
 def test_dict_overflow_falls_back_to_plain(tmp_path):
     """A forced-dict chunk whose dictionary would exceed the 1 MiB page cap
     (parquet-mr's dictionary_page_size discipline) silently falls back to
