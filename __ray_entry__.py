@@ -536,6 +536,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_bloom_scan",
     ]
     tail = [
+        # r4 demotions — r3-green, code untouched this round, each family
+        # keeps another oracled row in the top 50 (this frees slots for the
+        # queries whose code DID change in r4: dedup_exact, the three
+        # exhaustive kernel twins, knn_bruteforce)
+        "rt_lineitem_delta_bp",   # delta_bp kept via read_native_lineitem
+        "rt_lineitem_rle_bp",     # hybrid levels kept via rt_lineitem_dict_rle
+        "rt_lineitem_plain_snappy",  # plain+snappy kept via transcode_native
+        "quantiles_extendedprice",   # kept via grouped_quantiles_returnflag
+        "distinct_lineitem_linenumbers",  # kept via distinct_count_orderkeys
         "dedup_minhash",          # rows-only; oracled twin dedup_clusters_exhaustive
         "dedup_simhash",          # rows-only
         "dedup_embedding",        # rows-only; oracled twin embedding_pairs_exhaustive
