@@ -759,6 +759,33 @@ def test_write_par1_brotli_interop(tmp_path):
     assert read_par1(p2).to_pydict() == t.to_pydict()
 
 
+def test_write_par1_bss_extended_int_types(tmp_path):
+    """BYTE_STREAM_SPLIT on INT32/INT64 (parquet-format 2.11 extended BSS,
+    beyond the reference's float-only use): engine-written int-BSS pages
+    read back by pyarrow and the engine's own decoders.  (DuckDB 1.0 still
+    restricts BSS to FLOAT/DOUBLE.)"""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.formats.par1 import read_par1
+
+    t = pa.table(
+        {
+            "i": pa.array(np.arange(4000), pa.int64()),
+            "j": pa.array(np.arange(4000, dtype=np.int32), pa.int32()),
+        }
+    )
+    p = str(tmp_path / "int_bss.parquet")
+    write_par1(t, p, codec="zstd", page_rows=1000,
+               encodings={"i": "byte_stream_split", "j": "byte_stream_split"})
+    assert pq.read_table(p).equals(t)
+    assert read_par1(p, verify_crc=True).to_pydict() == t.to_pydict()
+    # and the reverse: pyarrow-written extended-BSS decoded by the engine
+    p2 = str(tmp_path / "int_bss_foreign.parquet")
+    pq.write_table(t, p2, use_dictionary=False,
+                   column_encoding={"i": "BYTE_STREAM_SPLIT", "j": "BYTE_STREAM_SPLIT"})
+    assert read_par1(p2).to_pydict() == t.to_pydict()
+
+
 def test_dict_overflow_falls_back_to_plain(tmp_path):
     """A forced-dict chunk whose dictionary would exceed the 1 MiB page cap
     (parquet-mr's dictionary_page_size discipline) silently falls back to
