@@ -84,12 +84,62 @@ def chunk_cat(out_dir: str, column: str, limit: int = 10, skip: int = 0) -> list
     return out
 
 
+_ENC_NAMES = {
+    0: "PLAIN", 2: "PLAIN_DICTIONARY", 3: "RLE", 4: "BIT_PACKED",
+    5: "DELTA_BINARY_PACKED", 6: "DELTA_LENGTH_BYTE_ARRAY",
+    7: "DELTA_BYTE_ARRAY", 8: "RLE_DICTIONARY", 9: "BYTE_STREAM_SPLIT",
+}
+_COMP_NAMES = {0: "UNCOMPRESSED", 1: "SNAPPY", 2: "GZIP", 3: "LZO",
+               4: "BROTLI", 5: "LZ4", 6: "ZSTD", 7: "LZ4_RAW"}
+
+
+def meta(path: str) -> dict:
+    """Footer inspection through the ENGINE's own thrift reader (not
+    pyarrow): per-chunk codec/encodings/sizes and which auxiliary
+    structures are present (Statistics, ColumnIndex/OffsetIndex with page
+    count, spec bloom filter).  parquet-tools has no equivalent; this is
+    the debugging surface for engine-written PAR1 files."""
+    from .formats.par1 import read_par1_meta
+
+    fmd = read_par1_meta(path)
+    rgs = []
+    for rg in fmd["row_groups"]:
+        cols = []
+        for ch in rg["columns"]:
+            md = ch["meta_data"]
+            cols.append(
+                {
+                    "column": ".".join(md["path_in_schema"]),
+                    "codec": _COMP_NAMES.get(md["codec"], md["codec"]),
+                    "encodings": [
+                        _ENC_NAMES.get(e, e) for e in md.get("encodings", [])
+                    ],
+                    "compressed_bytes": md["total_compressed_size"],
+                    "uncompressed_bytes": md["total_uncompressed_size"],
+                    "has_statistics": md.get("statistics") is not None,
+                    "has_dictionary_page": md.get("dictionary_page_offset") is not None,
+                    "has_page_index": ch.get("column_index_offset") is not None
+                    and ch.get("offset_index_offset") is not None,
+                    "has_bloom": md.get("bloom_filter_offset") is not None,
+                }
+            )
+        rgs.append({"rows": rg["num_rows"], "columns": cols})
+    return {
+        "created_by": fmd.get("created_by"),
+        "version": fmd.get("version"),
+        "num_rows": fmd["num_rows"],
+        "row_groups": rgs,
+    }
+
+
 def main(argv=None):
     argv = argv or sys.argv[1:]
     cmd, path = argv[0], argv[1]
     opts = argv[2:]
     if cmd == "schema":
         out = schema(path)
+    elif cmd == "meta":
+        out = meta(path)
     elif cmd == "rowcount":
         out = rowcount(path)
     elif cmd == "size":

@@ -161,6 +161,25 @@ def test_tools(tmp_path):
         {"a": 3, "s": "z"},
     ]
 
+    # `meta` over an engine-written file: the native debugging surface
+    import numpy as np
+
+    from parquet_go_ray.formats.par1 import write_par1
+
+    t2 = pa.table({"k": pa.array(np.arange(100), pa.int64()),
+                   "s": pa.array([f"v{i % 5}" for i in range(100)])})
+    p2 = str(tmp_path / "native.parquet")
+    write_par1(t2, p2, codec="zstd", encodings={"s": "dict"}, bloom=["k"])
+    m = tools.meta(p2)
+    assert m["created_by"] == "parquet_go_ray" and m["num_rows"] == 100
+    c_k, c_s = m["row_groups"][0]["columns"]
+    assert c_k["codec"] == "ZSTD" and c_k["has_bloom"] and c_k["has_page_index"]
+    assert not c_s["has_bloom"] and c_s["has_dictionary_page"]
+    assert "RLE_DICTIONARY" in c_s["encodings"]
+    # and over a foreign pyarrow file (no engine extras, still parses)
+    mf = tools.meta(p)
+    assert mf["num_rows"] == 3 and not mf["row_groups"][0]["columns"][0]["has_bloom"]
+
 
 def test_fingerprint_vectorized_matches_naive(ray_session, tmp_path):
     """The one-pass global winnowing must equal per-doc sliding-window-min."""
