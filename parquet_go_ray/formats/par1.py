@@ -629,7 +629,7 @@ def _write_leaf_chunk(
 def write_par1(
     table: pa.Table,
     path: str,
-    codec: str = "snappy",
+    codec: str | dict[str, str] = "snappy",
     encodings: dict[str, str] | None = None,
     row_group_rows: int | None = None,
     page_rows: int = 65536,
@@ -641,6 +641,10 @@ def write_par1(
     bloom: dict[str, float] | list[str] | None = None,
 ) -> dict:
     """Write `table` as a real parquet file through the engine's encoders.
+
+    `codec`: one name for every column, or {column/leaf-path: codec} with a
+    ""/"default" fallback key — parquet compression is per column chunk, so
+    e.g. text columns can take zstd while int columns take snappy.
 
     `encodings`: column name (or dotted leaf path for nested columns) -> one
     of plain/delta_bp/delta_length_ba/delta_ba/byte_stream_split/dict;
@@ -674,7 +678,17 @@ def write_par1(
 
     Returns the footer dict."""
     assert data_page_version in (1, 2), data_page_version
-    comp = _COMP_NAME[codec]
+    # per-column compression (parquet codecs are per column chunk; the
+    # chunk container's per_column_codec analog, §2.8): dict = column (or
+    # dotted leaf path) -> codec name, "" or "default" key = fallback
+    if isinstance(codec, dict):
+        comp_default = _COMP_NAME[codec.get("", codec.get("default", "snappy"))]
+        comp_by_col = {
+            k: _COMP_NAME[v] for k, v in codec.items() if k not in ("", "default")
+        }
+    else:
+        comp_default = _COMP_NAME[codec]
+        comp_by_col = {}
     encodings = dict(encodings or {})
     int96_cols: set[str] = set()
     if int96_timestamps:
@@ -740,8 +754,11 @@ def write_par1(
                         or encodings.get(name)
                         or _default_encoding(st.values, st.node.type)
                     )
+                    comp_c = comp_by_col.get(
+                        ".".join(st.path), comp_by_col.get(name, comp_default)
+                    )
                     cm = _write_leaf_chunk(
-                        out, comp, st, enc, page_rows,
+                        out, comp_c, st, enc, page_rows,
                         page_version=data_page_version,
                         pt_override=PT_INT96 if name in int96_cols else None,
                         bloom_fpp=bloom_fpp.get(".".join(st.path), bloom_fpp.get(name)),

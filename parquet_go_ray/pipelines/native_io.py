@@ -435,7 +435,7 @@ def read_native_pruned_multi(sf_dir: str, lo: int = 3000) -> rd.Dataset:
 def write_par1_dataset(
     ds: rd.Dataset,
     out_dir: str,
-    codec: str = "snappy",
+    codec: str | dict[str, str] = "snappy",
     encodings: dict[str, str] | None = None,
     page_rows: int = 65536,
     row_group_rows: int | None = None,
@@ -445,11 +445,11 @@ def write_par1_dataset(
 ) -> rd.Dataset:
     """Distributed native-format sink: every Ray block becomes one indexed
     PAR1 file (pages + CRC + ColumnIndex/OffsetIndex + Statistics) under
-    `out_dir`.  Part names are CONTENT-DERIVED (hash of the block's first
-    row + row count), writes are atomic (tmp + rename), and an existing
-    part is skipped — so a re-run of the same pipeline over the same input
-    resumes instead of re-encoding, the same partitioned-output discipline
-    as encode_partitioned.  Returns the manifest dataset
+    `out_dir`.  Part names are CONTENT-DERIVED (sha1 of the block's Arrow
+    IPC serialization — a pure function of the logical rows), writes are
+    atomic (tmp + rename), and an existing part is skipped — so a re-run of
+    the same pipeline over the same input resumes instead of re-encoding,
+    the same partitioned-output discipline as encode_partitioned.  Returns the manifest dataset
     {path, rows, bytes, skipped} (one row per part), which is also the
     natural input to read_par1_dataset."""
     import hashlib
@@ -467,10 +467,34 @@ def write_par1_dataset(
         )
         if batch.num_rows == 0:
             return empty
-        h = hashlib.sha1(str(batch.num_rows).encode())
-        for pos in {0, batch.num_rows // 2, batch.num_rows - 1}:
-            row = {k: v[0] for k, v in batch.slice(pos, 1).to_pydict().items()}
-            h.update(repr(sorted(row.items())).encode())
+        # full-content tag: stream the block's Arrow IPC serialization into
+        # the digest.  IPC bytes are a function of the LOGICAL content (the
+        # writer rebases slice offsets), so the tag is stable across
+        # re-slicings of the same data, and a sampled-rows tag's collision
+        # risk (two distinct blocks sharing first/mid/last rows would
+        # silently skip a part on "resume") is gone.
+        import pyarrow.ipc as pa_ipc
+
+        h = hashlib.sha1()
+
+        class _HashSink:
+            closed = False
+
+            def write(self, b):
+                h.update(b)
+                return len(b)
+
+            def writable(self):
+                return True
+
+            def flush(self):
+                pass
+
+            def close(self):
+                pass
+
+        with pa_ipc.new_stream(pa.PythonFile(_HashSink(), mode="w"), batch.schema) as w:
+            w.write_table(batch)
         tag = h.hexdigest()[:16]
         path = os.path.join(out_dir, f"part_{tag}.parquet")
         skipped = os.path.exists(path)

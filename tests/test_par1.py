@@ -759,6 +759,36 @@ def test_write_par1_brotli_interop(tmp_path):
     assert read_par1(p2).to_pydict() == t.to_pydict()
 
 
+def test_write_par1_per_column_codec(tmp_path):
+    """Per-column compression (parquet codecs are per column chunk): each
+    chunk's ColumnMetaData.codec reflects its own choice, pyarrow and the
+    engine read the mixed file back."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.formats.par1 import read_par1, read_par1_meta
+
+    n = 4000
+    t = pa.table(
+        {
+            "i": pa.array(np.arange(n), pa.int64()),
+            "s": pa.array([f"text {i % 50}" for i in range(n)]),
+            "x": pa.array(np.linspace(0, 1, n), pa.float64()),
+        }
+    )
+    p = str(tmp_path / "mixed_codec.parquet")
+    write_par1(t, p, codec={"s": "zstd", "x": "none", "default": "snappy"},
+               encodings={"i": "delta_bp", "s": "dict"})
+    md = pq.ParquetFile(p).metadata.row_group(0)
+    comps = {md.column(c).path_in_schema: md.column(c).compression for c in range(3)}
+    assert comps == {"i": "SNAPPY", "s": "ZSTD", "x": "UNCOMPRESSED"}
+    assert pq.read_table(p).equals(t)
+    assert read_par1(p, verify_crc=True).to_pydict() == t.to_pydict()
+    # engine footer agrees
+    m = read_par1_meta(p)
+    codecs = [c["meta_data"]["codec"] for c in m["row_groups"][0]["columns"]]
+    assert codecs == [1, 6, 0]  # SNAPPY, ZSTD, UNCOMPRESSED
+
+
 def test_write_par1_bss_extended_int_types(tmp_path):
     """BYTE_STREAM_SPLIT on INT32/INT64 (parquet-format 2.11 extended BSS,
     beyond the reference's float-only use): engine-written int-BSS pages
