@@ -1221,18 +1221,26 @@ def scan_par1_column(
             md = chunk["meta_data"]
             ci = idx[rg_i][col_i]["column_index"]
             oi = idx[rg_i][col_i]["offset_index"]
+            pages_total += len(oi["page_locations"]) if oi is not None else 1
+            if op == "==" and md.get("bloom_filter_offset") is not None:
+                from .bloom import hash_plain_scalar
+
+                sb = _load_bloom_md(f, md)
+                hv = hash_plain_scalar(val, pt) if sb is not None else None
+                if hv is not None and not bool(
+                    sb.check(np.array([hv], dtype=np.uint64))[0]
+                ):
+                    continue  # whole chunk: bloom says the value is absent
             if oi is None:
                 # no index: fall back to the full chunk walk
                 _, defs, vals = read_par1_chunk_streams(
                     f, chunk, storage, 0, 1, verify_crc=verify_crc
                 )
                 arr = _with_validity(vals, (defs == 1).astype(np.int64))
-                pages_total += 1
                 pages_decoded += 1
                 arrays.append(arr)
                 continue
             locs = oi["page_locations"]
-            pages_total += len(locs)
             take = []
             for i, loc in enumerate(locs):
                 if op is None or ci is None:

@@ -133,6 +133,49 @@ def test_write_par1_bloom_prunes_where_stats_cannot(tmp_path, codec):
     ).num_rows
 
 
+def test_scan_par1_column_bloom_skip(tmp_path):
+    """The single-column scanner also consults the spec bloom on ==: an
+    in-range absent probe decodes ZERO pages even though every page's
+    min/max admits it."""
+    from parquet_go_ray.formats.par1 import scan_par1_column, write_par1
+
+    n = 6000
+    t = pa.table({"k": pa.array(np.arange(n) * 2, pa.int64())})  # evens
+    p = str(tmp_path / "scan_bloom.parquet")
+    write_par1(t, p, codec="snappy", row_group_rows=2000, page_rows=500,
+               bloom=["k"])
+    tb, st = scan_par1_column(p, "k", ("==", 4001))
+    assert tb.num_rows == 0
+    assert st["pages_decoded"] == 0 and st["pages_total"] > 0
+    tb2, st2 = scan_par1_column(p, "k", ("==", 4000))
+    assert tb2["k"].to_pylist() == [4000] and st2["pages_decoded"] >= 1
+
+
+def test_bloom_on_nested_leaf(tmp_path):
+    """Blooms attach to dotted leaf paths of nested columns too — the
+    standalone probe API loads them by leaf path."""
+    from parquet_go_ray.formats.par1 import read_par1, read_par1_bloom, write_par1
+    from parquet_go_ray.formats.parquet_meta import PT_BYTE_ARRAY
+
+    n = 1000
+    stats = pa.StructArray.from_arrays(
+        [pa.array([f"lab{i % 17}" for i in range(n)]),
+         pa.array(np.arange(n, dtype=np.int64))],
+        names=["label", "ord"],
+    )
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()), "stats": stats})
+    p = str(tmp_path / "nested_bloom.parquet")
+    write_par1(t, p, codec="snappy", bloom={"stats.label": 0.01})
+    assert read_par1(p).to_pydict() == t.to_pydict()
+    sb = read_par1_bloom(p, 0, "stats.label")
+    assert sb is not None
+    present = hash_arrow_values(pa.array([f"lab{i}" for i in range(17)]), PT_BYTE_ARRAY)
+    assert sb.check(present).all()
+    absent = hash_arrow_values(pa.array([f"zz{i}" for i in range(200)]), PT_BYTE_ARRAY)
+    assert absent is not None and sb.check(absent).mean() < 0.1
+    assert read_par1_bloom(p, 0, "id") is None
+
+
 def test_write_par1_bloom_engine_roundtrip_full(tmp_path):
     """A bloom-carrying file reads back value-identical through read_par1
     (bloom sections must not disturb data/index layout), and CRC
