@@ -365,6 +365,60 @@ def read_par1_dataset(
     )
 
 
+def compact_par1_dataset(
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = 128 << 20,
+    codec: str | dict[str, str] = "snappy",
+    encodings: dict[str, str] | None = None,
+    page_rows: int = 65536,
+    bloom: dict[str, float] | list[str] | None = None,
+) -> rd.Dataset:
+    """Small-files compaction: bin-pack a directory of PAR1 parts into
+    ~``target_bytes`` output files, one Ray task per bin (each task reads
+    its member files through the engine decoders, concatenates, re-encodes
+    one indexed+checksummed file).  The driver holds only the (path, size)
+    listing; data never visits it.  Output parts get IPC-content-derived
+    names via write_block semantics — re-running skips finished bins.
+    This is the maintenance operator a 100 TB ingest needs after a
+    fine-grained streaming sink (many ~MB parts -> row-group-sized files
+    that scan efficiently)."""
+    import glob as _glob
+
+    paths = sorted(_glob.glob(os.path.join(in_dir, "*.parquet")))
+    if not paths:
+        raise ValueError("compact_par1_dataset: no input files")
+    os.makedirs(out_dir, exist_ok=True)
+    # greedy first-fit bins over the driver-side listing (path+size only)
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_b = 0
+    for p in paths:
+        sz = os.path.getsize(p)
+        if cur and cur_b + sz > target_bytes:
+            bins.append(cur)
+            cur, cur_b = [], 0
+        cur.append(p)
+        cur_b += sz
+    if cur:
+        bins.append(cur)
+
+    def read_bin(batch: pa.Table) -> pa.Table:
+        tables = []
+        for i in batch["bin"].to_pylist():
+            for p in bins[i]:
+                tables.append(read_par1(p))
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    merged = rd.from_items(
+        [{"bin": i} for i in range(len(bins))], override_num_blocks=len(bins)
+    ).map_batches(read_bin, batch_format="pyarrow", batch_size=None)
+    return write_par1_dataset(
+        merged, out_dir, codec=codec, encodings=encodings,
+        page_rows=page_rows, bloom=bloom,
+    )
+
+
 def native_bloom_scan(sf_dir: str, partkey: int = 42) -> rd.Dataset:
     """Equality scan where SPEC Bloom filters prune and statistics cannot
     (round-4): l_partkey values interleave across the whole table, so every
@@ -385,6 +439,24 @@ def native_bloom_scan(sf_dir: str, partkey: int = 42) -> rd.Dataset:
     return read_par1_dataset(
         out_dir, columns=cols, predicate=("l_partkey", "==", partkey)
     )
+
+
+def native_compact_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Sink -> compaction -> scan, all through the engine (round-4): the
+    documents table lands as many small PAR1 parts, compact_par1_dataset
+    bin-packs them into fewer target-sized files, and read_par1_dataset
+    returns every row for the oracle hash — the full maintenance loop a
+    streaming ingest runs at 100 TB."""
+    tag = uuid.uuid4().hex[:8]
+    small = f"/tmp/pgr_compact_in_{tag}"
+    big = f"/tmp/pgr_compact_out_{tag}"
+    ds = _read_parquet_any(f"{sf_dir}/documents.parquet").repartition(10)
+    write_par1_dataset(ds, small).materialize()
+    compact_par1_dataset(
+        small, big, target_bytes=1 << 30,
+        encodings={"doc_id": "delta_bp", "lang": "dict", "source": "dict"},
+    ).materialize()
+    return read_par1_dataset(big)
 
 
 def native_sink_roundtrip(sf_dir: str) -> rd.Dataset:

@@ -335,6 +335,54 @@ def test_write_par1_dataset_roundtrip_and_resume(ray_session, tmp_path):
     assert np.allclose(got.x, exp["x"].to_pylist())
 
 
+def test_compact_par1_dataset(ray_session, tmp_path):
+    """Small-files compaction: 12 tiny parts bin-pack into a few
+    target-sized files; rows identical, pruned reads still work, re-run
+    resumes (all bins skipped)."""
+    import ray
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.native_io import (
+        compact_par1_dataset,
+        read_par1_dataset,
+        write_par1_dataset,
+    )
+
+    n = 12000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),
+            "s": pa.array([f"v{i % 11}" for i in range(n)]),
+        }
+    )
+    small = str(tmp_path / "small")
+    slices = [t.slice(i * 1000, 1000) for i in range(12)]
+    man = write_par1_dataset(rd.from_arrow(slices), small).to_pandas()
+    assert len(man) == 12
+    big = str(tmp_path / "big")
+    part_bytes = int(man.bytes.max())
+    man2 = compact_par1_dataset(
+        small, big, target_bytes=part_bytes * 4 + 1024,
+        encodings={"k": "delta_bp", "s": "dict"}, page_rows=2000,
+    ).to_pandas()
+    assert 1 < len(man2) < 12 and int(man2.rows.sum()) == n
+
+    back = read_par1_dataset(big).to_arrow_refs()
+    whole = pa.concat_tables([ray.get(r) for r in back]).sort_by("k")
+    assert whole.to_pydict() == t.to_pydict()
+
+    # pruned read over compacted output
+    got = read_par1_dataset(big, columns=["k"], predicate=("k", ">=", 11000)).to_pandas()
+    assert sorted(got.k) == list(range(11000, 12000))
+
+    # resume: identical bins -> every output part skipped
+    man3 = compact_par1_dataset(
+        small, big, target_bytes=part_bytes * 4 + 1024,
+        encodings={"k": "delta_bp", "s": "dict"}, page_rows=2000,
+    ).to_pandas()
+    assert man3.skipped.all()
+
+
 def test_read_par1_dataset_split_row_groups(ray_session, tmp_path):
     """Intra-file parallelism: ONE huge file with many row groups becomes
     one Ray work item per row group; results and pruning match the
