@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from parquet_go_ray.pipelines.native_io import (
         native_bloom_scan,
         native_compact_roundtrip,
+        native_partitioned_scan,
         native_sink_roundtrip,
         read_native_pruned_multi,
         scan_native_pruned,
@@ -263,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["native_sink_roundtrip"] = native_sink_roundtrip
     q["native_bloom_scan"] = native_bloom_scan
     q["native_compact_roundtrip"] = native_compact_roundtrip
+    q["native_partitioned_scan"] = native_partitioned_scan
     q["read_native_lineitem"] = lambda sf: read_native(sf, "lineitem")
 
     # -- aggregation (§2.6) --
@@ -536,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcode_native_nested", "transcode_native_v2", "scan_native_pruned",
         "read_native_pruned_multi", "native_sink_roundtrip",
         "native_bloom_scan", "native_compact_roundtrip",
+        "native_partitioned_scan",
     ]
     tail = [
         # r4 demotions — r3-green, code untouched this round, each family
@@ -543,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # queries whose code DID change in r4: dedup_exact, the three
         # exhaustive kernel twins, knn_bruteforce)
         "scan_pruned_lineitem",   # chunk pruning kept via skip_rows_paged + scan_bloom_documents
+        "rt_documents_delta_ba",  # delta_ba/delta_length kept via read_native_lineitem
         "rt_lineitem_delta_bp",   # delta_bp kept via read_native_lineitem
         "rt_lineitem_rle_bp",     # hybrid levels kept via rt_lineitem_dict_rle
         "rt_lineitem_plain_snappy",  # plain+snappy kept via transcode_native
@@ -632,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_partkey = 42"
         ),
         "native_compact_roundtrip": "SELECT * FROM documents",
+        "native_partitioned_scan": "SELECT * FROM documents WHERE lang = 'de'",
         "skip_rows_lineitem": (
             "SELECT l_orderkey FROM (SELECT l_orderkey, ROW_NUMBER() OVER () AS rn "
             "FROM lineitem) WHERE rn > 30000 AND rn <= 30500"

@@ -288,6 +288,7 @@ def read_par1_dataset(
     predicate: tuple[str, str, object] | list[tuple[str, str, object]] | None = None,
     verify_crc: bool = False,
     split_row_groups: bool = False,
+    partitions: dict[str, object] | None = None,
 ) -> rd.Dataset:
     """Distributed pruning scan over engine-written parquet files.
 
@@ -297,6 +298,10 @@ def read_par1_dataset(
     format's 100 TB scan path: per-task bytes are bounded by what the
     indexes let through, and a predicate that misses a file costs that task
     one footer read.  Flat leaf columns (read_par1_pruned semantics).
+
+    ``partitions={col: value, ...}`` prunes a hive-layout directory
+    (``write_par1_dataset(partition_by=...)`` output) down to the matching
+    ``col=value`` subdirectories before any footer is read.
 
     ``split_row_groups=True`` adds intra-file parallelism for the
     few-huge-files shape: a first stage of Ray tasks reads only footers and
@@ -310,9 +315,16 @@ def read_par1_dataset(
 
     if isinstance(paths, str):
         if os.path.isdir(paths):
-            paths = sorted(_glob.glob(os.path.join(paths, "*.parquet")))
+            paths = sorted(
+                _glob.glob(os.path.join(paths, "**", "*.parquet"), recursive=True)
+            )
         else:
             paths = [paths]
+    if partitions:
+        # hive-style directory pruning: drop whole partitions from the
+        # listing before a single footer is read
+        want = {f"{k}={v}" for k, v in partitions.items()}
+        paths = [p for p in paths if want <= set(p.split(os.sep))]
     if not paths:
         raise ValueError("read_par1_dataset: no input files")
     nodes = {n.name: n for n in _schema_tree(read_par1_meta(paths[0]))}
@@ -459,6 +471,23 @@ def native_compact_roundtrip(sf_dir: str) -> rd.Dataset:
     return read_par1_dataset(big)
 
 
+def native_partitioned_scan(sf_dir: str, lang: str = "de") -> rd.Dataset:
+    """Hive-layout sink + directory-pruned scan (round-4): documents land
+    partitioned as lang=<v>/part_*.parquet; the scan for one language
+    touches ONLY that subdirectory — every other partition is dropped from
+    the file listing before a single footer read.  At 100 TB this is the
+    layout/pruning pair that turns a per-language pipeline from a full
+    scan into a directory walk."""
+    out_dir = f"/tmp/pgr_native_hive_{uuid.uuid4().hex[:8]}"
+    ds = _read_parquet_any(f"{sf_dir}/documents.parquet").repartition(6)
+    man = write_par1_dataset(
+        ds, out_dir, codec="zstd", partition_by="lang",
+        encodings={"doc_id": "delta_bp", "source": "dict", "lang": "dict"},
+    ).materialize()
+    assert man.count() > 0
+    return read_par1_dataset(out_dir, partitions={"lang": lang})
+
+
 def native_sink_roundtrip(sf_dir: str) -> rd.Dataset:
     """Distributed native sink+source symmetry under the oracle (round-4):
     orders flows through ``write_par1_dataset`` (each Ray block -> one
@@ -514,6 +543,7 @@ def write_par1_dataset(
     data_page_version: int = 1,
     key_value_metadata: dict[str, str] | None = None,
     bloom: dict[str, float] | list[str] | None = None,
+    partition_by: str | None = None,
 ) -> rd.Dataset:
     """Distributed native-format sink: every Ray block becomes one indexed
     PAR1 file (pages + CRC + ColumnIndex/OffsetIndex + Statistics) under
@@ -521,24 +551,24 @@ def write_par1_dataset(
     IPC serialization — a pure function of the logical rows), writes are
     atomic (tmp + rename), and an existing part is skipped — so a re-run of
     the same pipeline over the same input resumes instead of re-encoding,
-    the same partitioned-output discipline as encode_partitioned.  Returns the manifest dataset
-    {path, rows, bytes, skipped} (one row per part), which is also the
-    natural input to read_par1_dataset."""
+    the same partitioned-output discipline as encode_partitioned.
+
+    `partition_by`: hive-style layout — each block splits by that column's
+    values into `out_dir/<col>=<value>/part_<tag>.parquet` (the column
+    STAYS in the files, so every part is self-contained); a scan that
+    filters on the partition column skips whole directories without a
+    single footer read (`read_par1_dataset(partitions={...})`).
+
+    Returns the manifest dataset {path, partition, rows, bytes, skipped}
+    (one row per part), which is also the natural input to
+    read_par1_dataset."""
     import hashlib
+
+    import pyarrow.compute as pc
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_block(batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "path": pa.array([], pa.string()),
-                "rows": pa.array([], pa.int64()),
-                "bytes": pa.array([], pa.int64()),
-                "skipped": pa.array([], pa.bool_()),
-            }
-        )
-        if batch.num_rows == 0:
-            return empty
+    def content_tag(batch: pa.Table) -> str:
         # full-content tag: stream the block's Arrow IPC serialization into
         # the digest.  IPC bytes are a function of the LOGICAL content (the
         # writer rebases slice offsets), so the tag is stable across
@@ -567,8 +597,12 @@ def write_par1_dataset(
 
         with pa_ipc.new_stream(pa.PythonFile(_HashSink(), mode="w"), batch.schema) as w:
             w.write_table(batch)
-        tag = h.hexdigest()[:16]
-        path = os.path.join(out_dir, f"part_{tag}.parquet")
+        return h.hexdigest()[:16]
+
+    def write_one(batch: pa.Table, part_dir: str, partition: str) -> dict:
+        tag = content_tag(batch)
+        os.makedirs(part_dir, exist_ok=True)
+        path = os.path.join(part_dir, f"part_{tag}.parquet")
         skipped = os.path.exists(path)
         if not skipped:
             tmp = f"{path}.tmp.{os.getpid()}"
@@ -579,12 +613,35 @@ def write_par1_dataset(
                 key_value_metadata=key_value_metadata, bloom=bloom,
             )
             os.replace(tmp, path)
+        return {
+            "path": path, "partition": partition, "rows": batch.num_rows,
+            "bytes": os.path.getsize(path), "skipped": skipped,
+        }
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        out_rows: list[dict] = []
+        if batch.num_rows:
+            if partition_by is None:
+                out_rows.append(write_one(batch, out_dir, ""))
+            else:
+                col = batch[partition_by]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                for v in pc.unique(col).to_pylist():
+                    pname = f"{partition_by}={v}"
+                    if os.sep in pname or v is None:
+                        raise ValueError(f"unsafe partition value {v!r}")
+                    sub = batch.filter(pc.equal(col, v))
+                    out_rows.append(
+                        write_one(sub, os.path.join(out_dir, pname), pname)
+                    )
         return pa.table(
             {
-                "path": pa.array([path]),
-                "rows": pa.array([batch.num_rows], pa.int64()),
-                "bytes": pa.array([os.path.getsize(path)], pa.int64()),
-                "skipped": pa.array([skipped]),
+                "path": pa.array([r["path"] for r in out_rows], pa.string()),
+                "partition": pa.array([r["partition"] for r in out_rows], pa.string()),
+                "rows": pa.array([r["rows"] for r in out_rows], pa.int64()),
+                "bytes": pa.array([r["bytes"] for r in out_rows], pa.int64()),
+                "skipped": pa.array([r["skipped"] for r in out_rows], pa.bool_()),
             }
         )
 

@@ -335,6 +335,48 @@ def test_write_par1_dataset_roundtrip_and_resume(ray_session, tmp_path):
     assert np.allclose(got.x, exp["x"].to_pylist())
 
 
+def test_write_par1_dataset_partitioned(ray_session, tmp_path):
+    """Hive-style partitioned sink: parts land under col=value dirs, the
+    partition column stays in the files, and partitions={...} prunes the
+    listing to one directory."""
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.native_io import (
+        read_par1_dataset,
+        write_par1_dataset,
+    )
+
+    n = 6000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),
+            "g": pa.array([["a", "b", "c"][i % 3] for i in range(n)]),
+        }
+    )
+    out = str(tmp_path / "hive")
+    slices = [t.slice(i * 1500, 1500) for i in range(4)]
+    man = write_par1_dataset(
+        rd.from_arrow(slices), out, partition_by="g"
+    ).to_pandas()
+    # 4 blocks x 3 values -> 12 parts, each under its g=<v> dir
+    assert len(man) == 12 and set(man.partition) == {"g=a", "g=b", "g=c"}
+    assert all(p.split("/")[-2] == part for p, part in zip(man.path, man.partition))
+    assert int(man.rows.sum()) == n
+
+    only_b = read_par1_dataset(out, partitions={"g": "b"}).to_pandas()
+    exp = t.filter(pa.compute.equal(t["g"], "b")).to_pandas()
+    assert sorted(only_b.k) == sorted(exp.k) and set(only_b.g) == {"b"}
+
+    whole = read_par1_dataset(out).to_pandas()
+    assert sorted(whole.k) == list(range(n))
+
+    # resume holds per partition
+    man2 = write_par1_dataset(
+        rd.from_arrow(slices), out, partition_by="g"
+    ).to_pandas()
+    assert man2.skipped.all()
+
+
 def test_compact_par1_dataset(ray_session, tmp_path):
     """Small-files compaction: 12 tiny parts bin-pack into a few
     target-sized files; rows identical, pruned reads still work, re-run
