@@ -335,6 +335,38 @@ def test_write_par1_dataset_roundtrip_and_resume(ray_session, tmp_path):
     assert np.allclose(got.x, exp["x"].to_pylist())
 
 
+def test_write_par1_dataset_crash_leftovers(ray_session, tmp_path):
+    """A task killed mid-write leaves only part_*.parquet.tmp.<pid> litter:
+    the scan's *.parquet glob never picks it up, and a resume run completes
+    the missing part while skipping finished ones."""
+    import os
+
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.native_io import (
+        read_par1_dataset,
+        write_par1_dataset,
+    )
+
+    n = 4000
+    t = pa.table({"k": pa.array(np.arange(n), pa.int64())})
+    out = str(tmp_path / "crashy")
+    slices = [t.slice(i * 1000, 1000) for i in range(4)]
+    man = write_par1_dataset(rd.from_arrow(slices), out).to_pandas()
+    assert len(man) == 4
+
+    # simulate a crashed task: delete one finished part, leave its torn tmp
+    victim = sorted(man.path)[1]
+    with open(f"{victim}.tmp.99999", "wb") as f:
+        f.write(b"PAR1torn-half-written")
+    os.unlink(victim)
+
+    man2 = write_par1_dataset(rd.from_arrow(slices), out).to_pandas()
+    assert int((~man2.skipped).sum()) == 1  # only the victim re-encoded
+    back = read_par1_dataset(out).to_pandas()
+    assert sorted(back.k) == list(range(n))
+
+
 def test_write_par1_dataset_partitioned(ray_session, tmp_path):
     """Hive-style partitioned sink: parts land under col=value dirs, the
     partition column stays in the files, and partitions={...} prunes the
