@@ -53,6 +53,7 @@ class SymbolTable:
         "sym_len",
         "pmax2",
         "code2",
+        "lens_mask2",
     )
 
     def __init__(self, symbols: list[bytes]):
@@ -63,9 +64,14 @@ class SymbolTable:
         by_len: dict[int, list[tuple[int, int]]] = {}
         self.sym1_code = np.full(256, -1, dtype=np.int32)
         # 2-byte-prefix prefilter tables: pmax2[p] = longest symbol (>=3) with
-        # that prefix; code2[p] = code of the exact 2-byte symbol, else -1.
+        # that prefix; code2[p] = code of the exact 2-byte symbol, else -1;
+        # lens_mask2[p] = bit (len-3) set iff a symbol of EXACTLY that length
+        # starts with prefix p (skips whole per-length search rounds for
+        # candidates whose prefix admits no symbol of that length — measured
+        # ~40% of the searched volume on the documents corpus).
         self.pmax2 = np.zeros(65536, dtype=np.uint8)
         self.code2 = np.full(65536, -1, dtype=np.int32)
+        self.lens_mask2 = np.zeros(65536, dtype=np.uint8)
         for code, s in enumerate(self.symbols):
             key = int.from_bytes(s.ljust(8, b"\x00"), "little") & ((1 << (8 * len(s))) - 1)
             by_len.setdefault(len(s), []).append((key, code))
@@ -76,6 +82,7 @@ class SymbolTable:
             else:
                 p = s[0] | (s[1] << 8)
                 self.pmax2[p] = max(self.pmax2[p], len(s))
+                self.lens_mask2[p] |= 1 << (len(s) - 3)
         for ln, pairs in by_len.items():
             pairs.sort()
             self.keys_by_len[ln] = np.array([k for k, _ in pairs], dtype=np.uint64)
@@ -154,10 +161,15 @@ def _greedy_parse(
         )
         keyc = u64[cand]
         lim_c = np.minimum(pmax[cand], maxlen[cand])
+        lm_c = table.lens_mask2[(keyc & np.uint64(0xFFFF)).astype(np.uint32)]
         unmatched = np.ones(len(cand), dtype=bool)
         for ln in sorted((l for l in table.keys_by_len if l >= 3), reverse=True):
             keys = table.keys_by_len[ln]
-            idx = np.flatnonzero(unmatched & (lim_c >= ln))
+            idx = np.flatnonzero(
+                unmatched
+                & (lim_c >= ln)
+                & ((lm_c & np.uint8(1 << (ln - 3))) > 0)
+            )
             if not len(idx):
                 continue
             mask = np.uint64((1 << (8 * ln)) - 1)
