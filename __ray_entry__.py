@@ -478,9 +478,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # composite staged cleaning pipeline (quality -> exact -> near dedup);
     # the oracled output is the deterministic quality+exact stage
-    from parquet_go_ray.pipelines.clean_corpus import clean_corpus_query
+    from parquet_go_ray.pipelines.clean_corpus import (
+        clean_corpus_query,
+        corpus_to_native_query,
+    )
 
     q["clean_corpus"] = clean_corpus_query
+    q["corpus_to_native"] = corpus_to_native_query
 
     # -- multimodal stages over documents-backed media (stubbed decode,
     # real vectorized plumbing; sha-derived outputs are SQL-reproducible) --
@@ -538,7 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcode_native_nested", "transcode_native_v2", "scan_native_pruned",
         "read_native_pruned_multi", "native_sink_roundtrip",
         "native_bloom_scan", "native_compact_roundtrip",
-        "native_partitioned_scan",
+        "native_partitioned_scan", "corpus_to_native",
     ]
     tail = [
         # r4 demotions — r3-green, code untouched this round, each family
@@ -547,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exhaustive kernel twins, knn_bruteforce)
         "scan_pruned_lineitem",   # chunk pruning kept via skip_rows_paged + scan_bloom_documents
         "rt_documents_delta_ba",  # delta_ba/delta_length kept via read_native_lineitem
+        "rt_lineitem_bss",        # BSS kept via read_native_lineitem (foreign) + native transcodes
         "rt_lineitem_delta_bp",   # delta_bp kept via read_native_lineitem
         "rt_lineitem_rle_bp",     # hybrid levels kept via rt_lineitem_dict_rle
         "rt_lineitem_plain_snappy",  # plain+snappy kept via transcode_native
@@ -718,6 +723,17 @@ def oracle_sql() -> dict[str, str]:
             "/ GREATEST(LENGTH(text), 1), 9) <= 0.2) "
             "SELECT doc_id FROM q "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1"
+        ),
+        "corpus_to_native": (
+            "WITH q AS (SELECT doc_id, text FROM documents WHERE "
+            "(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+            "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END) >= 5 "
+            "AND ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;:]', '', 'g'))) "
+            "/ GREATEST(LENGTH(text), 1), 9) <= 0.2), "
+            "s AS (SELECT doc_id FROM q "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1) "
+            "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars "
+            "FROM documents d JOIN s ON d.doc_id = s.doc_id"
         ),
         "ngram_jaccard_exhaustive": (
             "WITH " + _SHINGLE_SQL + " "

@@ -111,6 +111,31 @@ def clean_corpus(
     return report
 
 
+def corpus_to_native_query(sf_dir: str) -> pd.DataFrame:
+    """Capstone: the cleaned corpus (quality filter + exact dedup, the
+    deterministic stages) flows into the hive-partitioned NATIVE sink
+    (lang=<v>/ dirs of indexed, checksummed PAR1 files) and comes back
+    through the engine's distributed pruning scan — the complete
+    pretraining-data path (filter -> dedup -> partitioned columnar layout
+    -> scan) under one value-hash oracle."""
+    import tempfile
+
+    from .native_io import read_par1_dataset, write_par1_dataset
+
+    workdir = tempfile.mkdtemp(prefix="pgr_c2n_")
+    try:
+        clean_corpus(sf_dir, workdir, resume=False)
+        out = os.path.join(workdir, "native")
+        ds = _read_parquet_any(os.path.join(workdir, "stage2_exact"))
+        write_par1_dataset(
+            ds, out, codec="zstd", partition_by="lang",
+            encodings={"doc_id": "delta_bp", "source": "dict", "lang": "dict"},
+        ).materialize()
+        return read_par1_dataset(out).to_pandas()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def clean_corpus_query(sf_dir: str) -> pd.DataFrame:
     """Driver query: surviving doc_ids after the quality+exact stages
     (deterministic, SQL-oracle-able) plus the near-dedup survivor count as a
