@@ -254,22 +254,44 @@ def test_par1_roundtrip_property():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    @settings(max_examples=15, deadline=None)
+    @settings(max_examples=20, deadline=None)
     @given(
         n=st.integers(1, 300),
         seed=st.integers(0, 2**16),
         enc=st.sampled_from(["plain", "delta_bp", "dict"]),
-        codec=st.sampled_from(["none", "snappy", "zstd"]),
+        codec=st.sampled_from(["none", "snappy", "zstd", "brotli"]),
+        v2=st.booleans(),
+        bloom=st.booleans(),
+        mixed_codec=st.booleans(),
     )
-    def prop(n, seed, enc, codec):
+    def prop(n, seed, enc, codec, v2, bloom, mixed_codec):
         rng = np.random.default_rng(seed)
         vals = rng.integers(-(2**40), 2**40, n)
         mask = rng.random(n) < 0.2
-        t = pa.table({"v": pa.array(np.where(mask, None, vals), pa.int64())})
+        t = pa.table(
+            {
+                "v": pa.array(np.where(mask, None, vals), pa.int64()),
+                "w": pa.array(rng.normal(size=n), pa.float64()),
+            }
+        )
         path = f"/tmp/t_par1_prop_{seed}_{n}.parquet"
-        write_par1(t, path, codec=codec, encodings={"v": enc}, page_rows=64)
+        write_par1(
+            t, path,
+            codec={"v": codec, "default": "snappy"} if mixed_codec else codec,
+            encodings={"v": enc, "w": "byte_stream_split"}, page_rows=64,
+            data_page_version=2 if v2 else 1,
+            bloom=["v"] if bloom else None,
+        )
         assert _tables_equal(t, pq.read_table(path))
-        assert _tables_equal(t, read_par1(path))
+        assert _tables_equal(t, read_par1(path, verify_crc=True))
+        # the pruned reader agrees with full-read + filter on a random ==
+        if n >= 2:
+            from parquet_go_ray.formats.par1 import read_par1_pruned
+
+            probe = int(vals[rng.integers(0, n)])
+            got, _ = read_par1_pruned(path, ["v", "w"], ("v", "==", probe))
+            exp = t.filter(pa.compute.equal(t["v"], probe))
+            assert got.to_pydict() == exp.to_pydict()
         import os
 
         os.unlink(path)
