@@ -377,6 +377,66 @@ def read_par1_dataset(
     )
 
 
+
+def _ipc_content_tag(batch: "pa.Table") -> str:
+    """sha1 of the block's Arrow IPC serialization — a pure function of the
+    LOGICAL rows (the IPC writer rebases slice offsets), so part names are
+    stable across re-slicings and collision-safe for resume."""
+    import hashlib
+
+    import pyarrow.ipc as pa_ipc
+
+    h = hashlib.sha1()
+
+    class _HashSink:
+        closed = False
+
+        def write(self, b):
+            h.update(b)
+            return len(b)
+
+        def writable(self):
+            return True
+
+        def flush(self):
+            pass
+
+        def close(self):
+            pass
+
+    with pa_ipc.new_stream(pa.PythonFile(_HashSink(), mode="w"), batch.schema) as w:
+        w.write_table(batch)
+    return h.hexdigest()[:16]
+
+
+def _write_part(batch: "pa.Table", part_dir: str, partition: str, write_kwargs: dict) -> dict:
+    """One block -> one content-named PAR1 file (atomic, skip-existing)."""
+    tag = _ipc_content_tag(batch)
+    os.makedirs(part_dir, exist_ok=True)
+    path = os.path.join(part_dir, f"part_{tag}.parquet")
+    skipped = os.path.exists(path)
+    if not skipped:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        write_par1(batch, tmp, **write_kwargs)
+        os.replace(tmp, path)
+    return {
+        "path": path, "partition": partition, "rows": batch.num_rows,
+        "bytes": os.path.getsize(path), "skipped": skipped,
+    }
+
+
+def _manifest_table(rows: list) -> "pa.Table":
+    return pa.table(
+        {
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+            "partition": pa.array([r["partition"] for r in rows], pa.string()),
+            "rows": pa.array([r["rows"] for r in rows], pa.int64()),
+            "bytes": pa.array([r["bytes"] for r in rows], pa.int64()),
+            "skipped": pa.array([r["skipped"] for r in rows], pa.bool_()),
+        }
+    )
+
+
 def compact_par1_dataset(
     in_dir: str,
     out_dir: str,
@@ -394,41 +454,55 @@ def compact_par1_dataset(
     names via write_block semantics — re-running skips finished bins.
     This is the maintenance operator a 100 TB ingest needs after a
     fine-grained streaming sink (many ~MB parts -> row-group-sized files
-    that scan efficiently)."""
+    that scan efficiently).
+
+    Hive-partitioned inputs (`write_par1_dataset(partition_by=...)`
+    layouts) compact partition-locally: files never merge across
+    `col=value` directories and each output bin lands under its own
+    partition dir, so directory pruning keeps working on the output."""
     import glob as _glob
 
-    paths = sorted(_glob.glob(os.path.join(in_dir, "*.parquet")))
+    paths = sorted(
+        _glob.glob(os.path.join(in_dir, "**", "*.parquet"), recursive=True)
+    )
     if not paths:
         raise ValueError("compact_par1_dataset: no input files")
     os.makedirs(out_dir, exist_ok=True)
-    # greedy first-fit bins over the driver-side listing (path+size only)
-    bins: list[list[str]] = []
-    cur: list[str] = []
-    cur_b = 0
+    # greedy first-fit bins over the driver-side listing (path+size only),
+    # grouped by the file's partition subpath ("" for a flat layout)
+    by_part: dict[str, list[str]] = {}
     for p in paths:
-        sz = os.path.getsize(p)
-        if cur and cur_b + sz > target_bytes:
-            bins.append(cur)
-            cur, cur_b = [], 0
-        cur.append(p)
-        cur_b += sz
-    if cur:
-        bins.append(cur)
+        rel = os.path.dirname(os.path.relpath(p, in_dir))
+        by_part.setdefault(rel, []).append(p)
+    bins: list[tuple[str, list[str]]] = []
+    for rel in sorted(by_part):
+        cur: list[str] = []
+        cur_b = 0
+        for p in by_part[rel]:
+            sz = os.path.getsize(p)
+            if cur and cur_b + sz > target_bytes:
+                bins.append((rel, cur))
+                cur, cur_b = [], 0
+            cur.append(p)
+            cur_b += sz
+        if cur:
+            bins.append((rel, cur))
 
-    def read_bin(batch: pa.Table) -> pa.Table:
-        tables = []
+    wkw = dict(codec=codec, encodings=encodings, page_rows=page_rows, bloom=bloom)
+
+    def compact_bin(batch: pa.Table) -> pa.Table:
+        rows = []
         for i in batch["bin"].to_pylist():
-            for p in bins[i]:
-                tables.append(read_par1(p))
-        return pa.concat_tables(tables) if tables else pa.table({})
+            rel, members = bins[i]
+            merged = pa.concat_tables([read_par1(p) for p in members])
+            rows.append(
+                _write_part(merged, os.path.join(out_dir, rel), rel, wkw)
+            )
+        return _manifest_table(rows)
 
-    merged = rd.from_items(
+    return rd.from_items(
         [{"bin": i} for i in range(len(bins))], override_num_blocks=len(bins)
-    ).map_batches(read_bin, batch_format="pyarrow", batch_size=None)
-    return write_par1_dataset(
-        merged, out_dir, codec=codec, encodings=encodings,
-        page_rows=page_rows, bloom=bloom,
-    )
+    ).map_batches(compact_bin, batch_format="pyarrow", batch_size=None)
 
 
 def native_bloom_scan(sf_dir: str, partkey: int = 42) -> rd.Dataset:
@@ -562,67 +636,20 @@ def write_par1_dataset(
     Returns the manifest dataset {path, partition, rows, bytes, skipped}
     (one row per part), which is also the natural input to
     read_par1_dataset."""
-    import hashlib
-
     import pyarrow.compute as pc
 
     os.makedirs(out_dir, exist_ok=True)
-
-    def content_tag(batch: pa.Table) -> str:
-        # full-content tag: stream the block's Arrow IPC serialization into
-        # the digest.  IPC bytes are a function of the LOGICAL content (the
-        # writer rebases slice offsets), so the tag is stable across
-        # re-slicings of the same data, and a sampled-rows tag's collision
-        # risk (two distinct blocks sharing first/mid/last rows would
-        # silently skip a part on "resume") is gone.
-        import pyarrow.ipc as pa_ipc
-
-        h = hashlib.sha1()
-
-        class _HashSink:
-            closed = False
-
-            def write(self, b):
-                h.update(b)
-                return len(b)
-
-            def writable(self):
-                return True
-
-            def flush(self):
-                pass
-
-            def close(self):
-                pass
-
-        with pa_ipc.new_stream(pa.PythonFile(_HashSink(), mode="w"), batch.schema) as w:
-            w.write_table(batch)
-        return h.hexdigest()[:16]
-
-    def write_one(batch: pa.Table, part_dir: str, partition: str) -> dict:
-        tag = content_tag(batch)
-        os.makedirs(part_dir, exist_ok=True)
-        path = os.path.join(part_dir, f"part_{tag}.parquet")
-        skipped = os.path.exists(path)
-        if not skipped:
-            tmp = f"{path}.tmp.{os.getpid()}"
-            write_par1(
-                batch, tmp, codec=codec, encodings=encodings,
-                page_rows=page_rows, row_group_rows=row_group_rows,
-                data_page_version=data_page_version,
-                key_value_metadata=key_value_metadata, bloom=bloom,
-            )
-            os.replace(tmp, path)
-        return {
-            "path": path, "partition": partition, "rows": batch.num_rows,
-            "bytes": os.path.getsize(path), "skipped": skipped,
-        }
+    wkw = dict(
+        codec=codec, encodings=encodings, page_rows=page_rows,
+        row_group_rows=row_group_rows, data_page_version=data_page_version,
+        key_value_metadata=key_value_metadata, bloom=bloom,
+    )
 
     def write_block(batch: pa.Table) -> pa.Table:
         out_rows: list[dict] = []
         if batch.num_rows:
             if partition_by is None:
-                out_rows.append(write_one(batch, out_dir, ""))
+                out_rows.append(_write_part(batch, out_dir, "", wkw))
             else:
                 col = batch[partition_by]
                 if isinstance(col, pa.ChunkedArray):
@@ -633,16 +660,8 @@ def write_par1_dataset(
                         raise ValueError(f"unsafe partition value {v!r}")
                     sub = batch.filter(pc.equal(col, v))
                     out_rows.append(
-                        write_one(sub, os.path.join(out_dir, pname), pname)
+                        _write_part(sub, os.path.join(out_dir, pname), pname, wkw)
                     )
-        return pa.table(
-            {
-                "path": pa.array([r["path"] for r in out_rows], pa.string()),
-                "partition": pa.array([r["partition"] for r in out_rows], pa.string()),
-                "rows": pa.array([r["rows"] for r in out_rows], pa.int64()),
-                "bytes": pa.array([r["bytes"] for r in out_rows], pa.int64()),
-                "skipped": pa.array([r["skipped"] for r in out_rows], pa.bool_()),
-            }
-        )
+        return _manifest_table(out_rows)
 
     return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)

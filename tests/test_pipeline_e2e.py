@@ -457,6 +457,44 @@ def test_compact_par1_dataset(ray_session, tmp_path):
     assert man3.skipped.all()
 
 
+def test_compact_par1_dataset_partitioned(ray_session, tmp_path):
+    """Compacting a hive layout is partition-local: members never merge
+    across col=value dirs and each output bin lands under its own
+    partition dir, so directory pruning keeps working afterward."""
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.native_io import (
+        compact_par1_dataset,
+        read_par1_dataset,
+        write_par1_dataset,
+    )
+
+    n = 9000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),
+            "g": pa.array([["x", "y", "z"][i % 3] for i in range(n)]),
+        }
+    )
+    small = str(tmp_path / "hive_small")
+    slices = [t.slice(i * 1500, 1500) for i in range(6)]
+    man = write_par1_dataset(rd.from_arrow(slices), small, partition_by="g").to_pandas()
+    assert len(man) == 18  # 6 blocks x 3 partitions
+
+    big = str(tmp_path / "hive_big")
+    man2 = compact_par1_dataset(small, big, target_bytes=1 << 30).to_pandas()
+    # everything fits one bin PER PARTITION -> exactly 3 output files
+    assert len(man2) == 3 and set(man2.partition) == {"g=x", "g=y", "g=z"}
+    assert int(man2.rows.sum()) == n
+    assert all(p.split("/")[-2] == part for p, part in zip(man2.path, man2.partition))
+
+    only_y = read_par1_dataset(big, partitions={"g": "y"}).to_pandas()
+    exp = t.filter(pa.compute.equal(t["g"], "y")).to_pandas()
+    assert sorted(only_y.k) == sorted(exp.k) and set(only_y.g) == {"y"}
+    whole = read_par1_dataset(big).to_pandas()
+    assert sorted(whole.k) == list(range(n))
+
+
 def test_read_par1_dataset_split_row_groups(ray_session, tmp_path):
     """Intra-file parallelism: ONE huge file with many row groups becomes
     one Ray work item per row group; results and pruning match the
