@@ -253,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from parquet_go_ray.pipelines.native_io import (
         native_bloom_scan,
         native_compact_roundtrip,
+        native_dnf_scan,
+        native_null_scan,
         native_partitioned_scan,
         native_sink_roundtrip,
         read_native_pruned_multi,
@@ -261,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["scan_native_pruned"] = scan_native_pruned
     q["read_native_pruned_multi"] = read_native_pruned_multi
+    q["native_dnf_scan"] = native_dnf_scan
+    q["native_null_scan"] = native_null_scan
     q["native_sink_roundtrip"] = native_sink_roundtrip
     q["native_bloom_scan"] = native_bloom_scan
     q["native_compact_roundtrip"] = native_compact_roundtrip
@@ -543,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "read_native_pruned_multi", "native_sink_roundtrip",
         "native_bloom_scan", "native_compact_roundtrip",
         "native_partitioned_scan", "corpus_to_native",
+        "native_dnf_scan", "native_null_scan",
     ]
     tail = [
         # r4 demotions — r3-green, code untouched this round, each family
@@ -642,6 +647,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "native_compact_roundtrip": "SELECT * FROM documents",
         "native_partitioned_scan": "SELECT * FROM documents WHERE lang = 'de'",
+        "native_dnf_scan": (
+            "SELECT l_orderkey, l_suppkey, l_quantity, l_returnflag FROM lineitem "
+            "WHERE (l_orderkey < 2000 AND l_quantity >= 30) OR l_suppkey IN (3, 17)"
+        ),
+        "native_null_scan": (
+            "SELECT doc_id, lang_n FROM (SELECT doc_id, "
+            "CASE WHEN (doc_id // 100) % 4 = 0 THEN NULL ELSE lang END AS lang_n "
+            "FROM documents) WHERE lang_n IS NOT NULL AND doc_id < 450"
+        ),
         "skip_rows_lineitem": (
             "SELECT l_orderkey FROM (SELECT l_orderkey, ROW_NUMBER() OVER () AS rn "
             "FROM lineitem) WHERE rn > 30000 AND rn <= 30500"

@@ -587,6 +587,18 @@ def _write_leaf_chunk(
         if not n_rows:
             break
     enc_list = sorted({ENC_RLE, enc_id} | ({ENC_PLAIN} if enc == "dict" else set()))
+    enc_stats = []
+    if dict_off is not None:
+        enc_stats.append(
+            {"page_type": PAGE_DICTIONARY, "encoding": ENC_PLAIN, "count": 1}
+        )
+    enc_stats.append(
+        {
+            "page_type": PAGE_DATA_V2 if page_version == 2 else PAGE_DATA,
+            "encoding": enc_id,
+            "count": len(page_locs),
+        }
+    )
     meta = {
         "type": pt,
         "encodings": enc_list,
@@ -597,6 +609,7 @@ def _write_leaf_chunk(
         "total_compressed_size": chunk_comp,
         "data_page_offset": data_off,
         "dictionary_page_offset": dict_off,
+        "encoding_stats": enc_stats,
     }
     column_index = None
     if all(m is not None for m in mins) and all(m is not None for m in maxs):
@@ -1168,12 +1181,17 @@ def _stat_py(b: bytes, pt: int):
     return b
 
 
+# admit check: given a [lo, hi] zone (chunk Statistics or a ColumnIndex page
+# entry), can ANY row satisfy `op v`?  Sound over-approximation — False drops
+# the zone only when no row can match.
 _PRED_OPS = {
     ">=": lambda lo, hi, v: hi >= v,
     ">": lambda lo, hi, v: hi > v,
     "<=": lambda lo, hi, v: lo <= v,
     "<": lambda lo, hi, v: lo < v,
     "==": lambda lo, hi, v: lo <= v <= hi,
+    "!=": lambda lo, hi, v: not (lo == v and hi == v),  # only a constant zone excludes
+    "in": lambda lo, hi, v: any(lo <= x <= hi for x in v),
 }
 
 _PRED_ARROW = {
@@ -1182,7 +1200,169 @@ _PRED_ARROW = {
     "<=": pc.less_equal,
     "<": pc.less,
     "==": pc.equal,
+    "!=": pc.not_equal,
 }
+
+# ops whose page/chunk admission is decided by null accounting, not min/max
+_NULL_OPS = ("is_null", "not_null")
+# ops that probe exact membership (bloom + complete-dictionary pruning apply)
+_PROBE_OPS = ("==", "in")
+
+
+def _normalize_predicate(predicate) -> list[list[tuple[str, str, object]]]:
+    """Normalize the user predicate into DNF: a list of OR branches, each an
+    AND list of (column, op, value) clauses.  Accepted shapes:
+    one tuple -> single clause; list of tuples -> AND; list of lists of
+    tuples -> OR of ANDs.  String values (and elements of `in` lists) are
+    encoded to bytes to match Statistics/ColumnIndex byte order."""
+    if predicate is None:
+        return []
+    if isinstance(predicate, tuple):
+        branches = [[predicate]]
+    elif not predicate:
+        return []
+    elif isinstance(predicate[0], tuple):
+        branches = [list(predicate)]
+    else:
+        branches = [list(b) for b in predicate]
+    out: list[list[tuple[str, str, object]]] = []
+    for br in branches:
+        clauses = []
+        for c, op, v in br:
+            if op not in _PRED_OPS and op not in _NULL_OPS:
+                raise ValueError(f"unknown predicate op {op!r}")
+            if op == "in":
+                v = [x.encode() if isinstance(x, str) else x for x in v]
+            elif isinstance(v, str):
+                v = v.encode()
+            clauses.append((c, op, v))
+        out.append(clauses)
+    return out
+
+
+def _clause_mask(col, op: str, val, typ: pa.DataType):
+    """Exact Arrow mask for one clause over a decoded column (the re-filter
+    inside surviving pages).  Null comparisons yield null -> Table.filter
+    drops them, matching SQL semantics."""
+    if op == "is_null":
+        return pc.is_null(col)
+    if op == "not_null":
+        return pc.is_valid(col)
+    if op == "in":
+        vs = [
+            x.decode() if isinstance(x, bytes) and pa.types.is_string(typ) else x
+            for x in val
+        ]
+        return pc.is_in(col, value_set=pa.array(vs, type=typ))
+    pv = val.decode() if isinstance(val, bytes) and pa.types.is_string(typ) else val
+    return _PRED_ARROW[op](col, pa.scalar(pv, typ))
+
+
+def _all_data_pages_dict(md: dict) -> bool:
+    """True iff encoding_stats PROVES every data page of the chunk is
+    dictionary-encoded — then the dict page is the chunk's complete value
+    domain and an absent probe value excludes the chunk exactly (stronger
+    than bloom: no false-positive rate).  Files without encoding_stats
+    (or with any PLAIN-fallback data page) answer False -> no pruning."""
+    es = md.get("encoding_stats")
+    if not es:
+        return False
+    data = [e for e in es if e["page_type"] in (PAGE_DATA, PAGE_DATA_V2)]
+    return bool(data) and all(
+        e["encoding"] in (ENC_PLAIN_DICTIONARY, ENC_RLE_DICTIONARY) for e in data
+    )
+
+
+# physical type -> the storage type dictionary pages decode as, for probe
+# casts in _dict_admits (BYTE_ARRAY loads as binary; probes arrive as bytes)
+_PT_STORAGE = {
+    PT_INT32: pa.int32(),
+    PT_INT64: pa.int64(),
+    PT_FLOAT: pa.float32(),
+    PT_DOUBLE: pa.float64(),
+    PT_BYTE_ARRAY: pa.binary(),
+}
+
+
+def _dict_admits(f, md: dict, probes: list) -> bool:
+    """Exact membership probe against a complete dictionary page.  True =
+    some probe value IS in the dictionary (chunk survives); fails open
+    (True) on any decode/cast mismatch."""
+    storage = _PT_STORAGE.get(md["type"])
+    if storage is None:
+        return True
+    try:
+        dv = _load_dict_page(f, md, storage, False)
+        if dv is None:
+            return True
+        vs = pa.array(list(probes), type=storage)
+        return bool(pc.any(pc.is_in(dv, value_set=vs)).as_py())
+    except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError, OverflowError):
+        return True
+
+
+def _chunk_admits_clause(f, md: dict, op: str, val) -> bool:
+    """Row-group-level admission for one clause from the chunk's footer
+    metadata alone (Statistics zone + null accounting + bloom/dictionary
+    probes).  False = no row in the chunk can match -> the whole row group
+    is skipped without reading a page."""
+    pt = md["type"]
+    st_meta = md.get("statistics")
+    if op == "is_null":
+        return not (st_meta is not None and st_meta.get("null_count") == 0)
+    if op == "not_null":
+        return not (
+            st_meta is not None
+            and st_meta.get("null_count") == md["num_values"]
+        )
+    mm = _stat_min_max(st_meta, pt)
+    if mm is not None and not _PRED_OPS[op](
+        _stat_py(mm[0], pt), _stat_py(mm[1], pt), val
+    ):
+        return False
+    if op in _PROBE_OPS:
+        probes = list(val) if op == "in" else [val]
+        if md.get("bloom_filter_offset") is not None:
+            from .bloom import hash_plain_scalar
+
+            sb = _load_bloom_md(f, md)
+            if sb is not None:
+                hvs = [hash_plain_scalar(p, pt) for p in probes]
+                if all(h is not None for h in hvs):
+                    hits = sb.check(np.array(hvs, dtype=np.uint64))
+                    if not hits.any():
+                        return False  # bloom: every probe value absent
+        if _all_data_pages_dict(md) and not _dict_admits(f, md, probes):
+            return False  # complete dictionary: probes definitively absent
+    return True
+
+
+def _page_admits_clause(ci: dict, i: int, pt: int, op: str, val) -> bool:
+    """Page-level admission for one clause from the ColumnIndex entry."""
+    if op == "is_null":
+        if ci["null_pages"][i]:
+            return True
+        ncs = ci.get("null_counts")
+        return ncs is None or ncs[i] > 0
+    if op == "not_null":
+        return not ci["null_pages"][i]
+    if ci["null_pages"][i]:
+        return False  # value predicate never matches an all-null page
+    return _PRED_OPS[op](
+        _stat_py(ci["min_values"][i], pt), _stat_py(ci["max_values"][i], pt), val
+    )
+
+
+def _union_ranges(
+    r1: list[tuple[int, int]], r2: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    for a, b in sorted(r1 + r2):
+        if out and a <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], b))
+        else:
+            out.append((a, b))
+    return out
 
 
 def scan_par1_column(
@@ -1206,9 +1386,10 @@ def scan_par1_column(
     if node.kind != "leaf":
         raise NotImplementedError("scan_par1_column: flat leaf columns only")
     pt, _, _, storage = _physical(node.type)
-    op, val = predicate if predicate else (None, None)
-    if isinstance(val, str):
-        val = val.encode()
+    if predicate:
+        ((_c, op, val),) = _normalize_predicate((column, *predicate))[0]
+    else:
+        op = val = None
     arrays: list[pa.Array] = []
     pages_total = pages_decoded = 0
     with open(path, "rb") as f:
@@ -1222,15 +1403,8 @@ def scan_par1_column(
             ci = idx[rg_i][col_i]["column_index"]
             oi = idx[rg_i][col_i]["offset_index"]
             pages_total += len(oi["page_locations"]) if oi is not None else 1
-            if op == "==" and md.get("bloom_filter_offset") is not None:
-                from .bloom import hash_plain_scalar
-
-                sb = _load_bloom_md(f, md)
-                hv = hash_plain_scalar(val, pt) if sb is not None else None
-                if hv is not None and not bool(
-                    sb.check(np.array([hv], dtype=np.uint64))[0]
-                ):
-                    continue  # whole chunk: bloom says the value is absent
+            if op is not None and not _chunk_admits_clause(f, md, op, val):
+                continue  # chunk Statistics / bloom / dictionary exclude it
             if oi is None:
                 # no index: fall back to the full chunk walk
                 _, defs, vals = read_par1_chunk_streams(
@@ -1245,12 +1419,7 @@ def scan_par1_column(
             for i, loc in enumerate(locs):
                 if op is None or ci is None:
                     take.append(loc)
-                    continue
-                if ci["null_pages"][i]:
-                    continue  # predicate on NULL never matches
-                lo = _stat_py(ci["min_values"][i], pt)
-                hi = _stat_py(ci["max_values"][i], pt)
-                if _PRED_OPS[op](lo, hi, val):
+                elif _page_admits_clause(ci, i, pt, op, val):
                     take.append(loc)
             if not take:
                 continue
@@ -1292,9 +1461,7 @@ def scan_par1_column(
     )
     if op is not None:
         # exact re-filter inside the surviving pages
-        pv = val.decode() if isinstance(val, bytes) and pa.types.is_string(node.type) else val
-        mask = _PRED_ARROW[op](col, pa.scalar(pv, node.type))
-        col = col.filter(mask)
+        col = col.filter(_clause_mask(col, op, val, node.type))
     return pa.table({column: col}), {
         "pages_total": pages_total,
         "pages_decoded": pages_decoded,
@@ -1401,10 +1568,14 @@ def read_par1_pruned(
     are read + decoded (the PageIndex design intent: the reference writes
     these structures in writer/writer.go:157-204; this engine also reads
     them back).  `predicate` = (column, op, value) with op in
-    >= > <= < ==, or a LIST of such clauses ANDed together — each clause
-    prunes row groups via its chunk Statistics (+ bloom on ==) and the
-    surviving page row-ranges are the INTERSECTION across clauses.  Flat
-    leaf columns only; rows are exact (surviving pages re-filter).
+    >= > <= < == != in is_null not_null (`in` takes a value list; the null
+    ops ignore value), a LIST of such clauses ANDed together, or a LIST OF
+    LISTS — OR of AND branches (DNF).  Each clause prunes row groups via
+    its chunk Statistics + null accounting (+ bloom and complete-dictionary
+    probes on ==/in); an AND branch's surviving page row-ranges are the
+    INTERSECTION across its clauses, and the row group reads the UNION of
+    ranges across admitting OR branches.  Flat leaf columns only; rows are
+    exact (surviving pages re-filter with the same DNF).
     `row_groups` restricts the read to those row-group indices (the unit a
     distributed scan splits one huge file by).  Returns (table, stats) with
     stats = {row_groups_total, row_groups_read, pages_total,
@@ -1413,19 +1584,12 @@ def read_par1_pruned(
     node_list = _schema_tree(fmd)
     nodes = {n.name: n for n in node_list}
     names = list(columns) if columns is not None else [n.name for n in node_list]
-    if predicate is None:
-        preds: list[tuple] = []
-    elif isinstance(predicate, tuple):
-        preds = [predicate]
-    else:
-        preds = list(predicate)
-    preds = [
-        (c, op, v.encode() if isinstance(v, str) else v) for c, op, v in preds
-    ]
+    branches = _normalize_predicate(predicate)
     need = list(names)
-    for c, _op, _v in preds:
-        if c not in need:
-            need.append(c)
+    for br in branches:
+        for c, _op, _v in br:
+            if c not in need:
+                need.append(c)
     for nm in need:
         if nm not in nodes:
             raise KeyError(f"column {nm!r} not in {path}")
@@ -1461,58 +1625,55 @@ def read_par1_pruned(
                 continue
             pos_map = chunk_pos_by_rg[rg_i]
             rg_rows = rg["num_rows"]
-            excluded = False
-            for pcol, pop, pval in preds:
-                md_p = rg["columns"][pos_map[pcol]]["meta_data"]
-                pt_p = md_p["type"]
-                mm = _stat_min_max(md_p.get("statistics"), pt_p)
-                if mm is not None and not _PRED_OPS[pop](
-                    _stat_py(mm[0], pt_p), _stat_py(mm[1], pt_p), pval
-                ):
-                    excluded = True  # whole row group excluded by Statistics
-                    break
-                if pop == "==" and md_p.get("bloom_filter_offset") is not None:
-                    from .bloom import hash_plain_scalar
-
-                    sb = _load_bloom_md(f, md_p)
-                    hv = hash_plain_scalar(pval, pt_p) if sb is not None else None
-                    if hv is not None and not bool(
-                        sb.check(np.array([hv], dtype=np.uint64))[0]
-                    ):
-                        excluded = True  # bloom says the probe value is absent
-                        break
-            if excluded:
-                continue
+            # Each OR branch prunes independently (chunk metadata, then page
+            # ranges); the row group survives if ANY branch admits it, and
+            # the rows read are the UNION of the branches' page row-ranges.
             ranges: list[tuple[int, int]] | None = None
-            for pcol, pop, pval in preds:
-                pt_p = rg["columns"][pos_map[pcol]]["meta_data"]["type"]
-                ent = idx[rg_i][pos_map[pcol]]
-                ci, oi = ent["column_index"], ent["offset_index"]
-                if ci is None or oi is None:
+            any_branch = False
+            for br in branches or [[]]:
+                admit = True
+                for pcol, pop, pval in br:
+                    md_p = rg["columns"][pos_map[pcol]]["meta_data"]
+                    if not _chunk_admits_clause(f, md_p, pop, pval):
+                        admit = False  # whole row group excluded for this branch
+                        break
+                if not admit:
                     continue
-                locs = oi["page_locations"]
-                firsts = [loc["first_row_index"] for loc in locs] + [rg_rows]
-                merged: list[list[int]] = []
-                for i in range(len(locs)):
-                    if ci["null_pages"][i]:
+                br_ranges: list[tuple[int, int]] | None = None
+                for pcol, pop, pval in br:
+                    pt_p = rg["columns"][pos_map[pcol]]["meta_data"]["type"]
+                    ent = idx[rg_i][pos_map[pcol]]
+                    ci, oi = ent["column_index"], ent["offset_index"]
+                    if ci is None or oi is None:
                         continue
-                    if not _PRED_OPS[pop](
-                        _stat_py(ci["min_values"][i], pt_p),
-                        _stat_py(ci["max_values"][i], pt_p),
-                        pval,
-                    ):
-                        continue
-                    a, b = firsts[i], firsts[i + 1]
-                    if merged and a <= merged[-1][1]:
-                        merged[-1][1] = max(b, merged[-1][1])
-                    else:
-                        merged.append([a, b])
-                clause = [(a, b) for a, b in merged]
-                ranges = clause if ranges is None else _intersect_ranges(ranges, clause)
-                if not ranges:
-                    excluded = True  # no page row-range survives the AND
+                    locs = oi["page_locations"]
+                    firsts = [loc["first_row_index"] for loc in locs] + [rg_rows]
+                    merged: list[list[int]] = []
+                    for i in range(len(locs)):
+                        if not _page_admits_clause(ci, i, pt_p, pop, pval):
+                            continue
+                        a, b = firsts[i], firsts[i + 1]
+                        if merged and a <= merged[-1][1]:
+                            merged[-1][1] = max(b, merged[-1][1])
+                        else:
+                            merged.append([a, b])
+                    clause = [(a, b) for a, b in merged]
+                    br_ranges = (
+                        clause
+                        if br_ranges is None
+                        else _intersect_ranges(br_ranges, clause)
+                    )
+                    if not br_ranges:
+                        admit = False  # no page row-range survives the AND
+                        break
+                if not admit:
+                    continue
+                any_branch = True
+                if br_ranges is None:
+                    ranges = None  # this branch needs the full row group
                     break
-            if excluded:
+                ranges = br_ranges if ranges is None else _union_ranges(ranges, br_ranges)
+            if not any_branch:
                 continue
             stats["row_groups_read"] += 1
             cols: dict[str, pa.ChunkedArray] = {}
@@ -1590,17 +1751,21 @@ def read_par1_pruned(
                     col = col.cast(node.type)
                 cols[nm] = col
             tbl = pa.table({nm: cols[nm] for nm in need})
-            for pcol, pop, pval in preds:
-                node_p = nodes[pcol]
-                pv = (
-                    pval.decode()
-                    if isinstance(pval, bytes) and pa.types.is_string(node_p.type)
-                    else pval
-                )
-                mask = _PRED_ARROW[pop](tbl[pcol], pa.scalar(pv, node_p.type))
-                if isinstance(mask, pa.ChunkedArray):
-                    mask = mask.combine_chunks()
-                tbl = tbl.filter(mask)
+            if branches:
+                or_mask = None
+                for br in branches:
+                    m = None
+                    for pcol, pop, pval in br:
+                        cm = _clause_mask(tbl[pcol], pop, pval, nodes[pcol].type)
+                        if isinstance(cm, pa.ChunkedArray):
+                            cm = cm.combine_chunks()
+                        m = cm if m is None else pc.and_kleene(m, cm)
+                    if m is None:  # empty AND branch admits every row
+                        or_mask = None
+                        break
+                    or_mask = m if or_mask is None else pc.or_kleene(or_mask, m)
+                if or_mask is not None:
+                    tbl = tbl.filter(or_mask)
             out_tables.append(tbl.select(names))
     if not out_tables:
         empty = pa.table(

@@ -104,6 +104,11 @@ SPECS: dict[str, dict[int, tuple[str, str]]] = {
         1: ("key", "string"),
         2: ("value", "string"),
     },
+    "PageEncodingStats": {
+        1: ("page_type", "i32"),
+        2: ("encoding", "i32"),
+        3: ("count", "i32"),
+    },
     "ColumnMetaData": {
         1: ("type", "i32"),
         2: ("encodings", "list:i32"),
@@ -116,6 +121,7 @@ SPECS: dict[str, dict[int, tuple[str, str]]] = {
         9: ("data_page_offset", "i64"),
         11: ("dictionary_page_offset", "i64"),
         12: ("statistics", "struct:Statistics"),
+        13: ("encoding_stats", "list:struct:PageEncodingStats"),
         14: ("bloom_filter_offset", "i64"),
         15: ("bloom_filter_length", "i32"),
     },

@@ -285,12 +285,17 @@ def scan_native_pruned(sf_dir: str, lo: int = 12000) -> rd.Dataset:
 def read_par1_dataset(
     paths: str | list[str],
     columns: list[str] | None = None,
-    predicate: tuple[str, str, object] | list[tuple[str, str, object]] | None = None,
+    predicate: tuple | list | None = None,
     verify_crc: bool = False,
     split_row_groups: bool = False,
     partitions: dict[str, object] | None = None,
 ) -> rd.Dataset:
     """Distributed pruning scan over engine-written parquet files.
+
+    ``predicate`` takes the full read_par1_pruned language: one
+    (column, op, value) clause with op in >= > <= < == != in is_null
+    not_null, an AND list of clauses, or a DNF list-of-lists (OR of ANDs);
+    every Ray task prunes its file's row groups and pages independently.
 
     Driver-side state is just the file listing; footer parsing, chunk-
     Statistics row-group pruning, ColumnIndex page pruning and decode all
@@ -605,6 +610,65 @@ def read_native_pruned_multi(sf_dir: str, lo: int = 3000) -> rd.Dataset:
     )
     paths = [r["path"] for r in manifest.take_all()]
     return read_par1_dataset(paths, columns=cols, predicate=("l_orderkey", "<", lo))
+
+
+def native_dnf_scan(sf_dir: str) -> rd.Dataset:
+    """Distributed DNF-predicate scan over engine-written files: lineitem is
+    sunk as indexed+bloom PAR1 parts, then read back with an OR of AND
+    branches — (l_orderkey < 2000 AND l_quantity >= 30) OR l_suppkey IN
+    (3, 17).  Each Ray task evaluates every branch against its file's chunk
+    Statistics / bloom / dictionary and decodes only the UNION of the
+    branches' surviving page row-ranges."""
+    out_dir = f"/tmp/pgr_native_dnf_{uuid.uuid4().hex[:8]}"
+    cols = ["l_orderkey", "l_suppkey", "l_quantity", "l_returnflag"]
+    ds = _read_parquet_any(f"{sf_dir}/lineitem.parquet", columns=cols).repartition(8)
+    write_par1_dataset(
+        ds, out_dir, codec="zstd", page_rows=2048,
+        encodings={"l_orderkey": "delta_bp", "l_returnflag": "dict"},
+        bloom=["l_suppkey"],
+    ).materialize()
+    return read_par1_dataset(
+        out_dir,
+        columns=cols,
+        predicate=[
+            [("l_orderkey", "<", 2000), ("l_quantity", ">=", 30)],
+            [("l_suppkey", "in", [3, 17])],
+        ],
+    )
+
+
+def native_null_scan(sf_dir: str) -> rd.Dataset:
+    """NULL-accounting pruned scan: documents gets a derived nullable column
+    (lang_n, NULL in 100-row runs), is sunk as indexed PAR1 parts, and
+    read back with [lang_n IS NOT NULL AND doc_id < cut] — all-null pages
+    drop via ColumnIndex.null_pages and all-null chunks drop footer-only
+    via Statistics.null_count, before the exact re-filter."""
+    import pyarrow.compute as pc
+
+    out_dir = f"/tmp/pgr_native_null_{uuid.uuid4().hex[:8]}"
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"]
+        if isinstance(doc_id, pa.ChunkedArray):
+            doc_id = doc_id.combine_chunks()
+        runs = (doc_id.to_numpy(zero_copy_only=False) // 100) % 4
+        lang = batch["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        lang_n = pc.if_else(
+            pa.array(runs == 0), pa.nulls(len(lang), pa.string()), lang
+        )
+        return pa.table({"doc_id": doc_id, "lang_n": lang_n})
+
+    ds = _read_parquet_any(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(derive, batch_format="pyarrow").repartition(6)
+    write_par1_dataset(ds, out_dir, codec="snappy", page_rows=100).materialize()
+    return read_par1_dataset(
+        out_dir,
+        columns=["doc_id", "lang_n"],
+        predicate=[("lang_n", "not_null", None), ("doc_id", "<", 450)],
+    )
 
 
 def write_par1_dataset(

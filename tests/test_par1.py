@@ -957,3 +957,202 @@ def test_read_par1_pruned_random_and_predicates(tmp_path):
             mask = m if mask is None else pc.and_(mask, m)
         exp = t.filter(mask).select(["a", "b"])
         assert got.to_pydict() == exp.to_pydict(), (trial, preds)
+
+
+def _null_run_table(n=12000):
+    """k ascending, v small-domain, s strings with 1000-row null runs."""
+    rng = np.random.default_rng(23)
+    s = [f"row{i % 977}" for i in range(n)]
+    mask = (np.arange(n) // 1000) % 4 == 0
+    return pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(rng.integers(0, 50, n).astype(np.int32)),
+            "s": pa.array(
+                [None if m else x for x, m in zip(s, mask)], pa.string()
+            ),
+        }
+    )
+
+
+def test_read_par1_pruned_dnf_or_branches(tmp_path):
+    """OR-of-AND predicates: result equals DuckDB on the same file, and the
+    decoded page ranges are the union of the branches'."""
+    import duckdb
+
+    from parquet_go_ray.formats.par1 import read_par1_pruned
+
+    t = _null_run_table()
+    p = str(tmp_path / "dnf.parquet")
+    write_par1(t, p, codec="zstd", row_group_rows=4000, page_rows=1000,
+               encodings={"s": "dict"})
+    got, st = read_par1_pruned(
+        p,
+        ["k", "v", "s"],
+        predicate=[
+            [("k", "<", 2000), ("v", ">=", 25)],
+            [("s", "==", "row500")],
+            [("v", "in", [7, 999])],
+        ],
+    )
+    con = duckdb.connect()
+    exp = con.execute(
+        f"SELECT k, v, s FROM read_parquet('{p}') "
+        "WHERE (k < 2000 AND v >= 25) OR s = 'row500' OR v IN (7, 999)"
+    ).fetch_arrow_table()
+    con.close()
+    assert got.sort_by("k").to_pydict() == exp.sort_by("k").to_pydict()
+    assert st["row_groups_read"] == 3
+
+
+def test_read_par1_pruned_null_ops(tmp_path):
+    """is_null/not_null prune via Statistics.null_count + ColumnIndex
+    null_counts/null_pages; rows match IS [NOT] NULL semantics."""
+    from parquet_go_ray.formats.par1 import read_par1_pruned
+
+    t = _null_run_table()
+    p = str(tmp_path / "nulls.parquet")
+    write_par1(t, p, codec="snappy", row_group_rows=4000, page_rows=1000)
+
+    got, st = read_par1_pruned(p, ["k"], predicate=("s", "is_null", None))
+    exp = t.filter(pa.compute.is_null(t["s"]))["k"].to_pylist()
+    assert got["k"].to_pylist() == exp
+    # only the all-null pages (1 per 4) decode: null_counts prune the rest
+    assert st["pages_decoded"] < st["pages_total"] // 2
+
+    got2, st2 = read_par1_pruned(
+        p, ["k"], predicate=[("s", "not_null", None), ("k", "<", 2500)]
+    )
+    exp2 = t.filter(
+        pa.compute.and_(pa.compute.is_valid(t["s"]), pa.compute.less(t["k"], 2500))
+    )["k"].to_pylist()
+    assert got2["k"].to_pylist() == exp2
+    assert st2["row_groups_read"] == 1  # k-stats drop 2 of 3 row groups
+
+    # a column with NO nulls: is_null excludes every row group footer-only
+    got3, st3 = read_par1_pruned(p, ["k"], predicate=("k", "is_null", None))
+    assert got3.num_rows == 0 and st3["row_groups_read"] == 0
+
+
+def test_read_par1_pruned_dict_exact_probe(tmp_path):
+    """A probe value absent from a fully-dict-encoded chunk's dictionary
+    excludes the row group even when min/max admit it and no bloom exists —
+    encoding_stats proves the dictionary is the complete value domain."""
+    from parquet_go_ray.formats.par1 import read_par1_pruned
+
+    t = _null_run_table()
+    p = str(tmp_path / "dict.parquet")
+    write_par1(t, p, codec="snappy", row_group_rows=4000, page_rows=1000,
+               encodings={"s": "dict"})
+    # inside [row0, row976] lexicographically, but not a real value
+    got, st = read_par1_pruned(p, ["k"], predicate=("s", "==", "row500x"))
+    assert got.num_rows == 0
+    assert st["row_groups_read"] == 0 and st["pages_decoded"] == 0
+    # the same probe on a PLAIN chunk reads (min/max admit, no dict proof)
+    p2 = str(tmp_path / "plain.parquet")
+    write_par1(t, p2, codec="snappy", row_group_rows=4000, page_rows=1000,
+               encodings={"s": "plain"})
+    _, st2 = read_par1_pruned(p2, ["k"], predicate=("s", "==", "row500x"))
+    assert st2["row_groups_read"] == 3
+
+
+def test_encoding_stats_dict_fallback_not_claimed(tmp_path):
+    """When the dictionary overflows the 1 MiB cap and the chunk falls back
+    to PLAIN, encoding_stats must record PLAIN data pages (so dict-exact
+    pruning does NOT engage on an incomplete dictionary)."""
+    from parquet_go_ray.formats.par1 import _all_data_pages_dict
+
+    n = 40000
+    rng = np.random.default_rng(5)
+    big = pa.table(
+        {"s": pa.array(["x" * 40 + str(rng.integers(0, 10**9)) + str(i) for i in range(n)])}
+    )
+    p = str(tmp_path / "fallback.parquet")
+    write_par1(big, p, codec="snappy", encodings={"s": "dict"}, page_rows=8000)
+    md = read_par1_meta(p)
+    cmd = md["row_groups"][0]["columns"][0]["meta_data"]
+    assert not _all_data_pages_dict(cmd)
+    es = cmd["encoding_stats"]
+    assert any(e["encoding"] == 0 and e["page_type"] == 0 for e in es)  # PLAIN data pages
+
+    small = _null_run_table()
+    p2 = str(tmp_path / "small.parquet")
+    write_par1(small.select(["s"]), p2, codec="snappy", encodings={"s": "dict"})
+    cmd2 = read_par1_meta(p2)["row_groups"][0]["columns"][0]["meta_data"]
+    assert _all_data_pages_dict(cmd2)
+
+
+def test_read_par1_pruned_random_dnf_predicates(tmp_path):
+    """Property check over the FULL predicate language: random DNF trees of
+    >= > <= < == != in is_null not_null equal full-read-then-filter."""
+    import pyarrow.compute as pc
+
+    from parquet_go_ray.formats.par1 import _clause_mask, read_par1_pruned
+
+    rng = np.random.default_rng(17)
+    n = 6000
+    raw_c = [f"g{int(x)}" for x in rng.integers(0, 40, n)]
+    cm = rng.random(n) < 0.1
+    t = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 500, n), pa.int64()),
+            "b": pa.array(rng.normal(0, 1, n), pa.float64()),
+            "c": pa.array([None if m else x for x, m in zip(raw_c, cm)]),
+        }
+    )
+    p = str(tmp_path / "dnfprop.parquet")
+    write_par1(t, p, codec="zstd", row_group_rows=1500, page_rows=300,
+               bloom=["a"], encodings={"c": "dict"})
+    ops = [">=", ">", "<=", "<", "==", "!=", "in", "is_null", "not_null"]
+
+    def rand_clause():
+        col = ["a", "b", "c"][rng.integers(0, 3)]
+        op = ops[rng.integers(0, len(ops))]
+        if op in ("is_null", "not_null"):
+            return (col, op, None)
+        def one(col):
+            if col == "a":
+                return int(rng.integers(-10, 520))
+            if col == "b":
+                return float(rng.normal(0, 1))
+            return f"g{int(rng.integers(0, 45))}"
+        if op == "in":
+            return (col, op, [one(col) for _ in range(int(rng.integers(1, 4)))])
+        return (col, op, one(col))
+
+    for trial in range(30):
+        branches = [
+            [rand_clause() for _ in range(int(rng.integers(1, 3)))]
+            for _ in range(int(rng.integers(1, 4)))
+        ]
+        got, _st = read_par1_pruned(p, ["a", "b", "c"], branches)
+        or_mask = None
+        for br in branches:
+            m = None
+            for col, op, val in br:
+                enc = (
+                    [v.encode() if isinstance(v, str) else v for v in val]
+                    if op == "in"
+                    else (val.encode() if isinstance(val, str) else val)
+                )
+                cmk = _clause_mask(t[col], op, enc, t[col].type)
+                if isinstance(cmk, pa.ChunkedArray):
+                    cmk = cmk.combine_chunks()
+                m = cmk if m is None else pc.and_kleene(m, cmk)
+            or_mask = m if or_mask is None else pc.or_kleene(or_mask, m)
+        exp = t.filter(or_mask)
+        assert got.to_pydict() == exp.to_pydict(), (trial, branches)
+
+
+def test_scan_par1_column_in_and_ne(tmp_path):
+    from parquet_go_ray.formats.par1 import scan_par1_column
+
+    t = _null_run_table()
+    p = str(tmp_path / "scan.parquet")
+    write_par1(t, p, codec="snappy", row_group_rows=4000, page_rows=1000)
+    got, _ = scan_par1_column(p, "v", predicate=("in", [7, 999]))
+    exp = t.filter(pa.compute.is_in(t["v"], value_set=pa.array([7, 999], pa.int32())))
+    assert got["v"].to_pylist() == exp["v"].to_pylist()
+    got2, _ = scan_par1_column(p, "s", predicate=("!=", "row5"))
+    exp2 = t.filter(pa.compute.not_equal(t["s"], "row5"))
+    assert got2["s"].to_pylist() == exp2["s"].to_pylist()
