@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         native_bloom_scan,
         native_compact_roundtrip,
         native_dnf_scan,
+        native_evolved_scan,
         native_null_scan,
         native_partitioned_scan,
         native_sink_roundtrip,
@@ -265,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["read_native_pruned_multi"] = read_native_pruned_multi
     q["native_dnf_scan"] = native_dnf_scan
     q["native_null_scan"] = native_null_scan
+    q["native_evolved_scan"] = native_evolved_scan
     q["native_sink_roundtrip"] = native_sink_roundtrip
     q["native_bloom_scan"] = native_bloom_scan
     q["native_compact_roundtrip"] = native_compact_roundtrip
@@ -547,7 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "read_native_pruned_multi", "native_sink_roundtrip",
         "native_bloom_scan", "native_compact_roundtrip",
         "native_partitioned_scan", "corpus_to_native",
-        "native_dnf_scan", "native_null_scan",
+        "native_dnf_scan", "native_null_scan", "native_evolved_scan",
     ]
     tail = [
         # r4 demotions — r3-green, code untouched this round, each family
@@ -650,6 +652,11 @@ def oracle_sql() -> dict[str, str]:
         "native_dnf_scan": (
             "SELECT l_orderkey, l_suppkey, l_quantity, l_returnflag FROM lineitem "
             "WHERE (l_orderkey < 2000 AND l_quantity >= 30) OR l_suppkey IN (3, 17)"
+        ),
+        "native_evolved_scan": (
+            "SELECT doc_id, lang, n_chars FROM (SELECT doc_id, lang, "
+            "CASE WHEN doc_id < 250 THEN NULL ELSE n_chars END AS n_chars "
+            "FROM documents) WHERE n_chars >= 500 OR n_chars IS NULL"
         ),
         "native_null_scan": (
             "SELECT doc_id, lang_n FROM (SELECT doc_id, "

@@ -282,6 +282,39 @@ def scan_native_pruned(sf_dir: str, lo: int = 12000) -> rd.Dataset:
     return manifest.map_batches(scan_batch, batch_format="pyarrow", batch_size=None)
 
 
+_BRANCH_EXCLUDES_FILE = "exclude-file"
+
+
+def _adapt_branches_for_file(
+    branches: list[list[tuple[str, str, object]]], present: set[str]
+):
+    """Rewrite a normalized DNF predicate for a file that is MISSING some
+    predicate columns (union_by_name schema evolution).  A missing column
+    reads as all-null in that file, so inside it: an `is_null` clause on it
+    is TRUE for every row (clause dropped from its branch), and any other
+    clause on it is FALSE (branch dropped).  Returns the surviving DNF,
+    None when the whole file matches unconditionally (an always-true
+    branch), or _BRANCH_EXCLUDES_FILE when no branch can match."""
+    kept: list[list[tuple[str, str, object]]] = []
+    for br in branches:
+        new = []
+        dead = False
+        for c, op, v in br:
+            if c in present:
+                new.append((c, op, v))
+            elif op == "is_null":
+                continue  # all-null column: clause is TRUE here
+            else:
+                dead = True  # value/not_null on all-null column: FALSE
+                break
+        if dead:
+            continue
+        if not new:
+            return None  # this branch is TRUE for every row of the file
+        kept.append(new)
+    return kept if kept else _BRANCH_EXCLUDES_FILE
+
+
 def read_par1_dataset(
     paths: str | list[str],
     columns: list[str] | None = None,
@@ -289,6 +322,7 @@ def read_par1_dataset(
     verify_crc: bool = False,
     split_row_groups: bool = False,
     partitions: dict[str, object] | None = None,
+    union_by_name: bool = False,
 ) -> rd.Dataset:
     """Distributed pruning scan over engine-written parquet files.
 
@@ -313,10 +347,17 @@ def read_par1_dataset(
     expands each file into (path, row-group) work items, which then scan
     one row group per item — a 10 GB single file becomes as many tasks as
     it has row groups instead of one.  The driver holds only the
-    part-count-sized item listing, never data."""
+    part-count-sized item listing, never data.
+
+    ``union_by_name=True`` handles SCHEMA EVOLUTION across a long-lived
+    corpus: a distributed footer-only pass unifies the files' schemas by
+    name (strict: a type conflict raises), columns absent from an older
+    file materialize as typed nulls, and predicate clauses on absent
+    columns evaluate with all-null semantics per file (is_null -> true,
+    anything else -> that branch is false there)."""
     import glob as _glob
 
-    from ..formats.par1 import _schema_tree, read_par1_pruned
+    from ..formats.par1 import _normalize_predicate, _schema_tree, read_par1_pruned
 
     if isinstance(paths, str):
         if os.path.isdir(paths):
@@ -332,17 +373,75 @@ def read_par1_dataset(
         paths = [p for p in paths if want <= set(p.split(os.sep))]
     if not paths:
         raise ValueError("read_par1_dataset: no input files")
-    nodes = {n.name: n for n in _schema_tree(read_par1_meta(paths[0]))}
-    names = list(columns) if columns is not None else list(nodes)
-    empty = pa.table({nm: pa.chunked_array([], type=nodes[nm].type) for nm in names})
+    if union_by_name:
+        # distributed footer-only schema pass: one serialized-schema row per
+        # file (KBs) comes back to the driver and unifies by name
+        def file_schema(batch: pa.Table) -> pa.Table:
+            out = []
+            for p in batch["path"].to_pylist():
+                ns = _schema_tree(read_par1_meta(p))
+                sch = pa.schema([pa.field(n.name, n.type) for n in ns])
+                out.append(sch.serialize().to_pybytes())
+            return pa.table({"schema": pa.array(out, pa.binary())})
+
+        rows = (
+            rd.from_items(
+                [{"path": p} for p in paths],
+                override_num_blocks=min(len(paths), 64),
+            )
+            .map_batches(file_schema, batch_format="pyarrow")
+            .take_all()
+        )
+        unified = pa.unify_schemas(
+            [pa.ipc.read_schema(pa.py_buffer(r["schema"])) for r in rows]
+        )
+        types = {f.name: f.type for f in unified}
+    else:
+        types = {n.name: n.type for n in _schema_tree(read_par1_meta(paths[0]))}
+    names = list(columns) if columns is not None else list(types)
+    empty = pa.table({nm: pa.chunked_array([], type=types[nm]) for nm in names})
+    branches = _normalize_predicate(predicate)
+
+    def _read_one(p: str, rgs: list[int] | None) -> pa.Table | None:
+        if not union_by_name:
+            tbl, _st = read_par1_pruned(
+                p, names, predicate, verify_crc=verify_crc, row_groups=rgs
+            )
+            return tbl
+        meta = read_par1_meta(p)
+        present = {n.name for n in _schema_tree(meta)}
+        pred = _adapt_branches_for_file(branches, present) if branches else None
+        if pred == _BRANCH_EXCLUDES_FILE:
+            return None
+        cols_here = [n for n in names if n in present]
+        if not cols_here:
+            cnt = sum(
+                rg["num_rows"]
+                for i, rg in enumerate(meta["row_groups"])
+                if rgs is None or i in set(rgs)
+            )
+            return pa.table({n: pa.nulls(cnt, types[n]) for n in names})
+        tbl, _st = read_par1_pruned(
+            p, cols_here, pred, verify_crc=verify_crc, row_groups=rgs
+        )
+        arrs = {}
+        for n in names:
+            if n in present:
+                col = tbl[n]
+                if col.type != types[n]:
+                    col = col.cast(types[n])
+                arrs[n] = col
+            else:
+                arrs[n] = pa.nulls(tbl.num_rows, types[n])
+        return pa.table(arrs)
 
     if not split_row_groups:
 
         def read_file(batch: pa.Table) -> pa.Table:
             tables = []
             for p in batch["path"].to_pylist():
-                tbl, _st = read_par1_pruned(p, names, predicate, verify_crc=verify_crc)
-                if tbl.num_rows:
+                tbl = _read_one(p, None)
+                if tbl is not None and tbl.num_rows:
                     tables.append(tbl)
             return pa.concat_tables(tables) if tables else empty
 
@@ -370,10 +469,8 @@ def read_par1_dataset(
     def read_rgs(batch: pa.Table) -> pa.Table:
         tables = []
         for p, rg_i in zip(batch["path"].to_pylist(), batch["rg"].to_pylist()):
-            tbl, _st = read_par1_pruned(
-                p, names, predicate, verify_crc=verify_crc, row_groups=[rg_i]
-            )
-            if tbl.num_rows:
+            tbl = _read_one(p, [rg_i])
+            if tbl is not None and tbl.num_rows:
                 tables.append(tbl)
         return pa.concat_tables(tables) if tables else empty
 
@@ -634,6 +731,29 @@ def native_dnf_scan(sf_dir: str) -> rd.Dataset:
             [("l_orderkey", "<", 2000), ("l_quantity", ">=", 30)],
             [("l_suppkey", "in", [3, 17])],
         ],
+    )
+
+
+def native_evolved_scan(sf_dir: str) -> rd.Dataset:
+    """Schema-evolution scan (union_by_name): two 'generations' of the
+    documents corpus land in one directory — older parts carry only
+    (doc_id, lang), newer parts added an n_chars column.  One
+    read_par1_dataset(union_by_name=True) call scans both: the missing
+    column materializes as nulls in old parts, and the DNF predicate's
+    clauses on it adapt per file (is_null ~ 'old generation')."""
+    out_dir = f"/tmp/pgr_native_evo_{uuid.uuid4().hex[:8]}"
+    old = _read_parquet_any(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    gen0 = old.filter(expr="doc_id < 250").drop_columns(["n_chars"]).repartition(3)
+    gen1 = old.filter(expr="doc_id >= 250").repartition(3)
+    write_par1_dataset(gen0, out_dir, codec="snappy", page_rows=2048).materialize()
+    write_par1_dataset(gen1, out_dir, codec="snappy", page_rows=2048).materialize()
+    return read_par1_dataset(
+        out_dir,
+        columns=["doc_id", "lang", "n_chars"],
+        predicate=[[("n_chars", ">=", 500)], [("n_chars", "is_null", None)]],
+        union_by_name=True,
     )
 
 

@@ -528,3 +528,100 @@ def test_read_par1_dataset_split_row_groups(ray_session, tmp_path):
     )
     exp = t.filter(pc.greater_equal(t["k"], 10500))
     assert list(pruned.k) == exp["k"].to_pylist()
+
+
+def test_read_par1_dataset_union_by_name(ray_session, tmp_path):
+    """Schema evolution: old parts lack a column; union_by_name fills typed
+    nulls, adapts predicates per file, and raises on type conflicts."""
+    import pyarrow.compute as pc
+
+    from parquet_go_ray.formats.par1 import write_par1
+    from parquet_go_ray.pipelines.native_io import read_par1_dataset
+
+    d = tmp_path / "evo"
+    d.mkdir()
+    old = pa.table(
+        {
+            "k": pa.array(np.arange(0, 500, dtype=np.int64)),
+            "s": pa.array([f"o{i%7}" for i in range(500)]),
+        }
+    )
+    new = pa.table(
+        {
+            "k": pa.array(np.arange(500, 1000, dtype=np.int64)),
+            "s": pa.array([f"n{i%5}" for i in range(500)]),
+            "extra": pa.array(np.arange(500, dtype=np.float64)),
+        }
+    )
+    write_par1(old, str(d / "old.parquet"), codec="snappy", page_rows=100)
+    write_par1(new, str(d / "new.parquet"), codec="snappy", page_rows=100)
+
+    # plain union: old part's `extra` is all null
+    ds = read_par1_dataset(str(d), union_by_name=True)
+    got = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(got.columns) == ["k", "s", "extra"]
+    assert got["extra"].isna().sum() == 500
+    assert got["extra"].notna().sum() == 500
+
+    # value predicate on the evolved column: old file contributes nothing
+    got2 = read_par1_dataset(
+        str(d), columns=["k", "extra"], predicate=("extra", "<", 100.0),
+        union_by_name=True,
+    ).to_pandas()
+    assert sorted(got2["k"]) == list(range(500, 600))
+
+    # is_null branch keeps the old generation; OR branch keeps big extras
+    got3 = read_par1_dataset(
+        str(d),
+        columns=["k"],
+        predicate=[[("extra", "is_null", None)], [("extra", ">=", 400.0)]],
+        union_by_name=True,
+    ).to_pandas()
+    assert sorted(got3["k"]) == list(range(0, 500)) + list(range(900, 1000))
+
+    # not_null on the missing column excludes the old file entirely
+    got4 = read_par1_dataset(
+        str(d), columns=["k"], predicate=("extra", "not_null", None),
+        union_by_name=True,
+    ).to_pandas()
+    assert sorted(got4["k"]) == list(range(500, 1000))
+
+    # split_row_groups path composes with union_by_name
+    got5 = (
+        read_par1_dataset(
+            str(d), columns=["k", "extra"], predicate=("k", ">=", 450),
+            union_by_name=True, split_row_groups=True,
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert list(got5["k"]) == list(range(450, 1000))
+    assert got5["extra"].isna().sum() == 50
+
+    # type conflict is strict
+    clash = pa.table({"k": pa.array(["a", "b"])})
+    write_par1(clash, str(d / "clash.parquet"), codec="snappy")
+    with pytest.raises((pa.ArrowInvalid, pa.ArrowTypeError)):
+        read_par1_dataset(str(d), union_by_name=True)
+
+
+def test_read_par1_dataset_union_no_projected_columns(ray_session, tmp_path):
+    """A file with NONE of the projected columns still contributes its row
+    count as all-null rows."""
+    from parquet_go_ray.formats.par1 import write_par1
+    from parquet_go_ray.pipelines.native_io import read_par1_dataset
+
+    d = tmp_path / "evo2"
+    d.mkdir()
+    write_par1(
+        pa.table({"a": pa.array([1, 2, 3], pa.int64())}),
+        str(d / "p1.parquet"), codec="none",
+    )
+    write_par1(
+        pa.table({"b": pa.array([10.0, 20.0], pa.float64())}),
+        str(d / "p2.parquet"), codec="none",
+    )
+    got = read_par1_dataset(str(d), columns=["b"], union_by_name=True).to_pandas()
+    assert len(got) == 5
+    assert got["b"].isna().sum() == 3
+    assert sorted(got["b"].dropna()) == [10.0, 20.0]
