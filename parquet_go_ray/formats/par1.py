@@ -268,16 +268,15 @@ def _encode_values(enc: str, arr: pa.Array) -> bytes:
 
 
 _STAT_PACK = {PT_INT32: "<i", PT_INT64: "<q", PT_FLOAT: "<f", PT_DOUBLE: "<d"}
-_STAT_MAX_LEN = 256  # skip indexes rather than truncate huge byte-array stats
-
-
 def _stat_bytes(v, pt: int) -> bytes | None:
     """One min/max value -> its plain-encoded stat bytes (parquet-format
     Statistics / ColumnIndex encoding: little-endian for numerics, raw bytes
     for BYTE_ARRAY/FLBA, single byte for BOOLEAN).  None = not representable
-    (NaN, oversized) -> the caller omits the whole index, which the spec
-    allows (reference accumulates the same per-page stats in
-    writer/writer.go:418-481 before serializing the page indexes)."""
+    (NaN) -> the caller omits the whole index, which the spec allows
+    (reference accumulates the same per-page stats in
+    writer/writer.go:418-481 before serializing the page indexes).  Long
+    BYTE_ARRAY values are TRUNCATED to sound bounds by the callers
+    (_trunc_min_bytes/_trunc_max_bytes) rather than dropped."""
     import math
     import struct
 
@@ -291,7 +290,35 @@ def _stat_bytes(v, pt: int) -> bytes | None:
         return struct.pack(_STAT_PACK[pt], v)
     if isinstance(v, str):
         v = v.encode()
-    return v if len(v) <= _STAT_MAX_LEN else None
+    return v
+
+
+_STAT_TRUNCATE = 64  # parquet-mr's columnIndexTruncateLength default
+
+
+def _trunc_min_bytes(b: bytes, limit: int = _STAT_TRUNCATE) -> bytes:
+    """Sound lower bound for Statistics/ColumnIndex min of a long value:
+    its prefix (<= the true min).  Only applied when the prefix is pure
+    ASCII so a UTF8-annotated column's stats stay valid UTF-8 (multi-KB
+    text values otherwise bloat every page's index entry)."""
+    if len(b) <= limit or any(x >= 0x80 for x in b[:limit]):
+        return b
+    return b[:limit]
+
+
+def _trunc_max_bytes(b: bytes, limit: int = _STAT_TRUNCATE) -> bytes:
+    """Sound upper bound: the prefix with its last non-0xFF byte
+    incremented (> every value sharing the prefix).  ASCII-guarded like
+    _trunc_min_bytes; falls back to the exact value when it can't round
+    up."""
+    if len(b) <= limit or any(x >= 0x80 for x in b[:limit]):
+        return b
+    p = bytearray(b[:limit])
+    for i in range(len(p) - 1, -1, -1):
+        if p[i] != 0xFF:
+            p[i] += 1
+            return bytes(p[: i + 1])
+    return b
 
 
 def _boundary_order(null_pages: list[bool], mins: list[bytes], maxs: list[bytes], pt: int) -> int:
@@ -507,8 +534,11 @@ def _write_leaf_chunk(
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
             if pt in (PT_FLOAT, PT_DOUBLE) and lo is not None and lo > hi:
                 lo = hi = None  # all-NaN page: Arrow yields inverted +/-inf
-            mins.append(_stat_bytes(lo, pt))
-            maxs.append(_stat_bytes(hi, pt))
+            lo_b, hi_b = _stat_bytes(lo, pt), _stat_bytes(hi, pt)
+            if pt == PT_BYTE_ARRAY and lo_b is not None and hi_b is not None:
+                lo_b, hi_b = _trunc_min_bytes(lo_b), _trunc_max_bytes(hi_b)
+            mins.append(lo_b)
+            maxs.append(hi_b)
         else:
             mins.append(b"")
             maxs.append(b"")
@@ -625,6 +655,9 @@ def _write_leaf_chunk(
             lo_b = _stat_bytes(mm["min"].as_py(), pt)
             hi_b = _stat_bytes(mm["max"].as_py(), pt)
             if lo_b is not None and hi_b is not None:
+                if pt == PT_BYTE_ARRAY:
+                    lo_b = _trunc_min_bytes(lo_b)
+                    hi_b = _trunc_max_bytes(hi_b)
                 meta["statistics"] = {
                     "min_value": lo_b,
                     "max_value": hi_b,

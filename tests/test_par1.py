@@ -1156,3 +1156,59 @@ def test_scan_par1_column_in_and_ne(tmp_path):
     got2, _ = scan_par1_column(p, "s", predicate=("!=", "row5"))
     exp2 = t.filter(pa.compute.not_equal(t["s"], "row5"))
     assert got2["s"].to_pylist() == exp2["s"].to_pylist()
+
+
+def test_stat_truncation_long_strings(tmp_path):
+    """Multi-KB string values truncate to sound <=65-byte bounds in both
+    chunk Statistics and ColumnIndex (parquet-mr columnIndexTruncateLength
+    semantics); pruned reads stay exact and DuckDB still reads the file."""
+    import duckdb
+
+    from parquet_go_ray.formats.par1 import (
+        _trunc_max_bytes,
+        _trunc_min_bytes,
+        read_par1_meta,
+        read_par1_page_index,
+        read_par1_pruned,
+    )
+
+    # unit: bounds are sound and short
+    v = b"prefix-" + b"z" * 500
+    assert _trunc_min_bytes(v) == v[:64] <= v
+    mx = _trunc_max_bytes(v)
+    assert len(mx) <= 64 and mx > v
+    assert _trunc_max_bytes(b"\xff" * 100) == b"\xff" * 100  # can't round up
+    utf8 = ("é" * 100).encode()  # non-ASCII prefix: kept exact
+    assert _trunc_min_bytes(utf8) == utf8 and _trunc_max_bytes(utf8) == utf8
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    texts = [
+        f"{chr(97 + (i // 500) % 8)}{i:06d}-" + "x" * int(rng.integers(100, 2000))
+        for i in range(n)
+    ]
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)), "text": pa.array(texts)})
+    p = str(tmp_path / "longtext.parquet")
+    write_par1(t, p, codec="zstd", row_group_rows=2000, page_rows=500)
+
+    md = read_par1_meta(p)
+    for rg in md["row_groups"]:
+        st = rg["columns"][1]["meta_data"]["statistics"]
+        assert len(st["min_value"]) <= 64 and len(st["max_value"]) <= 64
+    idx = read_par1_page_index(p)
+    for rg_idx in idx:
+        ci = rg_idx[1]["column_index"]
+        assert all(len(m) <= 64 for m in ci["min_values"])
+        assert all(len(m) <= 64 for m in ci["max_values"])
+
+    # pruning on the truncated column stays exact
+    got, st = read_par1_pruned(p, ["k"], predicate=("text", ">=", "m"))
+    exp = t.filter(pa.compute.greater_equal(t["text"], "m"))["k"].to_pylist()
+    assert got["k"].to_pylist() == exp
+    assert st["pages_decoded"] < st["pages_total"]
+
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT count(*) FROM read_parquet('{p}') WHERE text >= 'm'"
+    ).fetchone()[0] == len(exp)
+    con.close()
