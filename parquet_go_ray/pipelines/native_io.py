@@ -282,6 +282,128 @@ def scan_native_pruned(sf_dir: str, lo: int = 12000) -> rd.Dataset:
     return manifest.map_batches(scan_batch, batch_format="pyarrow", batch_size=None)
 
 
+MANIFEST_NAME = "_manifest.parquet"
+
+
+def build_par1_manifest(dir_path: str) -> str:
+    """Build (or rebuild) a directory-level manifest for a PAR1 dataset:
+    one row per part file with its row/byte counts and per-column min/max/
+    null stats aggregated from the part's own footer.  The footer scan is
+    DISTRIBUTED (one Ray task per ~64-file slice reads only footers); the
+    driver receives part-count-sized rows and writes one small
+    `_manifest.parquet` (through the engine's own writer).  Scans then
+    prune whole FILES driver-side from the manifest before spawning a
+    single task — the listing-level pruning a 10^6-file corpus needs, the
+    same role as Iceberg/Delta manifest files.  Returns the manifest
+    path."""
+    import glob as _glob
+
+    paths = sorted(
+        p
+        for p in _glob.glob(os.path.join(dir_path, "**", "*.parquet"), recursive=True)
+        if os.path.basename(p) != MANIFEST_NAME
+    )
+    if not paths:
+        raise ValueError(f"build_par1_manifest: no parts under {dir_path}")
+
+    def footer_stats(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["path"].to_pylist():
+            rel = os.path.relpath(os.path.dirname(p), dir_path)
+            rows.append(
+                {
+                    "path": p,
+                    "partition": "" if rel == "." else rel,
+                    "rows": sum(
+                        rg["num_rows"] for rg in read_par1_meta(p)["row_groups"]
+                    ),
+                    "bytes": os.path.getsize(p),
+                    "skipped": False,
+                    "stats": _part_stats_json(p),
+                }
+            )
+        return _manifest_table(rows)
+
+    rows = (
+        rd.from_items(
+            [{"path": p} for p in paths],
+            override_num_blocks=max(1, min(len(paths), 64)),
+        )
+        .map_batches(footer_stats, batch_format="pyarrow")
+        .take_all()
+    )
+    mpath = os.path.join(dir_path, MANIFEST_NAME)
+    tmp = f"{mpath}.tmp.{os.getpid()}"
+    write_par1(_manifest_table(rows), tmp, codec="zstd")
+    os.replace(tmp, mpath)
+    return mpath
+
+
+def _manifest_admits_file(stats: dict, branches) -> bool:
+    """File-level DNF admission from manifest stats — the same sound
+    zone/null logic as chunk pruning, one level up.  Unknown columns or
+    missing bounds admit."""
+    from ..formats.par1 import _PRED_OPS
+
+    for br in branches:
+        ok = True
+        for c, op, v in br:
+            ent = stats.get(c)
+            if ent is None:
+                continue  # column unknown to the manifest: can't exclude
+            if op == "is_null":
+                if ent["nulls"] == 0:
+                    ok = False
+                    break
+            elif op == "not_null":
+                if ent["nulls"] is not None and ent["nulls"] == ent["nv"]:
+                    ok = False
+                    break
+            else:
+                mn, mx = ent["min"], ent["max"]
+                if mn is None or mx is None:
+                    continue
+                if not _PRED_OPS[op](mn, mx, v):
+                    ok = False
+                    break
+        if ok:
+            return True
+    return False
+
+
+def _manifest_prune(
+    paths: list[str], manifest_path: str, branches
+) -> list[str]:
+    """Drop files the manifest's stats exclude (driver-side, before any Ray
+    task).  Files absent from the manifest are kept (stale-manifest safe);
+    manifest rows for deleted files are ignored."""
+    import base64
+    import json
+
+    from ..formats.par1 import read_par1
+
+    mtab = read_par1(manifest_path, columns=["path", "stats"])
+
+    def dec(v):
+        if isinstance(v, dict) and "b64" in v:
+            return base64.b64decode(v["b64"])
+        return v
+
+    known: dict[str, dict] = {}
+    for p, sj in zip(mtab["path"].to_pylist(), mtab["stats"].to_pylist()):
+        st = json.loads(sj)
+        known[p] = {
+            c: {**e, "min": dec(e["min"]), "max": dec(e["max"])}
+            for c, e in st.items()
+        }
+    kept = []
+    for p in paths:
+        st = known.get(p)
+        if st is None or _manifest_admits_file(st, branches):
+            kept.append(p)
+    return kept
+
+
 _BRANCH_EXCLUDES_FILE = "exclude-file"
 
 
@@ -323,8 +445,16 @@ def read_par1_dataset(
     split_row_groups: bool = False,
     partitions: dict[str, object] | None = None,
     union_by_name: bool = False,
+    use_manifest: bool | str = "auto",
 ) -> rd.Dataset:
     """Distributed pruning scan over engine-written parquet files.
+
+    ``use_manifest`` (default "auto"): when the input is a directory that
+    carries a ``_manifest.parquet`` (build_par1_manifest), the predicate
+    prunes whole FILES driver-side from the manifest's per-file stats
+    before a single Ray task is spawned — at 10^6-part scale that is the
+    difference between a listing filter and 10^6 footer-read tasks.  Files
+    missing from the manifest are kept (stale-safe).  False disables.
 
     ``predicate`` takes the full read_par1_pruned language: one
     (column, op, value) clause with op in >= > <= < == != in is_null
@@ -359,10 +489,16 @@ def read_par1_dataset(
 
     from ..formats.par1 import _normalize_predicate, _schema_tree, read_par1_pruned
 
+    src_dir = None
     if isinstance(paths, str):
         if os.path.isdir(paths):
+            src_dir = paths
             paths = sorted(
-                _glob.glob(os.path.join(paths, "**", "*.parquet"), recursive=True)
+                p
+                for p in _glob.glob(
+                    os.path.join(paths, "**", "*.parquet"), recursive=True
+                )
+                if os.path.basename(p) != MANIFEST_NAME
             )
         else:
             paths = [paths]
@@ -373,6 +509,22 @@ def read_par1_dataset(
         paths = [p for p in paths if want <= set(p.split(os.sep))]
     if not paths:
         raise ValueError("read_par1_dataset: no input files")
+    schema_fallback = paths[0]
+    if src_dir is not None and predicate is not None and use_manifest:
+        mpath = os.path.join(src_dir, MANIFEST_NAME)
+        if os.path.exists(mpath):
+            paths = _manifest_prune(
+                paths, mpath, _normalize_predicate(predicate)
+            )
+    if not paths:
+        # every file excluded by the manifest: typed empty dataset
+        ftypes = {
+            n.name: n.type for n in _schema_tree(read_par1_meta(schema_fallback))
+        }
+        fnames = list(columns) if columns is not None else list(ftypes)
+        return rd.from_arrow(
+            pa.table({nm: pa.chunked_array([], type=ftypes[nm]) for nm in fnames})
+        )
     if union_by_name:
         # distributed footer-only schema pass: one serialized-schema row per
         # file (KBs) comes back to the driver and unifies by name
@@ -511,6 +663,64 @@ def _ipc_content_tag(batch: "pa.Table") -> str:
     return h.hexdigest()[:16]
 
 
+def _part_stats_json(path: str) -> str:
+    """Per-file column stats for the sink manifest, aggregated from the
+    file's own footer: {col: {pt, min, max, nulls, nv}} as JSON.  min/max
+    are the decoded chunk Statistics bounds (already soundly truncated for
+    long byte arrays by the writer); BYTE_ARRAY bounds are base64 so the
+    JSON stays valid.  Columns lacking stats in any row group record
+    min/max null -> scans treat them as unknown (admit)."""
+    import base64
+    import json
+
+    from ..formats.par1 import _stat_min_max, _stat_py
+
+    md = read_par1_meta(path)
+    agg: dict[str, dict] = {}
+    for rg in md["row_groups"]:
+        for ch in rg["columns"]:
+            m = ch["meta_data"]
+            if len(m["path_in_schema"]) != 1:
+                continue
+            name = m["path_in_schema"][0]
+            ent = agg.setdefault(
+                name, {"pt": m["type"], "min": None, "max": None, "nulls": 0, "nv": 0}
+            )
+            ent["nv"] += m["num_values"]
+            st = m.get("statistics")
+            mm = _stat_min_max(st, m["type"])
+            if mm is None:
+                ent["unknown"] = True
+            else:
+                lo, hi = _stat_py(mm[0], m["type"]), _stat_py(mm[1], m["type"])
+                if ent["min"] is None or lo < ent["min"]:
+                    ent["min"] = lo
+                if ent["max"] is None or hi > ent["max"]:
+                    ent["max"] = hi
+            if st is not None and st.get("null_count") is not None:
+                ent["nulls"] += st["null_count"]
+            else:
+                ent["unknown_nulls"] = True
+
+    def enc(v):
+        if isinstance(v, bytes):
+            return {"b64": base64.b64encode(v).decode()}
+        return v
+
+    out = {}
+    for name, ent in agg.items():
+        if ent.get("unknown"):
+            ent["min"] = ent["max"] = None
+        out[name] = {
+            "pt": ent["pt"],
+            "min": enc(ent["min"]),
+            "max": enc(ent["max"]),
+            "nulls": None if ent.get("unknown_nulls") else ent["nulls"],
+            "nv": ent["nv"],
+        }
+    return json.dumps(out)
+
+
 def _write_part(batch: "pa.Table", part_dir: str, partition: str, write_kwargs: dict) -> dict:
     """One block -> one content-named PAR1 file (atomic, skip-existing)."""
     tag = _ipc_content_tag(batch)
@@ -524,6 +734,7 @@ def _write_part(batch: "pa.Table", part_dir: str, partition: str, write_kwargs: 
     return {
         "path": path, "partition": partition, "rows": batch.num_rows,
         "bytes": os.path.getsize(path), "skipped": skipped,
+        "stats": _part_stats_json(path),
     }
 
 
@@ -535,6 +746,7 @@ def _manifest_table(rows: list) -> "pa.Table":
             "rows": pa.array([r["rows"] for r in rows], pa.int64()),
             "bytes": pa.array([r["bytes"] for r in rows], pa.int64()),
             "skipped": pa.array([r["skipped"] for r in rows], pa.bool_()),
+            "stats": pa.array([r["stats"] for r in rows], pa.string()),
         }
     )
 
@@ -565,7 +777,9 @@ def compact_par1_dataset(
     import glob as _glob
 
     paths = sorted(
-        _glob.glob(os.path.join(in_dir, "**", "*.parquet"), recursive=True)
+        p
+        for p in _glob.glob(os.path.join(in_dir, "**", "*.parquet"), recursive=True)
+        if os.path.basename(p) != MANIFEST_NAME
     )
     if not paths:
         raise ValueError("compact_par1_dataset: no input files")
@@ -715,7 +929,10 @@ def native_dnf_scan(sf_dir: str) -> rd.Dataset:
     branches — (l_orderkey < 2000 AND l_quantity >= 30) OR l_suppkey IN
     (3, 17).  Each Ray task evaluates every branch against its file's chunk
     Statistics / bloom / dictionary and decodes only the UNION of the
-    branches' surviving page row-ranges."""
+    branches' surviving page row-ranges.  A build_par1_manifest pass after
+    the sink puts FILE-level manifest pruning in front of the footer
+    reads, so the whole pruning ladder (manifest -> Statistics/bloom ->
+    ColumnIndex pages) runs under the one oracle."""
     out_dir = f"/tmp/pgr_native_dnf_{uuid.uuid4().hex[:8]}"
     cols = ["l_orderkey", "l_suppkey", "l_quantity", "l_returnflag"]
     ds = _read_parquet_any(f"{sf_dir}/lineitem.parquet", columns=cols).repartition(8)
@@ -724,6 +941,7 @@ def native_dnf_scan(sf_dir: str) -> rd.Dataset:
         encodings={"l_orderkey": "delta_bp", "l_returnflag": "dict"},
         bloom=["l_suppkey"],
     ).materialize()
+    build_par1_manifest(out_dir)
     return read_par1_dataset(
         out_dir,
         columns=cols,

@@ -625,3 +625,83 @@ def test_read_par1_dataset_union_no_projected_columns(ray_session, tmp_path):
     assert len(got) == 5
     assert got["b"].isna().sum() == 3
     assert sorted(got["b"].dropna()) == [10.0, 20.0]
+
+
+def test_par1_manifest_file_pruning(ray_session, tmp_path):
+    """build_par1_manifest + manifest-pruned scans: the listing drops whole
+    files driver-side from per-file stats; results stay exact."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+
+    from parquet_go_ray.formats.par1 import _normalize_predicate, read_par1
+    from parquet_go_ray.pipelines.native_io import (
+        MANIFEST_NAME,
+        _manifest_prune,
+        build_par1_manifest,
+        read_par1_dataset,
+        write_par1_dataset,
+    )
+
+    import ray.data as rd
+
+    d = str(tmp_path / "mani")
+    n = 24000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array([f"s{i % 31}" for i in range(n)]),
+        }
+    )
+    write_par1_dataset(
+        rd.from_arrow(t).repartition(8), d, codec="snappy", page_rows=1000
+    ).materialize()
+    mpath = build_par1_manifest(d)
+    mtab = read_par1(mpath)
+    assert mtab.num_rows == 8
+    assert "stats" in mtab.column_names
+
+    paths = sorted(
+        p
+        for p in glob.glob(d + "/**/*.parquet", recursive=True)
+        if os.path.basename(p) != MANIFEST_NAME
+    )
+    kept = _manifest_prune(paths, mpath, _normalize_predicate(("k", "<", 3000)))
+    assert 0 < len(kept) < len(paths)
+
+    got = read_par1_dataset(d, columns=["k"], predicate=("k", "<", 3000)).to_pandas()
+    assert sorted(got["k"]) == list(range(3000))
+
+    # DNF through the manifest: union of admitting files, exact rows
+    got2 = read_par1_dataset(
+        d,
+        columns=["k", "s"],
+        predicate=[[("s", "==", "s7"), ("k", ">=", 23000)], [("k", "<", 10)]],
+    ).to_pandas()
+    exp2 = [i for i in range(n) if (i % 31 == 7 and i >= 23000) or i < 10]
+    assert sorted(got2["k"]) == exp2
+
+    # every file excluded -> typed empty dataset (schema survives)
+    ds3 = read_par1_dataset(d, columns=["k"], predicate=("k", "<", -5))
+    assert ds3.count() == 0
+    assert [f.name for f in ds3.schema().base_schema] == ["k"]
+
+    # a stale manifest (file added after build) keeps the unknown file
+    from parquet_go_ray.formats.par1 import write_par1
+
+    extra = pa.table(
+        {
+            "k": pa.array([-100], pa.int64()),
+            "s": pa.array(["zz"]),
+        }
+    )
+    write_par1(extra, os.path.join(d, "part_manual.parquet"), codec="none")
+    got4 = read_par1_dataset(d, columns=["k"], predicate=("k", "<", -5)).to_pandas()
+    assert list(got4["k"]) == [-100]
+
+    # use_manifest=False bypasses the manifest entirely (same rows)
+    got5 = read_par1_dataset(
+        d, columns=["k"], predicate=("k", "<", 3000), use_manifest=False
+    ).to_pandas()
+    assert sorted(got5["k"]) == [-100] + list(range(3000))
