@@ -759,6 +759,7 @@ def compact_par1_dataset(
     encodings: dict[str, str] | None = None,
     page_rows: int = 65536,
     bloom: dict[str, float] | list[str] | None = None,
+    sort_by: str | list[str] | None = None,
 ) -> rd.Dataset:
     """Small-files compaction: bin-pack a directory of PAR1 parts into
     ~``target_bytes`` output files, one Ray task per bin (each task reads
@@ -804,13 +805,20 @@ def compact_par1_dataset(
         if cur:
             bins.append((rel, cur))
 
+    sort_keys = [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
     wkw = dict(codec=codec, encodings=encodings, page_rows=page_rows, bloom=bloom)
+    if sort_keys:
+        # compaction is the natural moment to (re-)cluster: each output bin
+        # sorts by the keys, so its pages become tight bands for pruning
+        wkw["sorting_columns"] = [(c, False, False) for c in sort_keys]
 
     def compact_bin(batch: pa.Table) -> pa.Table:
         rows = []
         for i in batch["bin"].to_pylist():
             rel, members = bins[i]
             merged = pa.concat_tables([read_par1(p) for p in members])
+            if sort_keys:
+                merged = merged.sort_by([(c, "ascending") for c in sort_keys])
             rows.append(
                 _write_part(merged, os.path.join(out_dir, rel), rel, wkw)
             )
@@ -1020,6 +1028,7 @@ def write_par1_dataset(
     key_value_metadata: dict[str, str] | None = None,
     bloom: dict[str, float] | list[str] | None = None,
     partition_by: str | None = None,
+    sort_by: str | list[str] | None = None,
 ) -> rd.Dataset:
     """Distributed native-format sink: every Ray block becomes one indexed
     PAR1 file (pages + CRC + ColumnIndex/OffsetIndex + Statistics) under
@@ -1035,19 +1044,30 @@ def write_par1_dataset(
     filters on the partition column skips whole directories without a
     single footer read (`read_par1_dataset(partitions={...})`).
 
-    Returns the manifest dataset {path, partition, rows, bytes, skipped}
-    (one row per part), which is also the natural input to
+    `sort_by`: BLOCK-LOCAL ascending sort before encoding — pages inside
+    each part become tight key bands, so ColumnIndex pruning on those keys
+    turns selective (and the files record RowGroup.sorting_columns).  A
+    globally clustered layout additionally needs a prior ds.sort()/
+    repartition by key; this flag alone never shuffles.
+
+    Returns the manifest dataset {path, partition, rows, bytes, skipped,
+    stats} (one row per part), which is also the natural input to
     read_par1_dataset."""
     import pyarrow.compute as pc
 
     os.makedirs(out_dir, exist_ok=True)
+    sort_keys = [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
     wkw = dict(
         codec=codec, encodings=encodings, page_rows=page_rows,
         row_group_rows=row_group_rows, data_page_version=data_page_version,
         key_value_metadata=key_value_metadata, bloom=bloom,
     )
+    if sort_keys:
+        wkw["sorting_columns"] = [(c, False, False) for c in sort_keys]
 
     def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows and sort_keys:
+            batch = batch.sort_by([(c, "ascending") for c in sort_keys])
         out_rows: list[dict] = []
         if batch.num_rows:
             if partition_by is None:

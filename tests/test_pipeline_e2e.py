@@ -705,3 +705,65 @@ def test_par1_manifest_file_pruning(ray_session, tmp_path):
         d, columns=["k"], predicate=("k", "<", 3000), use_manifest=False
     ).to_pandas()
     assert sorted(got5["k"]) == [-100] + list(range(3000))
+
+
+def test_write_par1_dataset_sort_by(ray_session, tmp_path):
+    """Block-local sort_by turns pages into tight key bands: same rows,
+    far fewer pages decoded under a key predicate; sorting_columns is
+    recorded.  Compaction re-clusters with the same flag."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from parquet_go_ray.formats.par1 import read_par1_meta, read_par1_pruned
+    from parquet_go_ray.pipelines.native_io import (
+        compact_par1_dataset,
+        read_par1_dataset,
+        write_par1_dataset,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 20000
+    t = pa.table(
+        {
+            "k": pa.array(rng.permutation(n).astype(np.int64)),
+            "v": pa.array(rng.normal(size=n)),
+        }
+    )
+
+    def decoded_pages(d):
+        tot = dec = 0
+        for p in sorted(glob.glob(d + "/**/part_*.parquet", recursive=True)):
+            _, st = read_par1_pruned(p, ["k", "v"], predicate=("k", "<", 1000))
+            tot += st["pages_total"]
+            dec += st["pages_decoded"]
+        return dec, tot
+
+    d0, d1 = str(tmp_path / "plainsink"), str(tmp_path / "sortedsink")
+    write_par1_dataset(
+        rd.from_arrow(t).repartition(4), d0, codec="snappy", page_rows=500
+    ).materialize()
+    write_par1_dataset(
+        rd.from_arrow(t).repartition(4), d1, codec="snappy", page_rows=500,
+        sort_by="k",
+    ).materialize()
+    dec0, tot0 = decoded_pages(d0)
+    dec1, tot1 = decoded_pages(d1)
+    assert dec0 == tot0  # permuted keys: nothing prunes
+    assert dec1 <= tot1 // 4  # banded keys: most pages drop
+
+    got = read_par1_dataset(d1, predicate=("k", "<", 1000)).to_pandas()
+    assert sorted(got["k"]) == list(range(1000))
+    anyp = sorted(glob.glob(d1 + "/part_*.parquet"))[0]
+    sc = read_par1_meta(anyp)["row_groups"][0]["sorting_columns"]
+    assert sc == [{"column_idx": 0, "descending": False, "nulls_first": False}]
+
+    # compaction with sort_by re-clusters the merged bins
+    d2 = str(tmp_path / "compacted")
+    compact_par1_dataset(d0, d2, target_bytes=1 << 30, page_rows=500,
+                         sort_by="k").materialize()
+    dec2, tot2 = decoded_pages(d2)
+    assert dec2 <= max(tot2 // 8, 2)
+    got2 = read_par1_dataset(d2, predicate=("k", "<", 1000)).to_pandas()
+    assert sorted(got2["k"]) == list(range(1000))
