@@ -339,6 +339,111 @@ def build_par1_manifest(dir_path: str) -> str:
     return mpath
 
 
+def validate_par1_dataset(
+    dir_path: str, check_manifest: bool = True
+) -> rd.Dataset:
+    """Distributed integrity check (fsck) over a native dataset: one Ray
+    task slice per file verifies that the footer parses, every page body
+    matches its CRC-32, the decoded row count equals the footer's, each
+    flat column's actual min/max lie INSIDE the recorded Statistics bounds
+    (truncation makes bounds wider, never narrower), and — when a
+    `_manifest.parquet` exists and covers the file — the manifest row/byte
+    counts match the file.  Returns {path, ok, error} (error='' when ok);
+    the maintenance sweep a 100 TB archive runs after transfers/bitrot
+    windows.  Also flags stray `*.tmp.*` leftovers from crashed writers."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    from ..formats.par1 import _schema_tree, _stat_min_max, _stat_py, read_par1
+
+    paths = sorted(
+        p
+        for p in _glob.glob(os.path.join(dir_path, "**", "*.parquet"), recursive=True)
+        if os.path.basename(p) != MANIFEST_NAME
+    )
+    if not paths:
+        raise ValueError(f"validate_par1_dataset: no parts under {dir_path}")
+    stray = sorted(
+        _glob.glob(os.path.join(dir_path, "**", "*.tmp.*"), recursive=True)
+    )
+    mpath = os.path.join(dir_path, MANIFEST_NAME)
+    man: dict[str, dict] = {}
+    if check_manifest and os.path.exists(mpath):
+        mtab = read_par1(mpath, columns=["path", "rows", "bytes"])
+        man = {
+            p: {"rows": r, "bytes": b}
+            for p, r, b in zip(
+                mtab["path"].to_pylist(),
+                mtab["rows"].to_pylist(),
+                mtab["bytes"].to_pylist(),
+            )
+        }
+
+    def check_file(p: str) -> str:
+        md = read_par1_meta(p)
+        tbl = read_par1(p, verify_crc=True)  # decodes everything + CRCs
+        meta_rows = sum(rg["num_rows"] for rg in md["row_groups"])
+        if tbl.num_rows != meta_rows:
+            return f"row count {tbl.num_rows} != footer {meta_rows}"
+        flat = {n.name: n for n in _schema_tree(md) if n.kind == "leaf"}
+        for rg in md["row_groups"]:
+            for ch in rg["columns"]:
+                m = ch["meta_data"]
+                if len(m["path_in_schema"]) != 1:
+                    continue
+                name = m["path_in_schema"][0]
+                if name not in flat:
+                    continue
+                mm = _stat_min_max(m.get("statistics"), m["type"])
+                if mm is None:
+                    continue
+                lo, hi = _stat_py(mm[0], m["type"]), _stat_py(mm[1], m["type"])
+                col = tbl[name]
+                vals = pc.min_max(col)
+                amn, amx = vals["min"].as_py(), vals["max"].as_py()
+                if isinstance(lo, bytes) and isinstance(amn, str):
+                    amn, amx = amn.encode(), amx.encode()
+                if amn is not None and (amn < lo or amx > hi):
+                    return (
+                        f"column {name}: data range [{amn!r}, {amx!r}] "
+                        f"outside Statistics [{lo!r}, {hi!r}]"
+                    )
+        ent = man.get(p)
+        if ent is not None:
+            if ent["rows"] != tbl.num_rows:
+                return f"manifest rows {ent['rows']} != file rows {tbl.num_rows}"
+            if ent["bytes"] != os.path.getsize(p):
+                return f"manifest bytes {ent['bytes']} != file size {os.path.getsize(p)}"
+        return ""
+
+    def run(batch: pa.Table) -> pa.Table:
+        out_p, out_ok, out_err = [], [], []
+        for p in batch["path"].to_pylist():
+            if ".tmp." in os.path.basename(p):
+                err = "stray tmp leftover from a crashed writer"
+            else:
+                try:
+                    err = check_file(p)
+                except Exception as e:  # corrupt footer/page: report, don't die
+                    err = f"{type(e).__name__}: {e}"
+            out_p.append(p)
+            out_ok.append(err == "")
+            out_err.append(err)
+        return pa.table(
+            {
+                "path": pa.array(out_p, pa.string()),
+                "ok": pa.array(out_ok, pa.bool_()),
+                "error": pa.array(out_err, pa.string()),
+            }
+        )
+
+    items = [{"path": p} for p in paths + stray]
+    return rd.from_items(
+        items, override_num_blocks=max(1, min(len(items), 64))
+    ).map_batches(run, batch_format="pyarrow")
+
+
 def _manifest_admits_file(stats: dict, branches) -> bool:
     """File-level DNF admission from manifest stats — the same sound
     zone/null logic as chunk pruning, one level up.  Unknown columns or

@@ -151,6 +151,23 @@ def main(argv=None):
     elif cmd == "chunkcat":
         out = chunk_cat(path, opts[0], limit=int(opts[1]) if len(opts) > 1 else 10,
                         skip=int(opts[2]) if len(opts) > 2 else 0)
+    elif cmd == "fsck":
+        # distributed integrity sweep over a native dataset directory
+        import ray
+
+        from .pipelines.native_io import validate_par1_dataset
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False)
+        df = validate_par1_dataset(path).to_pandas()
+        out = {
+            "files": int(len(df)),
+            "ok": int(df.ok.sum()),
+            "bad": [
+                {"path": r.path, "error": r.error}
+                for r in df[~df.ok].itertuples()
+            ],
+        }
     else:
         raise SystemExit(f"unknown subcommand {cmd}")
     print(json.dumps(out, indent=1, default=str))

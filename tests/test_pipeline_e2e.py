@@ -767,3 +767,44 @@ def test_write_par1_dataset_sort_by(ray_session, tmp_path):
     assert dec2 <= max(tot2 // 8, 2)
     got2 = read_par1_dataset(d2, predicate=("k", "<", 1000)).to_pandas()
     assert sorted(got2["k"]) == list(range(1000))
+
+
+def test_validate_par1_dataset(ray_session, tmp_path):
+    """fsck: clean dataset is all-ok; a flipped byte is caught by page CRC;
+    stray tmp leftovers and manifest drift are flagged."""
+    import glob
+
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.native_io import (
+        build_par1_manifest,
+        validate_par1_dataset,
+        write_par1_dataset,
+    )
+
+    d = str(tmp_path / "fsck")
+    n = 8000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array([f"s{i % 31}" for i in range(n)]),
+        }
+    )
+    write_par1_dataset(
+        rd.from_arrow(t).repartition(4), d, codec="snappy", page_rows=1000
+    ).materialize()
+    build_par1_manifest(d)
+    res = validate_par1_dataset(d).to_pandas()
+    assert res.ok.all() and len(res) == 4
+
+    victim = sorted(glob.glob(d + "/part_*.parquet"))[1]
+    raw = bytearray(open(victim, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(raw))
+    open(d + "/part_y.parquet.tmp.123", "wb").write(b"junk")
+
+    res2 = validate_par1_dataset(d).to_pandas()
+    bad = res2[~res2.ok].set_index("path")["error"]
+    assert len(bad) == 2
+    assert any("CRC" in e or "Error" in e for e in bad.values)
+    assert any("stray tmp" in e for e in bad.values)
