@@ -256,6 +256,33 @@ def run_bench() -> dict:
         extras["native_files"] = int(len(man))
         extras["native_pruned_rows"] = int(n_pruned)
         shutil.rmtree(nat_dir, ignore_errors=True)
+
+        # clustered layout + manifest: block-local sort_by bands the pages,
+        # build_par1_manifest adds listing-level file pruning, and the scan
+        # runs the full ladder (manifest -> Statistics/bloom -> ColumnIndex)
+        from parquet_go_ray.pipelines.native_io import build_par1_manifest
+
+        nat_dir2 = f"/tmp/pgr_bench_natsort_{_uuid.uuid4().hex[:8]}"
+        write_par1_dataset(
+            ds_n, nat_dir2, codec="snappy", page_rows=8192,
+            encodings={"l_orderkey": "delta_bp", "l_partkey": "delta_bp",
+                       "l_extendedprice": "byte_stream_split"},
+            sort_by="l_orderkey",
+        ).materialize()
+        t0 = time.time()
+        build_par1_manifest(nat_dir2)
+        queries["native_manifest_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        n_clust = read_par1_dataset(
+            nat_dir2, columns=cols,
+            predicate=[
+                [("l_orderkey", "<", 30000), ("l_partkey", ">=", 500)],
+                [("l_orderkey", ">=", 590000)],
+            ],
+        ).count()
+        queries["native_clustered_scan"] = round(time.time() - t0, 3)
+        extras["native_clustered_rows"] = int(n_clust)
+        shutil.rmtree(nat_dir2, ignore_errors=True)
     except ImportError:
         pass
 
