@@ -448,6 +448,7 @@ def _write_leaf_chunk(
     page_version: int = 1,
     pt_override: int | None = None,
     bloom_fpp: float | None = None,
+    page_bytes: int | None = None,
 ) -> dict:
     """Write one leaf's column chunk (dict page + v1 or v2 data pages, paged
     on ROW boundaries — pages never split a record mid-list).  Returns the
@@ -478,6 +479,13 @@ def _write_leaf_chunk(
     max_rep, max_def = st.max_rep, st.max_def
     row_starts = np.flatnonzero(rep == 0) if max_rep else np.arange(n_slots, dtype=np.int64)
     n_rows = len(row_starts)
+    if page_bytes is not None and n_rows:
+        # size-targeted pages (parquet-mr data_pagesize discipline): derive
+        # this LEAF's rows-per-page from its own uncompressed value bytes,
+        # so a 2 KB-per-row text column and an 8 B-per-row int column both
+        # land near page_bytes instead of sharing one row count
+        per_row = max(vals.nbytes / n_rows, 1.0)
+        page_rows = max(256, int(page_bytes / per_row))
     val_cum = (
         np.cumsum(defs == max_def) if max_def else np.arange(1, n_slots + 1, dtype=np.int64)
     )
@@ -679,6 +687,7 @@ def write_par1(
     encodings: dict[str, str] | None = None,
     row_group_rows: int | None = None,
     page_rows: int = 65536,
+    page_bytes: int | None = None,
     data_page_version: int = 1,
     int96_timestamps: bool = False,
     key_value_metadata: dict[str, str] | None = None,
@@ -712,6 +721,11 @@ def write_par1(
     `sorting_columns` = [(column, descending, nulls_first), ...] declares the
     row-group sort order (RowGroup.sorting_columns; readable back via
     pyarrow metadata) — it is a declaration, the caller sorts.
+
+    `page_bytes`: size-targeted paging — each leaf derives its own
+    rows-per-page from its uncompressed value bytes so every column's pages
+    land near this many bytes (parquet-mr data_pagesize discipline);
+    overrides `page_rows` per leaf, floor 256 rows.
 
     `bloom`: columns (or leaf paths) to attach spec split-block Bloom
     filters to — a list (fpp 0.01) or {column: fpp}.  Per-chunk SBBF over
@@ -808,6 +822,7 @@ def write_par1(
                         page_version=data_page_version,
                         pt_override=PT_INT96 if name in int96_cols else None,
                         bloom_fpp=bloom_fpp.get(".".join(st.path), bloom_fpp.get(name)),
+                        page_bytes=page_bytes,
                     )
                     kv = col_kv.get(".".join(st.path)) or col_kv.get(name)
                     if kv:

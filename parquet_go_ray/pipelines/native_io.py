@@ -865,6 +865,7 @@ def compact_par1_dataset(
     page_rows: int = 65536,
     bloom: dict[str, float] | list[str] | None = None,
     sort_by: str | list[str] | None = None,
+    page_bytes: int | None = None,
 ) -> rd.Dataset:
     """Small-files compaction: bin-pack a directory of PAR1 parts into
     ~``target_bytes`` output files, one Ray task per bin (each task reads
@@ -911,7 +912,8 @@ def compact_par1_dataset(
             bins.append((rel, cur))
 
     sort_keys = [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
-    wkw = dict(codec=codec, encodings=encodings, page_rows=page_rows, bloom=bloom)
+    wkw = dict(codec=codec, encodings=encodings, page_rows=page_rows, bloom=bloom,
+               page_bytes=page_bytes)
     if sort_keys:
         # compaction is the natural moment to (re-)cluster: each output bin
         # sorts by the keys, so its pages become tight bands for pruning
@@ -1134,6 +1136,7 @@ def write_par1_dataset(
     bloom: dict[str, float] | list[str] | None = None,
     partition_by: str | None = None,
     sort_by: str | list[str] | None = None,
+    page_bytes: int | None = None,
 ) -> rd.Dataset:
     """Distributed native-format sink: every Ray block becomes one indexed
     PAR1 file (pages + CRC + ColumnIndex/OffsetIndex + Statistics) under
@@ -1166,6 +1169,7 @@ def write_par1_dataset(
         codec=codec, encodings=encodings, page_rows=page_rows,
         row_group_rows=row_group_rows, data_page_version=data_page_version,
         key_value_metadata=key_value_metadata, bloom=bloom,
+        page_bytes=page_bytes,
     )
     if sort_keys:
         wkw["sorting_columns"] = [(c, False, False) for c in sort_keys]

@@ -1212,3 +1212,35 @@ def test_stat_truncation_long_strings(tmp_path):
         f"SELECT count(*) FROM read_parquet('{p}') WHERE text >= 'm'"
     ).fetchone()[0] == len(exp)
     con.close()
+
+
+def test_write_par1_page_bytes(tmp_path):
+    """page_bytes sizes pages per LEAF from its own value bytes: a fat text
+    column splits into many more pages than a narrow int column, both
+    round-trip exactly and DuckDB reads the file."""
+    import duckdb
+
+    from parquet_go_ray.formats.par1 import (
+        read_par1,
+        read_par1_page_index,
+    )
+
+    n = 20000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["x" * 400 + str(i) for i in range(n)]),
+        }
+    )
+    p = str(tmp_path / "pb.parquet")
+    write_par1(t, p, codec="none", page_bytes=64 << 10)
+    idx = read_par1_page_index(p)
+    pages_k = len(idx[0][0]["offset_index"]["page_locations"])
+    pages_text = len(idx[0][1]["offset_index"]["page_locations"])
+    assert pages_text > 4 * pages_k
+    assert read_par1(p).to_pydict() == t.to_pydict()
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT count(*) FROM read_parquet('{p}')"
+    ).fetchone()[0] == n
+    con.close()
