@@ -339,6 +339,73 @@ def build_par1_manifest(dir_path: str) -> str:
     return mpath
 
 
+def explain_par1_scan(
+    dir_path: str,
+    columns: list[str] | None = None,
+    predicate: tuple | list | None = None,
+) -> dict:
+    """Observability for the pruning ladder: run the SAME pruning decisions
+    a read would make and report counts at every level WITHOUT returning
+    data — {files_total, files_after_manifest, row_groups_total,
+    row_groups_read, pages_total, pages_decoded, rows_out}.  One Ray task
+    slice per file; the decode still happens for surviving pages (rows_out
+    is exact), so use small predicates for pure exploration."""
+    import glob as _glob
+
+    from ..formats.par1 import _normalize_predicate, read_par1_pruned
+
+    paths = sorted(
+        p
+        for p in _glob.glob(os.path.join(dir_path, "**", "*.parquet"), recursive=True)
+        if os.path.basename(p) != MANIFEST_NAME
+    )
+    files_total = len(paths)
+    if not paths:
+        raise ValueError(f"explain_par1_scan: no parts under {dir_path}")
+    mpath = os.path.join(dir_path, MANIFEST_NAME)
+    if predicate is not None and os.path.exists(mpath):
+        paths = _manifest_prune(paths, mpath, _normalize_predicate(predicate))
+    out = {
+        "files_total": files_total,
+        "files_after_manifest": len(paths),
+        "row_groups_total": 0,
+        "row_groups_read": 0,
+        "pages_total": 0,
+        "pages_decoded": 0,
+        "rows_out": 0,
+    }
+    if not paths:
+        return out
+
+    def probe(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["path"].to_pylist():
+            tbl, st = read_par1_pruned(p, columns, predicate)
+            rows.append({**st, "rows_out": tbl.num_rows})
+        return pa.table(
+            {k: pa.array([r[k] for r in rows], pa.int64()) for k in rows[0]}
+        )
+
+    agg = (
+        rd.from_items(
+            [{"path": p} for p in paths],
+            override_num_blocks=max(1, min(len(paths), 64)),
+        )
+        .map_batches(probe, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    for k in (
+        "row_groups_total",
+        "row_groups_read",
+        "pages_total",
+        "pages_decoded",
+        "rows_out",
+    ):
+        out[k] = int(agg[k])
+    return out
+
+
 def validate_par1_dataset(
     dir_path: str, check_manifest: bool = True
 ) -> rd.Dataset:

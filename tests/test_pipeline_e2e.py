@@ -808,3 +808,32 @@ def test_validate_par1_dataset(ray_session, tmp_path):
     assert len(bad) == 2
     assert any("CRC" in e or "Error" in e for e in bad.values)
     assert any("stray tmp" in e for e in bad.values)
+
+
+def test_explain_par1_scan(ray_session, tmp_path):
+    """Pruning-ladder observability: counts at every level, exact rows_out."""
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.native_io import (
+        build_par1_manifest,
+        explain_par1_scan,
+        write_par1_dataset,
+    )
+
+    d = str(tmp_path / "explain")
+    n = 16000
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64))})
+    write_par1_dataset(
+        rd.from_arrow(t).repartition(4), d, codec="snappy", page_rows=500,
+        sort_by="k",
+    ).materialize()
+    build_par1_manifest(d)
+    info = explain_par1_scan(d, predicate=("k", "<", 1000))
+    assert info["files_total"] == 4
+    assert info["files_after_manifest"] == 1
+    assert info["pages_decoded"] < info["pages_total"]
+    assert info["rows_out"] == 1000
+    # no predicate: everything decodes, full row count
+    info2 = explain_par1_scan(d)
+    assert info2["files_after_manifest"] == 4
+    assert info2["rows_out"] == n
