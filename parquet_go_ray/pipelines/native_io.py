@@ -339,6 +339,37 @@ def build_par1_manifest(dir_path: str) -> str:
     return mpath
 
 
+def _zorder_key(cols: list) -> "pa.Array":
+    """64-bit Morton (Z-order) key per row from 2+ columns: each column is
+    rank-normalized inside the block (argsort positions scaled to the
+    per-column bit budget, so skewed distributions still spread) and the
+    bits interleave.  Sorting by this key clusters rows so page min/max
+    stay selective on EVERY clustered column — the multi-dimensional
+    counterpart of sort_by (Delta/Iceberg OPTIMIZE ZORDER BY analog)."""
+    import numpy as np
+
+    k = len(cols)
+    n = len(cols[0])
+    bits = 63 // k
+    out = np.zeros(n, np.uint64)
+    one = np.uint64(1)
+    for j, col in enumerate(cols):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = col.to_numpy(zero_copy_only=False)
+        # dense rank normalization (nulls/NaN sort last via argsort kind)
+        order = np.argsort(arr, kind="stable")
+        ranks = np.empty(n, np.int64)
+        ranks[order] = np.arange(n)
+        if n > 1:
+            scaled = (ranks.astype(np.uint64) * np.uint64((1 << bits) - 1)) // np.uint64(n - 1)
+        else:
+            scaled = np.zeros(1, np.uint64)
+        for b in range(bits):
+            out |= ((scaled >> np.uint64(b)) & one) << np.uint64(b * k + j)
+    return pa.array(out.view(np.int64), pa.int64())
+
+
 def explain_par1_scan(
     dir_path: str,
     columns: list[str] | None = None,
@@ -1204,6 +1235,7 @@ def write_par1_dataset(
     partition_by: str | None = None,
     sort_by: str | list[str] | None = None,
     page_bytes: int | None = None,
+    cluster_by: list[str] | None = None,
 ) -> rd.Dataset:
     """Distributed native-format sink: every Ray block becomes one indexed
     PAR1 file (pages + CRC + ColumnIndex/OffsetIndex + Statistics) under
@@ -1225,13 +1257,24 @@ def write_par1_dataset(
     globally clustered layout additionally needs a prior ds.sort()/
     repartition by key; this flag alone never shuffles.
 
+    `cluster_by` (mutually exclusive with sort_by): MULTI-column block-local
+    clustering by a 64-bit Z-order key over rank-normalized columns — page
+    min/max stay selective on EVERY listed column, where a lexicographic
+    sort only helps its first key (Delta/Iceberg OPTIMIZE ZORDER BY
+    analog).
+
     Returns the manifest dataset {path, partition, rows, bytes, skipped,
     stats} (one row per part), which is also the natural input to
     read_par1_dataset."""
     import pyarrow.compute as pc
 
     os.makedirs(out_dir, exist_ok=True)
+    if sort_by and cluster_by:
+        raise ValueError("sort_by and cluster_by are mutually exclusive")
     sort_keys = [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
+    z_keys = list(cluster_by or [])
+    if len(z_keys) == 1:  # one column: Z-order degenerates to a plain sort
+        sort_keys, z_keys = z_keys, []
     wkw = dict(
         codec=codec, encodings=encodings, page_rows=page_rows,
         row_group_rows=row_group_rows, data_page_version=data_page_version,
@@ -1244,6 +1287,9 @@ def write_par1_dataset(
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows and sort_keys:
             batch = batch.sort_by([(c, "ascending") for c in sort_keys])
+        elif batch.num_rows and z_keys:
+            zkey = _zorder_key([batch[c] for c in z_keys])
+            batch = batch.take(pc.sort_indices(zkey))
         out_rows: list[dict] = []
         if batch.num_rows:
             if partition_by is None:

@@ -837,3 +837,56 @@ def test_explain_par1_scan(ray_session, tmp_path):
     info2 = explain_par1_scan(d)
     assert info2["files_after_manifest"] == 4
     assert info2["rows_out"] == n
+
+
+def test_write_par1_dataset_zorder(ray_session, tmp_path):
+    """cluster_by Z-orders each block: page pruning stays selective on
+    EVERY clustered column, where a lexicographic sort only helps its
+    first key.  Rows identical across layouts."""
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.native_io import (
+        explain_par1_scan,
+        write_par1_dataset,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 30000
+    t = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+            "b": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+        }
+    )
+    out = {}
+    for tag, kw in [("lex", {"sort_by": ["a", "b"]}), ("z", {"cluster_by": ["a", "b"]})]:
+        d = str(tmp_path / tag)
+        write_par1_dataset(
+            rd.from_arrow(t).repartition(4), d, codec="snappy", page_rows=500, **kw
+        ).materialize()
+        out[tag] = (
+            explain_par1_scan(d, columns=["a"], predicate=("a", "<", 100)),
+            explain_par1_scan(d, columns=["b"], predicate=("b", "<", 100)),
+        )
+    for i in (0, 1):
+        assert out["lex"][i]["rows_out"] == out["z"][i]["rows_out"]
+    # lexicographic: second key prunes nothing; z-order prunes both
+    assert out["lex"][1]["pages_decoded"] == out["lex"][1]["pages_total"]
+    assert out["z"][1]["pages_decoded"] < out["lex"][1]["pages_decoded"] / 2
+    assert out["z"][0]["pages_decoded"] < out["z"][0]["pages_total"] / 2
+
+    # single-column cluster_by degenerates to a plain sort (sorting_columns set)
+    from parquet_go_ray.formats.par1 import read_par1_meta
+    import glob
+
+    d1 = str(tmp_path / "one")
+    write_par1_dataset(
+        rd.from_arrow(t).repartition(2), d1, codec="none", cluster_by=["a"]
+    ).materialize()
+    p = sorted(glob.glob(d1 + "/part_*.parquet"))[0]
+    assert read_par1_meta(p)["row_groups"][0]["sorting_columns"] is not None
+
+    with pytest.raises(ValueError):
+        write_par1_dataset(
+            rd.from_arrow(t), str(tmp_path / "x"), sort_by="a", cluster_by=["b"]
+        )
