@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         native_dnf_scan,
         native_evolved_scan,
         native_null_scan,
+        native_zorder_scan,
         native_partitioned_scan,
         native_sink_roundtrip,
         read_native_pruned_multi,
@@ -267,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["native_dnf_scan"] = native_dnf_scan
     q["native_null_scan"] = native_null_scan
     q["native_evolved_scan"] = native_evolved_scan
+    q["native_zorder_scan"] = native_zorder_scan
     q["native_sink_roundtrip"] = native_sink_roundtrip
     q["native_bloom_scan"] = native_bloom_scan
     q["native_compact_roundtrip"] = native_compact_roundtrip
@@ -550,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_bloom_scan", "native_compact_roundtrip",
         "native_partitioned_scan", "corpus_to_native",
         "native_dnf_scan", "native_null_scan", "native_evolved_scan",
+        "native_zorder_scan",
     ]
     tail = [
         # r4 demotions — r3-green, code untouched this round, each family
@@ -657,6 +660,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM (SELECT doc_id, lang, "
             "CASE WHEN doc_id < 250 THEN NULL ELSE n_chars END AS n_chars "
             "FROM documents) WHERE n_chars >= 500 OR n_chars IS NULL"
+        ),
+        "native_zorder_scan": (
+            "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem "
+            "WHERE l_suppkey < 8"
         ),
         "native_null_scan": (
             "SELECT doc_id, lang_n FROM (SELECT doc_id, "

@@ -964,6 +964,7 @@ def compact_par1_dataset(
     bloom: dict[str, float] | list[str] | None = None,
     sort_by: str | list[str] | None = None,
     page_bytes: int | None = None,
+    cluster_by: list[str] | None = None,
 ) -> rd.Dataset:
     """Small-files compaction: bin-pack a directory of PAR1 parts into
     ~``target_bytes`` output files, one Ray task per bin (each task reads
@@ -980,6 +981,8 @@ def compact_par1_dataset(
     `col=value` directories and each output bin lands under its own
     partition dir, so directory pruning keeps working on the output."""
     import glob as _glob
+
+    import pyarrow.compute as pc
 
     paths = sorted(
         p
@@ -1009,7 +1012,12 @@ def compact_par1_dataset(
         if cur:
             bins.append((rel, cur))
 
+    if sort_by and cluster_by:
+        raise ValueError("sort_by and cluster_by are mutually exclusive")
     sort_keys = [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
+    z_keys = list(cluster_by or [])
+    if len(z_keys) == 1:
+        sort_keys, z_keys = z_keys, []
     wkw = dict(codec=codec, encodings=encodings, page_rows=page_rows, bloom=bloom,
                page_bytes=page_bytes)
     if sort_keys:
@@ -1024,6 +1032,10 @@ def compact_par1_dataset(
             merged = pa.concat_tables([read_par1(p) for p in members])
             if sort_keys:
                 merged = merged.sort_by([(c, "ascending") for c in sort_keys])
+            elif z_keys:
+                merged = merged.take(
+                    pc.sort_indices(_zorder_key([merged[c] for c in z_keys]))
+                )
             rows.append(
                 _write_part(merged, os.path.join(out_dir, rel), rel, wkw)
             )
@@ -1185,6 +1197,24 @@ def native_evolved_scan(sf_dir: str) -> rd.Dataset:
         columns=["doc_id", "lang", "n_chars"],
         predicate=[[("n_chars", ">=", 500)], [("n_chars", "is_null", None)]],
         union_by_name=True,
+    )
+
+
+def native_zorder_scan(sf_dir: str) -> rd.Dataset:
+    """Z-order-clustered sink + scan on the SECOND clustered column:
+    lineitem blocks cluster by (l_partkey, l_suppkey) Morton keys, then
+    the read predicates on l_suppkey alone — the case a lexicographic
+    sort cannot prune.  Rows are layout-independent, so the oracle is a
+    plain WHERE."""
+    out_dir = f"/tmp/pgr_native_z_{uuid.uuid4().hex[:8]}"
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    ds = _read_parquet_any(f"{sf_dir}/lineitem.parquet", columns=cols).repartition(6)
+    write_par1_dataset(
+        ds, out_dir, codec="snappy", page_rows=1024,
+        cluster_by=["l_partkey", "l_suppkey"],
+    ).materialize()
+    return read_par1_dataset(
+        out_dir, columns=cols, predicate=("l_suppkey", "<", 8)
     )
 
 
