@@ -44,6 +44,7 @@ from ..codecs.rle import decode_hybrid, decode_levels, encode_hybrid, encode_lev
 from .parquet_meta import (
     COMP_BROTLI,
     COMP_GZIP,
+    COMP_LZ4,
     COMP_LZ4_RAW,
     COMP_SNAPPY,
     COMP_UNCOMPRESSED,
@@ -123,7 +124,40 @@ def _compress(body: bytes, comp: int) -> bytes:
 def _decompress(body: bytes, comp: int, raw_len: int) -> bytes:
     if comp == COMP_UNCOMPRESSED:
         return body
+    if comp == COMP_LZ4:
+        return _decompress_lz4_legacy(body, raw_len)
     return _codec(_COMP_ARROW[comp]).decompress(body, raw_len, asbytes=True)
+
+
+def _decompress_lz4_legacy(body: bytes, raw_len: int) -> bytes:
+    """Deprecated LZ4 codec (id 5): old Hadoop/Spark/Impala writers framed
+    pages as repeated [u32be uncompressed_len][u32be compressed_len][raw
+    LZ4 block]s; some writers emitted a bare raw block or an LZ4 frame
+    instead (the ambiguity is why the spec deprecated it for LZ4_RAW).
+    Try hadoop framing first, then the two bare forms."""
+    raw = _codec("lz4_raw")
+    if len(body) >= 8:
+        out, pos, ok = [], 0, True
+        got = 0
+        while pos + 8 <= len(body):
+            un = int.from_bytes(body[pos : pos + 4], "big")
+            cn = int.from_bytes(body[pos + 4 : pos + 8], "big")
+            if un > (1 << 31) or cn > len(body) - pos - 8 or got + un > raw_len:
+                ok = False
+                break
+            try:
+                out.append(raw.decompress(body[pos + 8 : pos + 8 + cn], un, asbytes=True))
+            except (OSError, pa.ArrowInvalid, pa.ArrowIOError):
+                ok = False
+                break
+            got += un
+            pos += 8 + cn
+        if ok and pos == len(body) and got == raw_len:
+            return b"".join(out)
+    try:
+        return raw.decompress(body, raw_len, asbytes=True)
+    except (OSError, pa.ArrowInvalid, pa.ArrowIOError):
+        return _codec("lz4").decompress(body, raw_len, asbytes=True)
 
 
 # -- type mapping -------------------------------------------------------------

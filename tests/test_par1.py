@@ -1244,3 +1244,30 @@ def test_write_par1_page_bytes(tmp_path):
         f"SELECT count(*) FROM read_parquet('{p}')"
     ).fetchone()[0] == n
     con.close()
+
+
+def test_legacy_lz4_hadoop_framing():
+    """Deprecated COMP_LZ4 (codec 5): hadoop-framed, bare-raw-block, and
+    LZ4-frame page bodies all decode (the three shapes found in old
+    Spark/Impala archives; modern writers use LZ4_RAW = 7)."""
+    from parquet_go_ray.formats.par1 import COMP_LZ4, _codec, _decompress
+
+    rng = np.random.default_rng(9)
+    payload = bytes(rng.integers(0, 64, 100_000, dtype=np.uint8)) * 3
+    raw = _codec("lz4_raw")
+
+    # hadoop framing: two blocks
+    half = len(payload) // 2
+    frames = b""
+    for chunk in (payload[:half], payload[half:]):
+        c = raw.compress(chunk, asbytes=True)
+        frames += len(chunk).to_bytes(4, "big") + len(c).to_bytes(4, "big") + c
+    assert _decompress(frames, COMP_LZ4, len(payload)) == payload
+
+    # bare raw block
+    c = raw.compress(payload, asbytes=True)
+    assert _decompress(c, COMP_LZ4, len(payload)) == payload
+
+    # LZ4 frame format
+    f = _codec("lz4").compress(payload, asbytes=True)
+    assert _decompress(f, COMP_LZ4, len(payload)) == payload
