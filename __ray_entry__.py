@@ -553,6 +553,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_partitioned_scan", "corpus_to_native",
         "native_dnf_scan", "native_null_scan", "native_evolved_scan",
         "native_zorder_scan",
+        # oracled kernel twins + the r4-reworked knn merge must stay inside
+        # the driver's ~50-query window
+        "ngram_jaccard_exhaustive", "dedup_clusters_exhaustive",
+        "embedding_pairs_exhaustive", "knn_bruteforce", "dedup_exact",
     ]
     tail = [
         # r4 demotions — r3-green, code untouched this round, each family
