@@ -557,6 +557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the driver's ~50-query window
         "ngram_jaccard_exhaustive", "dedup_clusters_exhaustive",
         "embedding_pairs_exhaustive", "knn_bruteforce", "dedup_exact",
+        # sole oracled rows of their operator families
+        "grouped_quantiles_returnflag", "range_join_sessions",
     ]
     tail = [
         # r4 demotions — r3-green, code untouched this round, each family
@@ -582,6 +584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skip_rows_lineitem",     # kept via skip_rows_paged
         "transcode_customer",     # kept via transcode_native (same table)
         "window_streaming_events",  # kept via window_tumbling/hopping/sessions
+        "transcode_native",       # native write path kept via transcode_native_v2/_nested, native_sink_roundtrip, corpus_to_native
+        "knn_ivf",                # rows-only; oracled knn_ivf_full_probe stays up front
     ]
     mid = [k for k in q if k not in front and k not in tail]
     return {k: q[k] for k in (*front, *mid, *tail)}
