@@ -27,28 +27,44 @@ def chunk_meta(blob: bytes) -> dict:
 
 
 def _chunk_may_match(meta: dict, op: str, value) -> bool:
-    if op == "==" and "bloom" in meta:
+    """Single-clause chunk admission (op in >= > <= < == != in is_null
+    not_null) from the blob meta alone — no decompression."""
+    if op == "is_null":
+        return meta.get("nulls", 1) > 0
+    if op == "not_null":
+        n = meta.get("n")
+        return not (n is not None and meta.get("nulls", 0) == n)
+    if op in ("==", "in") and "bloom" in meta:
         # Bloom consult first: prunes chunks whose min/max SPAN the probe but
         # whose value set misses it (random-ordered ids/names, where stats
         # never prune).  False positives only -> never wrong, just decoded.
         from ..chunk import _chunk_type, bloom_may_contain
 
-        if not bloom_may_contain(meta["bloom"], value, _chunk_type(meta)):
+        probes = list(value) if op == "in" else [value]
+        t = _chunk_type(meta)
+        if not any(bloom_may_contain(meta["bloom"], p, t) for p in probes):
             return False
     mn, mx = meta.get("min"), meta.get("max")
     if mn is None or mx is None:
         return True  # no stats -> cannot prune
-    if meta.get("max_trunc") and op in (">", ">=", "=="):
-        return True  # truncated max cannot safely prune upper-bound predicates
+    if meta.get("max_trunc") and op in (">", ">=", "==", "in", "!="):
+        return True  # truncated max cannot safely prune upper-bound/equality
     if isinstance(mn, str):
         # non-numeric column: stats carry the str() encoding; compare likewise
-        v = str(value)
+        conv = str
     else:
         # numeric stats are native JSON numbers; Python int/float comparison
         # is exact, so >53-bit ints prune correctly (no float round-trip)
-        v = value
+        def conv(x):
+            return x
+
+    if op == "in":
+        return any(mn <= conv(x) <= mx for x in value)
+    v = conv(value)
     if op == "==":
         return mn <= v <= mx
+    if op == "!=":
+        return not (mn == v == mx)  # only an all-constant chunk excludes
     if op == "<":
         return mn < v
     if op == "<=":
@@ -60,16 +76,73 @@ def _chunk_may_match(meta: dict, op: str, value) -> bool:
     return True
 
 
+def _normalize_scan_predicate(predicate) -> list[list[tuple[str, object]]]:
+    """(op, value) -> [[clause]]; list of clauses -> one AND branch; list of
+    lists -> OR of ANDs (the same DNF language the native PAR1 scans speak,
+    minus the column name — scan_column is single-column)."""
+    if predicate is None:
+        return []
+    if isinstance(predicate, tuple):
+        return [[predicate]]
+    if not predicate:
+        return []
+    if isinstance(predicate[0], tuple):
+        return [list(predicate)]
+    return [list(b) for b in predicate]
+
+
+def _chunk_may_match_dnf(meta: dict, branches) -> bool:
+    if not branches:
+        return True
+    return any(
+        all(_chunk_may_match(meta, op, v) for op, v in br) for br in branches
+    )
+
+
+_SCAN_ARROW = {
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+}
+
+
+def _scan_mask(arr, branches):
+    """Exact Arrow mask for the DNF over one decoded column."""
+    or_mask = None
+    for br in branches:
+        m = None
+        for op, v in br:
+            if op == "is_null":
+                cm = pc.is_null(arr)
+            elif op == "not_null":
+                cm = pc.is_valid(arr)
+            elif op == "in":
+                cm = pc.is_in(arr, value_set=pa.array(list(v), type=arr.type))
+            else:
+                cm = _SCAN_ARROW[op](arr, pa.scalar(v, type=arr.type))
+            m = cm if m is None else pc.and_kleene(m, cm)
+        or_mask = m if or_mask is None else pc.or_kleene(or_mask, m)
+    return or_mask
+
+
 def scan_column(
     chunks: rd.Dataset,
     column: str,
     predicate: tuple[str, object] | None = None,
 ) -> rd.Dataset:
     """Decode `column` from a chunk-table Dataset, skipping chunks whose
-    min/max stats exclude `predicate` (op, value); rows are then exactly
-    filtered.  Returns (chunk_id, row_idx, value) rows."""
+    meta stats exclude `predicate`; rows are then exactly filtered.
+    `predicate` speaks the same DNF language as the native scans minus the
+    column name: one (op, value) clause with op in
+    >= > <= < == != in is_null not_null, an AND list of clauses, or a list
+    of AND lists ORed.  Returns (chunk_id, row_idx, value) rows."""
 
     from ..chunk import _chunk_type
+
+    branches = _normalize_scan_predicate(predicate)
 
     def fn(batch: pa.Table) -> pa.Table:
         out_vals = []
@@ -84,19 +157,11 @@ def scan_column(
             if meta["codec"] == "list":
                 raise TypeError("scan_column targets scalar columns; decode list chunks via decode_column_chunk")
             val_type = _chunk_type(meta)  # known without decoding
-            if predicate is not None and not _chunk_may_match(meta, *predicate):
+            if not _chunk_may_match_dnf(meta, branches):
                 continue  # pruned: never decompressed/decoded
             arr = decode_column_chunk(blob)
-            if predicate is not None:
-                op, v = predicate
-                kernel = {
-                    "==": pc.equal,
-                    "<": pc.less,
-                    "<=": pc.less_equal,
-                    ">": pc.greater,
-                    ">=": pc.greater_equal,
-                }[op]
-                mask = kernel(arr, pa.scalar(v, type=arr.type))
+            if branches:
+                mask = _scan_mask(arr, branches)
                 idx = np.flatnonzero(np.asarray(mask.fill_null(False)))
             else:
                 idx = np.arange(len(arr))
@@ -124,15 +189,16 @@ def scan_column(
     return chunks.map_batches(fn, batch_format="pyarrow")
 
 
-def count_pruned(chunks: rd.Dataset, column: str, predicate: tuple[str, object]) -> dict:
+def count_pruned(chunks: rd.Dataset, column: str, predicate) -> dict:
     """Report how many chunks the predicate pruned vs decoded (driver-side)."""
+    branches = _normalize_scan_predicate(predicate)
     pruned = decoded = 0
     for batch in chunks.iter_batches(batch_format="pyarrow"):
         for i in range(batch.num_rows):
             if batch["column"][i].as_py() != column:
                 continue
             meta = chunk_meta(batch["blob"][i].as_py())
-            if _chunk_may_match(meta, *predicate):
+            if _chunk_may_match_dnf(meta, branches):
                 decoded += 1
             else:
                 pruned += 1

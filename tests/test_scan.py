@@ -158,3 +158,55 @@ def test_bloom_no_false_negatives_int():
     absent = rng.integers(1 << 41, 1 << 42, 2000, dtype=np.int64)
     fp = sum(bloom_may_contain(bloom, int(v), pa.int64()) for v in absent)
     assert fp / 2000 < 0.05
+
+
+def test_scan_column_dnf_and_new_ops(ray_session):
+    """Container-scan parity with the native DNF language: OR branches,
+    in/!=/null ops, chunk pruning + exact re-filter."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parquet_go_ray.config import EngineConfig
+    from parquet_go_ray.pipelines.encode_pipeline import encode_dataset
+    from parquet_go_ray.pipelines.scan import count_pruned, scan_column
+
+    n = 40000
+    vals = np.arange(n, dtype=np.int64)
+    nulls = (vals // 1000) % 5 == 0
+    t = pa.table({"v": pa.array(np.where(nulls, None, vals), pa.int64())})
+    chunks = encode_dataset(
+        rd.from_arrow(t), EngineConfig(batch_size_rows=2000)
+    ).materialize()
+
+    # OR of ANDs with in: exact rows
+    pred = [[("<", 1500), (">=", 1200)], [("in", [30001, 30002, 999999])]]
+    got = scan_column(chunks, "v", predicate=pred).to_pandas()
+    expect = sorted(
+        x for x in vals[~nulls] if (1200 <= x < 1500) or x in (30001, 30002)
+    )
+    assert sorted(got["v"]) == expect
+
+    # chunk pruning engaged for the range branch
+    st = count_pruned(chunks, "v", [("<", 1500), (">=", 1200)])
+    assert st["pruned"] > st["decoded"]
+
+    # null ops: counts match the planted null runs
+    got_null = scan_column(chunks, "v", predicate=("is_null", None)).to_pandas()
+    assert len(got_null) == int(nulls.sum())
+    st_nn = count_pruned(chunks, "v", ("is_null", None))
+    assert st_nn["pruned"] > 0  # all-valid chunks never decode
+
+    got_nn = scan_column(
+        chunks, "v", predicate=[("not_null", None), ("<", 3000)]
+    ).to_pandas()
+    assert sorted(got_nn["v"]) == [x for x in vals[~nulls] if x < 3000]
+
+    # != over a constant chunk prunes it
+    tc = pa.table({"v": pa.array([7] * 4000, pa.int64())})
+    cchunks = encode_dataset(
+        rd.from_arrow(tc), EngineConfig(batch_size_rows=2000)
+    ).materialize()
+    st_ne = count_pruned(cchunks, "v", ("!=", 7))
+    assert st_ne["decoded"] == 0
+    assert scan_column(cchunks, "v", predicate=("!=", 7)).count() == 0
