@@ -722,6 +722,7 @@ def write_par1(
     row_group_rows: int | None = None,
     page_rows: int = 65536,
     page_bytes: int | None = None,
+    row_group_bytes: int | None = None,
     data_page_version: int = 1,
     int96_timestamps: bool = False,
     key_value_metadata: dict[str, str] | None = None,
@@ -755,6 +756,10 @@ def write_par1(
     `sorting_columns` = [(column, descending, nulls_first), ...] declares the
     row-group sort order (RowGroup.sorting_columns; readable back via
     pyarrow metadata) — it is a declaration, the caller sorts.
+
+    `row_group_bytes`: size-targeted row groups — rows per group derived
+    from the table's uncompressed bytes per row (used when row_group_rows
+    is not given; floor 1024 rows).
 
     `page_bytes`: size-targeted paging — each leaf derives its own
     rows-per-page from its uncompressed value bytes so every column's pages
@@ -831,6 +836,11 @@ def write_par1(
         {c: 0.01 for c in bloom} if isinstance(bloom, list) else dict(bloom or {})
     )
     rg_rows = row_group_rows or table.num_rows or 1
+    if row_group_rows is None and row_group_bytes is not None and table.num_rows:
+        # size-targeted row groups (parquet-mr row-group-size discipline):
+        # rows per group from the table's own uncompressed bytes per row
+        per_row = max(table.nbytes / table.num_rows, 1.0)
+        rg_rows = max(1024, min(int(row_group_bytes / per_row), table.num_rows))
     row_groups = []
     with open(path, "wb") as out:
         out.write(MAGIC)

@@ -1271,3 +1271,26 @@ def test_legacy_lz4_hadoop_framing():
     # LZ4 frame format
     f = _codec("lz4").compress(payload, asbytes=True)
     assert _decompress(f, COMP_LZ4, len(payload)) == payload
+
+
+def test_write_par1_row_group_bytes(tmp_path):
+    """row_group_bytes targets group size from the table's own bytes/row."""
+    n = 50000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array(["pad" * 20 + str(i) for i in range(n)]),
+        }
+    )
+    p = str(tmp_path / "rgb.parquet")
+    write_par1(t, p, codec="none", row_group_bytes=512 << 10)
+    md = read_par1_meta(p)
+    n_rgs = len(md["row_groups"])
+    assert 4 <= n_rgs <= 12  # ~3.6 MB table / 512 KB target
+    sizes = [rg["total_byte_size"] for rg in md["row_groups"][:-1]]
+    assert all(abs(sz - (512 << 10)) < (512 << 10) * 0.5 for sz in sizes)
+    assert read_par1(p).to_pydict() == t.to_pydict()
+    # explicit row_group_rows wins over row_group_bytes
+    p2 = str(tmp_path / "rgb2.parquet")
+    write_par1(t, p2, codec="none", row_group_rows=n, row_group_bytes=1 << 10)
+    assert len(read_par1_meta(p2)["row_groups"]) == 1
