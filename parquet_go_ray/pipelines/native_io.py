@@ -334,7 +334,9 @@ def build_par1_manifest(dir_path: str) -> str:
     )
     mpath = os.path.join(dir_path, MANIFEST_NAME)
     tmp = f"{mpath}.tmp.{os.getpid()}"
-    write_par1(_manifest_table(rows), tmp, codec="zstd")
+    # row-grouped so huge manifests admit distributed evaluation
+    # (_manifest_prune fans out one task per row group past its threshold)
+    write_par1(_manifest_table(rows), tmp, codec="zstd", row_group_rows=16384)
     os.replace(tmp, mpath)
     return mpath
 
@@ -480,12 +482,17 @@ def validate_par1_dataset(
 
     def check_file(p: str) -> str:
         md = read_par1_meta(p)
-        tbl = read_par1(p, verify_crc=True)  # decodes everything + CRCs
-        meta_rows = sum(rg["num_rows"] for rg in md["row_groups"])
-        if tbl.num_rows != meta_rows:
-            return f"row count {tbl.num_rows} != footer {meta_rows}"
         flat = {n.name: n for n in _schema_tree(md) if n.kind == "leaf"}
-        for rg in md["row_groups"]:
+        total_rows = 0
+        # ONE ROW GROUP AT A TIME: a 10 GB file never materializes whole
+        for rg_i, rg in enumerate(md["row_groups"]):
+            tbl = read_par1(p, row_groups=[rg_i], verify_crc=True)
+            total_rows += tbl.num_rows
+            if tbl.num_rows != rg["num_rows"]:
+                return (
+                    f"row group {rg_i}: decoded {tbl.num_rows} rows "
+                    f"!= footer {rg['num_rows']}"
+                )
             for ch in rg["columns"]:
                 m = ch["meta_data"]
                 if len(m["path_in_schema"]) != 1:
@@ -497,20 +504,19 @@ def validate_par1_dataset(
                 if mm is None:
                     continue
                 lo, hi = _stat_py(mm[0], m["type"]), _stat_py(mm[1], m["type"])
-                col = tbl[name]
-                vals = pc.min_max(col)
+                vals = pc.min_max(tbl[name])
                 amn, amx = vals["min"].as_py(), vals["max"].as_py()
                 if isinstance(lo, bytes) and isinstance(amn, str):
                     amn, amx = amn.encode(), amx.encode()
                 if amn is not None and (amn < lo or amx > hi):
                     return (
-                        f"column {name}: data range [{amn!r}, {amx!r}] "
+                        f"column {name} rg {rg_i}: data range [{amn!r}, {amx!r}] "
                         f"outside Statistics [{lo!r}, {hi!r}]"
                     )
         ent = man.get(p)
         if ent is not None:
-            if ent["rows"] != tbl.num_rows:
-                return f"manifest rows {ent['rows']} != file rows {tbl.num_rows}"
+            if ent["rows"] != total_rows:
+                return f"manifest rows {ent['rows']} != file rows {total_rows}"
             if ent["bytes"] != os.path.getsize(p):
                 return f"manifest bytes {ent['bytes']} != file size {os.path.getsize(p)}"
         return ""
@@ -574,37 +580,75 @@ def _manifest_admits_file(stats: dict, branches) -> bool:
     return False
 
 
-def _manifest_prune(
-    paths: list[str], manifest_path: str, branches
-) -> list[str]:
-    """Drop files the manifest's stats exclude (driver-side, before any Ray
-    task).  Files absent from the manifest are kept (stale-manifest safe);
-    manifest rows for deleted files are ignored."""
+_MANIFEST_DISTRIBUTE_THRESHOLD = 20_000  # files; below this, evaluate inline
+
+
+def _manifest_admit_rows(mtab: pa.Table, branches) -> set[str]:
+    """Evaluate the DNF against one manifest slice; return admitted paths."""
     import base64
     import json
-
-    from ..formats.par1 import read_par1
-
-    mtab = read_par1(manifest_path, columns=["path", "stats"])
 
     def dec(v):
         if isinstance(v, dict) and "b64" in v:
             return base64.b64decode(v["b64"])
         return v
 
-    known: dict[str, dict] = {}
+    admitted: set[str] = set()
     for p, sj in zip(mtab["path"].to_pylist(), mtab["stats"].to_pylist()):
-        st = json.loads(sj)
-        known[p] = {
+        st = {
             c: {**e, "min": dec(e["min"]), "max": dec(e["max"])}
-            for c, e in st.items()
+            for c, e in json.loads(sj).items()
         }
-    kept = []
-    for p in paths:
-        st = known.get(p)
-        if st is None or _manifest_admits_file(st, branches):
-            kept.append(p)
-    return kept
+        if _manifest_admits_file(st, branches):
+            admitted.add(p)
+    return admitted
+
+
+def _manifest_prune(
+    paths: list[str], manifest_path: str, branches
+) -> list[str]:
+    """Drop files the manifest's stats exclude before any data task spawns.
+    Files absent from the manifest are kept (stale-manifest safe); manifest
+    rows for deleted files are ignored.  Small manifests evaluate inline on
+    the driver; past _MANIFEST_DISTRIBUTE_THRESHOLD rows the JSON-decode +
+    admission loop fans out over Ray tasks (one per manifest row group) and
+    only the admitted path list returns — the driver never holds more than
+    the listing it already owns."""
+    from ..formats.par1 import read_par1, read_par1_meta
+
+    n_rgs = len(read_par1_meta(manifest_path)["row_groups"])
+    if len(paths) <= _MANIFEST_DISTRIBUTE_THRESHOLD:
+        mtab = read_par1(manifest_path, columns=["path", "stats"])
+        known = set(mtab["path"].to_pylist())
+        admitted = _manifest_admit_rows(mtab, branches)
+    else:
+
+        def admit(batch: pa.Table) -> pa.Table:
+            ks, ads = [], []
+            for rg_i in batch["rg"].to_pylist():
+                mt = read_par1(
+                    manifest_path, columns=["path", "stats"], row_groups=[rg_i]
+                )
+                ks.extend(mt["path"].to_pylist())
+                ads.extend(sorted(_manifest_admit_rows(mt, branches)))
+            return pa.table(
+                {
+                    "known": pa.array([ks], pa.list_(pa.string())),
+                    "admitted": pa.array([ads], pa.list_(pa.string())),
+                }
+            )
+
+        rows = (
+            rd.from_items(
+                [{"rg": i} for i in range(n_rgs)],
+                override_num_blocks=max(1, min(n_rgs, 64)),
+            )
+            .map_batches(admit, batch_format="pyarrow")
+            .take_all()
+        )
+        known = {p for r in rows for p in r["known"]}
+        admitted = {p for r in rows for p in r["admitted"]}
+    return [p for p in paths if p not in known or p in admitted]
 
 
 _BRANCH_EXCLUDES_FILE = "exclude-file"
