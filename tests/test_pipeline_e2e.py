@@ -890,3 +890,79 @@ def test_write_par1_dataset_zorder(ray_session, tmp_path):
         write_par1_dataset(
             rd.from_arrow(t), str(tmp_path / "x"), sort_by="a", cluster_by=["b"]
         )
+
+
+def test_union_by_name_random_dnf_property(ray_session, tmp_path):
+    """Property: for random file-column-subsets and random DNF predicates,
+    union_by_name reads equal pandas evaluation over the unified frame
+    with SQL null semantics (missing column == all-null in that file)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from parquet_go_ray.formats.par1 import write_par1
+    from parquet_go_ray.pipelines.native_io import read_par1_dataset
+
+    rng = np.random.default_rng(31)
+    d = tmp_path / "evoprop"
+    d.mkdir()
+    frames = []
+    for fi in range(6):
+        n = int(rng.integers(200, 600))
+        base = {
+            "a": rng.integers(0, 100, n).astype(np.int64),
+            "b": rng.normal(size=n),
+            "c": rng.integers(0, 10, n).astype(np.int64),
+        }
+        keep = ["a"] + [c for c in ("b", "c") if rng.random() < 0.7]
+        t = pa.table({c: pa.array(base[c]) for c in keep})
+        write_par1(t, str(d / f"f{fi}.parquet"), codec="snappy", page_rows=128)
+        df = pd.DataFrame({c: base[c] if c in keep else np.nan for c in ("a", "b", "c")})
+        frames.append(df)
+    full = pd.concat(frames, ignore_index=True)
+
+    def rand_clause():
+        col = ["a", "b", "c"][rng.integers(0, 3)]
+        op = [">=", "<", "==", "!=", "in", "is_null", "not_null"][rng.integers(0, 7)]
+        if op in ("is_null", "not_null"):
+            return (col, op, None)
+        v = float(rng.normal()) if col == "b" else int(rng.integers(-5, 105))
+        if op == "in":
+            return (col, op, [v, v + 1])
+        return (col, op, v)
+
+    def clause_mask(df, col, op, v):
+        s = df[col]
+        if op == "is_null":
+            return s.isna()
+        if op == "not_null":
+            return s.notna()
+        if op == "in":
+            return s.isin(v)
+        m = {">=": s.ge, "<": s.lt, "==": s.eq, "!=": s.ne}[op](v)
+        return m & s.notna()  # SQL: comparisons with NULL never match
+
+    for trial in range(12):
+        branches = [
+            [rand_clause() for _ in range(int(rng.integers(1, 3)))]
+            for _ in range(int(rng.integers(1, 3)))
+        ]
+        got = read_par1_dataset(
+            str(d), columns=["a", "b", "c"], predicate=branches,
+            union_by_name=True,
+        ).to_pandas()
+        mask = None
+        for br in branches:
+            m = None
+            for cl in br:
+                cm = clause_mask(full, *cl)
+                m = cm if m is None else (m & cm)
+            mask = m if mask is None else (mask | m)
+        exp = full[mask]
+        assert len(got) == len(exp), (trial, branches, len(got), len(exp))
+        if len(exp) == 0:
+            continue  # empty Dataset.to_pandas() drops columns (Ray quirk)
+        for c in ("a", "b", "c"):
+            g = np.sort(got[c].fillna(-1e18).to_numpy(dtype=float))
+            e = np.sort(exp[c].fillna(-1e18).to_numpy(dtype=float))
+            assert np.allclose(g, e), (trial, branches, c)
