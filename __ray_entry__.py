@@ -501,6 +501,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["image_features_docs"] = image_features_docs
     q["audio_frames_docs"] = audio_frames_docs
 
+    from parquet_go_ray.pipelines.multimodal import image_ppm_features
+
+    q["image_ppm_features"] = image_ppm_features
+
     # -- INT96 legacy-timestamp round-trip (types/converter.go:94-112) --
     def rt_int96(sf):
         import pyarrow as _pa
@@ -545,8 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # r3 (their operator family keeps another oracled row up front).
     front = [
         "rt_int96_events", "text_quality", "token_count", "lang_id",
-        "fingerprint", "clean_corpus", "image_features_docs",
-        "audio_frames_docs", "knn_ivf", "knn_ivf_full_probe",
+        "fingerprint", "clean_corpus", "image_ppm_features",
+        "audio_frames_docs", "knn_ivf_full_probe",
         "transcode_native_nested", "transcode_native_v2", "scan_native_pruned",
         "read_native_pruned_multi", "native_sink_roundtrip",
         "native_bloom_scan", "native_compact_roundtrip",
@@ -586,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_streaming_events",  # kept via window_tumbling/hopping/sessions
         "transcode_native",       # native write path kept via transcode_native_v2/_nested, native_sink_roundtrip, corpus_to_native
         "knn_ivf",                # rows-only; oracled knn_ivf_full_probe stays up front
+        "image_features_docs",    # stubbed-decode variant; REAL-decode image_ppm_features holds the family's front row
     ]
     mid = [k for k in q if k not in front and k not in tail]
     return {k: q[k] for k in (*front, *mid, *tail)}
@@ -631,6 +636,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS media_id, (doc_id % 3) = 2 AS is_audio, "
             "CAST(CASE WHEN (doc_id % 3) = 2 AND LENGTH(text) > 0 THEN 16 ELSE 0 END "
             "AS BIGINT) AS n_frames FROM documents"
+        ),
+        "image_ppm_features": (
+            "SELECT d.doc_id AS media_id, CAST(32 AS BIGINT) AS width, "
+            "CAST(32 AS BIGINT) AS height, "
+            "AVG(CAST((d.doc_id + x.i * y.j) % 256 AS DOUBLE)) AS mean_r, "
+            "AVG(CAST((2*d.doc_id + x.i + y.j) % 256 AS DOUBLE)) AS mean_g, "
+            "AVG(CAST((3*d.doc_id + x.i + 2*y.j) % 256 AS DOUBLE)) AS mean_b "
+            "FROM documents d, range(32) x(i), range(32) y(j) GROUP BY d.doc_id"
         ),
         "image_features_docs": (
             "SELECT doc_id AS media_id, (doc_id % 3) < 2 AS decoded_ok, "

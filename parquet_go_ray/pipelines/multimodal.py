@@ -221,3 +221,115 @@ def audio_frames_docs(sf_dir: str) -> rd.Dataset:
         )
 
     return out.map_batches(proj, batch_format="pyarrow")
+
+
+# -- REAL decode path: PPM (P6) needs no image library ------------------------
+#
+# The stubbed JPEG/PNG path above is honest about the missing libs; PPM/BMP
+# are uncompressed formats a pure-numpy parser decodes for real.  The
+# pipeline below synthesizes actual P6 files as binary payloads, ships them
+# through Ray as a large_binary column, and an actor pool parses the bytes
+# back into HxWx3 arrays and extracts features — every stage a real decode,
+# and the features are closed-form so DuckDB can oracle them exactly.
+
+_PPM_W = _PPM_H = 32
+
+
+def _ppm_pixels(media_id: int, w: int = _PPM_W, h: int = _PPM_H) -> np.ndarray:
+    """Deterministic RGB content (closed form, SQL-expressible):
+    r=(id+x*y)%256, g=(2id+x+y)%256, b=(3id+x+2y)%256."""
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r = (media_id + x * y) % 256
+    g = (2 * media_id + x + y) % 256
+    b = (3 * media_id + x + 2 * y) % 256
+    return np.stack(
+        [np.broadcast_to(c, (h, w)) for c in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+
+
+def make_ppm(media_id: int, w: int = _PPM_W, h: int = _PPM_H) -> bytes:
+    """A real P6 PPM file: ASCII header + raw big-endian RGB rows."""
+    return f"P6\n{w} {h}\n255\n".encode() + _ppm_pixels(media_id, w, h).tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Pure-numpy P6 parser -> (H, W, 3) uint8.  Raises ValueError on
+    malformed input (magic, dims, maxval, payload size)."""
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment line
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(buf) and not buf[end : end + 1].isspace():
+            end += 1
+        fields.append(buf[pos:end])
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    need = w * h * 3
+    raw = buf[pos : pos + need]
+    if len(raw) != need:
+        raise ValueError(f"payload {len(raw)} != {need}")
+    return np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+
+
+class PpmFeatureStage:
+    """Actor: REAL decode (pure-numpy P6 parse) -> per-channel mean
+    features.  Setup-free, but kept as a class so the stage shape matches
+    the library-backed ImageFeatureStage (actor pool, fat-row batches)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        means = np.empty((len(ids), 3), np.float64)
+        dims = np.empty((len(ids), 2), np.int64)
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            img = decode_ppm(payload)
+            dims[i] = img.shape[1], img.shape[0]
+            # uint8 sums over 1024 px are exact in float64; /2^k is exact ->
+            # bit-stable against the SQL oracle's AVG
+            means[i] = img.astype(np.float64).mean(axis=(0, 1))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(dims[:, 0], pa.int64()),
+                "height": pa.array(dims[:, 1], pa.int64()),
+                "mean_r": pa.array(means[:, 0], pa.float64()),
+                "mean_g": pa.array(means[:, 1], pa.float64()),
+                "mean_b": pa.array(means[:, 2], pa.float64()),
+            }
+        )
+
+
+def image_ppm_features(sf_dir: str) -> rd.Dataset:
+    """documents -> one REAL P6 PPM per doc (binary column) -> actor-pool
+    decode + feature extract.  The whole chain crosses real bytes: the
+    synth stage serializes actual PPM files, the feature stage parses them
+    back with no image library."""
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array([make_ppm(i) for i in ids], pa.large_binary()),
+            }
+        )
+
+    media = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=MEDIA_BATCH_ROWS
+    )
+    return media.map_batches(
+        PpmFeatureStage,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_ROWS,
+        concurrency=2,
+    )

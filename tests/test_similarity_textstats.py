@@ -220,3 +220,30 @@ def test_fingerprint_vectorized_matches_naive(ray_session, tmp_path):
 # test_knn_ivf_recall_gate / test_knn_ivf_training_improves_recall above:
 # 16 lists at nprobe=4 over 500 quasi-random vectors has no stable recall
 # for ANY centroid choice — the gate pins a setting that provably does)
+
+
+def test_ppm_decode_real():
+    """Pure-numpy P6 decoder: roundtrip, comments, malformed inputs."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_go_ray.pipelines.multimodal import (
+        _ppm_pixels,
+        decode_ppm,
+        make_ppm,
+    )
+
+    for mid in (0, 3, 499):
+        img = decode_ppm(make_ppm(mid))
+        assert img.shape == (32, 32, 3)
+        assert (img == _ppm_pixels(mid)).all()
+    # header comments and odd whitespace are legal PPM
+    buf = b"P6 # inline\n# full line\n 4\t2\n255\n" + bytes(range(24))
+    assert decode_ppm(buf).shape == (2, 4, 3)
+    for bad in (
+        b"P5\n2 2\n255\n" + b"\x00" * 4,          # wrong magic
+        b"P6\n2 2\n65535\n" + b"\x00" * 24,       # 16-bit maxval unsupported
+        b"P6\n4 4\n255\n" + b"\x00" * 10,         # truncated payload
+    ):
+        with _pytest.raises(ValueError):
+            decode_ppm(bad)
