@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         native_dnf_scan,
         native_evolved_scan,
         native_null_scan,
+        native_table_lifecycle,
         native_zorder_scan,
         native_partitioned_scan,
         native_sink_roundtrip,
@@ -269,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["native_null_scan"] = native_null_scan
     q["native_evolved_scan"] = native_evolved_scan
     q["native_zorder_scan"] = native_zorder_scan
+    q["native_table_lifecycle"] = native_table_lifecycle
     q["native_sink_roundtrip"] = native_sink_roundtrip
     q["native_bloom_scan"] = native_bloom_scan
     q["native_compact_roundtrip"] = native_compact_roundtrip
@@ -556,7 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_bloom_scan", "native_compact_roundtrip",
         "native_partitioned_scan", "corpus_to_native",
         "native_dnf_scan", "native_null_scan", "native_evolved_scan",
-        "native_zorder_scan",
+        "native_zorder_scan", "native_table_lifecycle",
         # oracled kernel twins + the r4-reworked knn merge must stay inside
         # the driver's ~50-query window
         "ngram_jaccard_exhaustive", "dedup_clusters_exhaustive",
@@ -681,6 +683,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM (SELECT doc_id, lang, "
             "CASE WHEN doc_id < 250 THEN NULL ELSE n_chars END AS n_chars "
             "FROM documents) WHERE n_chars >= 500 OR n_chars IS NULL"
+        ),
+        "native_table_lifecycle": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM (SELECT o_orderkey, "
+            "o_custkey, CASE WHEN o_orderkey < 700 THEN NULL ELSE o_totalprice "
+            "END AS o_totalprice FROM orders) WHERE o_totalprice >= 200000.0 "
+            "OR (o_totalprice IS NULL AND o_custkey < 400)"
         ),
         "native_zorder_scan": (
             "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem "

@@ -1262,6 +1262,40 @@ def native_zorder_scan(sf_dir: str) -> rd.Dataset:
     )
 
 
+def native_table_lifecycle(sf_dir: str) -> rd.Dataset:
+    """Table-format capstone under ONE oracle: two schema generations of
+    orders land as many small parts (gen0 lacks o_totalprice), the
+    directory is COMPACTED with Z-order re-clustering, a manifest is
+    built over the compacted output, and a union_by_name DNF scan reads
+    it back through the full pruning ladder — sink, evolve, compact,
+    cluster, manifest, scan, one hash-checked result."""
+    base = f"/tmp/pgr_native_life_{uuid.uuid4().hex[:8]}"
+    raw_dir, compact_dir = f"{base}/raw", f"{base}/compacted"
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    ds = _read_parquet_any(f"{sf_dir}/orders.parquet", columns=cols)
+    gen0 = ds.filter(expr="o_orderkey < 700").drop_columns(["o_totalprice"]).repartition(5)
+    gen1 = ds.filter(expr="o_orderkey >= 700").repartition(5)
+    # one subdir per schema generation: compaction bins are partition-local,
+    # so files never merge across schemas (real deployments partition by
+    # schema version for exactly this reason)
+    write_par1_dataset(gen0, f"{raw_dir}/gen=0", codec="snappy", page_rows=1024).materialize()
+    write_par1_dataset(gen1, f"{raw_dir}/gen=1", codec="snappy", page_rows=1024).materialize()
+    compact_par1_dataset(
+        raw_dir, compact_dir, target_bytes=4 << 20, page_rows=1024,
+        cluster_by=["o_orderkey", "o_custkey"],
+    ).materialize()
+    build_par1_manifest(compact_dir)
+    return read_par1_dataset(
+        compact_dir,
+        columns=cols,
+        predicate=[
+            [("o_totalprice", ">=", 200000.0)],
+            [("o_totalprice", "is_null", None), ("o_custkey", "<", 400)],
+        ],
+        union_by_name=True,
+    )
+
+
 def native_null_scan(sf_dir: str) -> rd.Dataset:
     """NULL-accounting pruned scan: documents gets a derived nullable column
     (lang_n, NULL in 100-row runs), is sunk as indexed PAR1 parts, and
