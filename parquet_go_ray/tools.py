@@ -5,6 +5,7 @@ files and our encoded chunk directories."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import pyarrow.parquet as pq
@@ -151,6 +152,34 @@ def main(argv=None):
     elif cmd == "chunkcat":
         out = chunk_cat(path, opts[0], limit=int(opts[1]) if len(opts) > 1 else 10,
                         skip=int(opts[2]) if len(opts) > 2 else 0)
+    elif cmd == "manifest":
+        # summarize (or build with "manifest <dir> build") a dataset manifest
+        from .formats.par1 import read_par1
+        from .pipelines.native_io import MANIFEST_NAME, build_par1_manifest
+
+        mpath = os.path.join(path, MANIFEST_NAME)
+        if "build" in opts or not os.path.exists(mpath):
+            import ray
+
+            if not ray.is_initialized():
+                ray.init(address="local", include_dashboard=False)
+            mpath = build_par1_manifest(path)
+        mt = read_par1(mpath, columns=["path", "partition", "rows", "bytes"])
+        parts: dict[str, dict] = {}
+        for pt, r, b in zip(
+            mt["partition"].to_pylist(), mt["rows"].to_pylist(), mt["bytes"].to_pylist()
+        ):
+            e = parts.setdefault(pt or ".", {"files": 0, "rows": 0, "bytes": 0})
+            e["files"] += 1
+            e["rows"] += r
+            e["bytes"] += b
+        out = {
+            "manifest": mpath,
+            "files": mt.num_rows,
+            "rows": sum(mt["rows"].to_pylist()),
+            "bytes": sum(mt["bytes"].to_pylist()),
+            "partitions": parts,
+        }
     elif cmd == "fsck":
         # distributed integrity sweep over a native dataset directory
         import ray
