@@ -341,18 +341,17 @@ def _trunc_min_bytes(b: bytes, limit: int = _STAT_TRUNCATE) -> bytes:
 
 
 def _trunc_max_bytes(b: bytes, limit: int = _STAT_TRUNCATE) -> bytes:
-    """Sound upper bound: the prefix with its last non-0xFF byte
-    incremented (> every value sharing the prefix).  ASCII-guarded like
-    _trunc_min_bytes; falls back to the exact value when it can't round
-    up."""
-    if len(b) <= limit or any(x >= 0x80 for x in b[:limit]):
+    """Sound upper bound: the prefix with its last incrementable byte
+    incremented (> every value sharing the prefix).  Guarded to bytes
+    < 0x7F so the incremented result stays ASCII — a 0x7F byte would
+    round up to 0x80 and break the valid-UTF-8 invariant for
+    UTF8-annotated columns.  Falls back to the exact value when it can't
+    round up."""
+    if len(b) <= limit or any(x >= 0x7F for x in b[:limit]):
         return b
     p = bytearray(b[:limit])
-    for i in range(len(p) - 1, -1, -1):
-        if p[i] != 0xFF:
-            p[i] += 1
-            return bytes(p[: i + 1])
-    return b
+    p[-1] += 1
+    return bytes(p)
 
 
 def _boundary_order(null_pages: list[bool], mins: list[bytes], maxs: list[bytes], pt: int) -> int:

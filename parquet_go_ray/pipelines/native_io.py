@@ -355,12 +355,15 @@ def _zorder_key(cols: list) -> "pa.Array":
     bits = 63 // k
     out = np.zeros(n, np.uint64)
     one = np.uint64(1)
+    import pyarrow.compute as pc
+
     for j, col in enumerate(cols):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        arr = col.to_numpy(zero_copy_only=False)
-        # dense rank normalization (nulls/NaN sort last via argsort kind)
-        order = np.argsort(arr, kind="stable")
+        # dense rank normalization via Arrow sort (handles strings and
+        # nulls — nulls land last — where np.argsort on object arrays
+        # would raise)
+        order = pc.sort_indices(col).to_numpy(zero_copy_only=False)
         ranks = np.empty(n, np.int64)
         ranks[order] = np.arange(n)
         if n > 1:
@@ -376,6 +379,7 @@ def explain_par1_scan(
     dir_path: str,
     columns: list[str] | None = None,
     predicate: tuple | list | None = None,
+    union_by_name: bool = False,
 ) -> dict:
     """Observability for the pruning ladder: run the SAME pruning decisions
     a read would make and report counts at every level WITHOUT returning
@@ -385,7 +389,7 @@ def explain_par1_scan(
     is exact), so use small predicates for pure exploration."""
     import glob as _glob
 
-    from ..formats.par1 import _normalize_predicate, read_par1_pruned
+    from ..formats.par1 import _normalize_predicate, _schema_tree, read_par1_pruned
 
     paths = sorted(
         p
@@ -410,11 +414,38 @@ def explain_par1_scan(
     if not paths:
         return out
 
+    branches = _normalize_predicate(predicate)
+
     def probe(batch: pa.Table) -> pa.Table:
         rows = []
         for p in batch["path"].to_pylist():
-            tbl, st = read_par1_pruned(p, columns, predicate)
+            cols_p, pred_p = columns, predicate
+            if union_by_name:
+                present = {n.name for n in _schema_tree(read_par1_meta(p))}
+                pred_p = (
+                    _adapt_branches_for_file(branches, present) if branches else None
+                )
+                if pred_p == _BRANCH_EXCLUDES_FILE:
+                    continue  # file contributes nothing under this predicate
+                cols_p = [c for c in (columns or present) if c in present]
+                if not cols_p:
+                    cols_p = (
+                        sorted({c for br in pred_p for c, _o, _v in br})
+                        if pred_p
+                        else sorted(present)[:1]
+                    )
+            tbl, st = read_par1_pruned(p, cols_p, pred_p)
             rows.append({**st, "rows_out": tbl.num_rows})
+        if not rows:
+            rows = [
+                {
+                    "row_groups_total": 0,
+                    "row_groups_read": 0,
+                    "pages_total": 0,
+                    "pages_decoded": 0,
+                    "rows_out": 0,
+                }
+            ]
         return pa.table(
             {k: pa.array([r[k] for r in rows], pa.int64()) for k in rows[0]}
         )
@@ -504,7 +535,13 @@ def validate_par1_dataset(
                 if mm is None:
                     continue
                 lo, hi = _stat_py(mm[0], m["type"]), _stat_py(mm[1], m["type"])
-                vals = pc.min_max(tbl[name])
+                col = tbl[name]
+                if pa.types.is_temporal(col.type):
+                    # stats are raw physical ints; compare in that domain
+                    col = col.cast(
+                        pa.int32() if col.type.bit_width == 32 else pa.int64()
+                    )
+                vals = pc.min_max(col)
                 amn, amx = vals["min"].as_py(), vals["max"].as_py()
                 if isinstance(lo, bytes) and isinstance(amn, str):
                     amn, amx = amn.encode(), amx.encode()
@@ -616,12 +653,13 @@ def _manifest_prune(
     the listing it already owns."""
     from ..formats.par1 import read_par1, read_par1_meta
 
-    n_rgs = len(read_par1_meta(manifest_path)["row_groups"])
-    if len(paths) <= _MANIFEST_DISTRIBUTE_THRESHOLD:
+    fmd = read_par1_meta(manifest_path)
+    if fmd["num_rows"] <= _MANIFEST_DISTRIBUTE_THRESHOLD:
         mtab = read_par1(manifest_path, columns=["path", "stats"])
         known = set(mtab["path"].to_pylist())
         admitted = _manifest_admit_rows(mtab, branches)
     else:
+        n_rgs = len(fmd["row_groups"])
 
         def admit(batch: pa.Table) -> pa.Table:
             ks, ads = [], []
@@ -756,22 +794,19 @@ def read_par1_dataset(
         paths = [p for p in paths if want <= set(p.split(os.sep))]
     if not paths:
         raise ValueError("read_par1_dataset: no input files")
-    schema_fallback = paths[0]
+    all_paths = list(paths)
     if src_dir is not None and predicate is not None and use_manifest:
         mpath = os.path.join(src_dir, MANIFEST_NAME)
         if os.path.exists(mpath):
             paths = _manifest_prune(
                 paths, mpath, _normalize_predicate(predicate)
             )
-    if not paths:
-        # every file excluded by the manifest: typed empty dataset
-        ftypes = {
-            n.name: n.type for n in _schema_tree(read_par1_meta(schema_fallback))
-        }
-        fnames = list(columns) if columns is not None else list(ftypes)
-        return rd.from_arrow(
-            pa.table({nm: pa.chunked_array([], type=ftypes[nm]) for nm in fnames})
-        )
+    # every file excluded by the manifest: the schema pass still runs over
+    # the ORIGINAL listing (union semantics must not depend on pruning), and
+    # the typed empty returns after types are known
+    pruned_empty = not paths
+    if pruned_empty:
+        paths = all_paths
     if union_by_name:
         # distributed footer-only schema pass: one serialized-schema row per
         # file (KBs) comes back to the driver and unifies by name
@@ -799,6 +834,8 @@ def read_par1_dataset(
         types = {n.name: n.type for n in _schema_tree(read_par1_meta(paths[0]))}
     names = list(columns) if columns is not None else list(types)
     empty = pa.table({nm: pa.chunked_array([], type=types[nm]) for nm in names})
+    if pruned_empty:
+        return rd.from_arrow(empty)
     branches = _normalize_predicate(predicate)
 
     def _read_one(p: str, rgs: list[int] | None) -> pa.Table | None:
@@ -814,11 +851,21 @@ def read_par1_dataset(
             return None
         cols_here = [n for n in names if n in present]
         if not cols_here:
-            cnt = sum(
-                rg["num_rows"]
-                for i, rg in enumerate(meta["row_groups"])
-                if rgs is None or i in set(rgs)
-            )
+            # no PROJECTED column lives in this file, but the adapted
+            # predicate may still reference present columns: read those to
+            # count the matching rows, then emit that many all-null rows
+            if pred:
+                pcols = sorted({c for br in pred for c, _op, _v in br})
+                tbl_p, _st = read_par1_pruned(
+                    p, pcols, pred, verify_crc=verify_crc, row_groups=rgs
+                )
+                cnt = tbl_p.num_rows
+            else:
+                cnt = sum(
+                    rg["num_rows"]
+                    for i, rg in enumerate(meta["row_groups"])
+                    if rgs is None or i in set(rgs)
+                )
             return pa.table({n: pa.nulls(cnt, types[n]) for n in names})
         tbl, _st = read_par1_pruned(
             p, cols_here, pred, verify_crc=verify_crc, row_groups=rgs

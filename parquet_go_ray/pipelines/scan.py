@@ -110,7 +110,8 @@ _SCAN_ARROW = {
 
 
 def _scan_mask(arr, branches):
-    """Exact Arrow mask for the DNF over one decoded column."""
+    """Exact Arrow mask for the DNF over one decoded column; None = every
+    row matches (an empty AND branch is TRUE, mirroring read_par1_pruned)."""
     or_mask = None
     for br in branches:
         m = None
@@ -124,6 +125,8 @@ def _scan_mask(arr, branches):
             else:
                 cm = _SCAN_ARROW[op](arr, pa.scalar(v, type=arr.type))
             m = cm if m is None else pc.and_kleene(m, cm)
+        if m is None:
+            return None  # empty AND branch admits every row
         or_mask = m if or_mask is None else pc.or_kleene(or_mask, m)
     return or_mask
 
@@ -160,8 +163,8 @@ def scan_column(
             if not _chunk_may_match_dnf(meta, branches):
                 continue  # pruned: never decompressed/decoded
             arr = decode_column_chunk(blob)
-            if branches:
-                mask = _scan_mask(arr, branches)
+            mask = _scan_mask(arr, branches) if branches else None
+            if mask is not None:
                 idx = np.flatnonzero(np.asarray(mask.fill_null(False)))
             else:
                 idx = np.arange(len(arr))

@@ -966,3 +966,117 @@ def test_union_by_name_random_dnf_property(ray_session, tmp_path):
             g = np.sort(got[c].fillna(-1e18).to_numpy(dtype=float))
             e = np.sort(exp[c].fillna(-1e18).to_numpy(dtype=float))
             assert np.allclose(g, e), (trial, branches, c)
+
+
+def test_review_fixes_union_and_explain(ray_session, tmp_path):
+    """Regressions from the round-4 extension code review: (1) predicate on
+    a present column applies even when NO projected column is in the file;
+    (2) all-pruned + union_by_name returns the UNIFIED empty schema;
+    (3) explain_par1_scan works on evolved datasets; (4) zorder on a
+    nullable string column; (5) empty AND branch in the container scan."""
+    import ray.data as rd
+
+    from parquet_go_ray.formats.par1 import write_par1
+    from parquet_go_ray.pipelines.native_io import (
+        build_par1_manifest,
+        explain_par1_scan,
+        read_par1_dataset,
+        write_par1_dataset,
+    )
+
+    d = tmp_path / "rf"
+    d.mkdir()
+    old = pa.table(
+        {
+            "k": pa.array(np.arange(0, 400, dtype=np.int64)),
+            "s": pa.array([f"o{i % 7}" for i in range(400)]),
+        }
+    )
+    new = pa.table(
+        {
+            "k": pa.array(np.arange(400, 800, dtype=np.int64)),
+            "s": pa.array([f"n{i % 5}" for i in range(400)]),
+            "extra": pa.array(np.arange(400, dtype=np.float64)),
+        }
+    )
+    write_par1(old, str(d / "old.parquet"), codec="snappy", page_rows=100)
+    write_par1(new, str(d / "new.parquet"), codec="snappy", page_rows=100)
+
+    # (1) project only the evolved column, predicate on the shared column:
+    # the old file must contribute exactly its k<100 rows as nulls
+    got = read_par1_dataset(
+        str(d), columns=["extra"], predicate=("k", "<", 450), union_by_name=True
+    ).to_pandas()
+    assert len(got) == 450
+    assert got["extra"].isna().sum() == 400
+    assert sorted(got["extra"].dropna()) == list(np.arange(50, dtype=float))
+
+    # (2) manifest prunes everything; union schema survives in the empty
+    build_par1_manifest(str(d))
+    ds2 = read_par1_dataset(
+        str(d), columns=["k", "extra"], predicate=("k", "<", -1), union_by_name=True
+    )
+    assert ds2.count() == 0
+    assert [f.name for f in ds2.schema().base_schema] == ["k", "extra"]
+
+    # (3) explain over the evolved dir
+    info = explain_par1_scan(
+        str(d), columns=["k"], predicate=("extra", ">=", 350.0), union_by_name=True
+    )
+    assert info["rows_out"] == 50
+
+    # (4) zorder with a nullable string key
+    sv = [None if i % 10 == 0 else f"s{i % 13}" for i in range(600)]
+    t = pa.table(
+        {
+            "s": pa.array(sv, pa.string()),
+            "k": pa.array(np.arange(600, dtype=np.int64)),
+        }
+    )
+    dz = str(tmp_path / "znull")
+    write_par1_dataset(
+        rd.from_arrow(t).repartition(2), dz, codec="none", cluster_by=["s", "k"]
+    ).materialize()
+    back = read_par1_dataset(dz).to_pandas()
+    assert len(back) == 600 and back["s"].isna().sum() == 60
+
+    # (5) degenerate container-scan DNF: empty AND branch = match-all
+    from parquet_go_ray.config import EngineConfig
+    from parquet_go_ray.pipelines.encode_pipeline import encode_dataset
+    from parquet_go_ray.pipelines.scan import scan_column
+
+    chunks = encode_dataset(
+        rd.from_arrow(pa.table({"v": pa.array([1, 2, 3], pa.int64())})),
+        EngineConfig(batch_size_rows=2),
+    ).materialize()
+    assert scan_column(chunks, "v", predicate=[[]]).count() == 3
+
+
+def test_review_fixes_fsck_temporal_and_trunc(tmp_path, ray_session):
+    """fsck passes on timestamp/date columns; max truncation never emits
+    bytes >= 0x80 (UTF-8 invariant holds at the 0x7F boundary)."""
+    import ray.data as rd
+
+    from parquet_go_ray.formats.par1 import _trunc_max_bytes, write_par1
+    from parquet_go_ray.pipelines.native_io import validate_par1_dataset
+
+    v = b"abc\x7e" + b"z" * 100
+    assert max(_trunc_max_bytes(v)) < 0x80
+    v2 = b"abc\x7f" + b"z" * 100
+    assert _trunc_max_bytes(v2) == v2  # 0x7F prefix: kept exact
+
+    n = 3000
+    t = pa.table(
+        {
+            "ts": pa.array(
+                np.arange(n, dtype=np.int64) * 10**9, pa.timestamp("us")
+            ),
+            "d": pa.array(np.arange(n, dtype=np.int32), pa.date32()),
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    dd = tmp_path / "tsval"
+    dd.mkdir()
+    write_par1(t, str(dd / "p.parquet"), codec="snappy", page_rows=500)
+    res = validate_par1_dataset(str(dd)).to_pandas()
+    assert res.ok.all(), res[~res.ok][["path", "error"]].to_string()
