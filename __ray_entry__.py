@@ -271,6 +271,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["native_evolved_scan"] = native_evolved_scan
     q["native_zorder_scan"] = native_zorder_scan
     q["native_table_lifecycle"] = native_table_lifecycle
+
+    # -- snapshot/transaction layer over native datasets (pipelines/table.py):
+    # atomic commits, time travel + rollback, merge-on-read position deletes,
+    # delete-folding compaction, vacuum -- the multi-file lifecycle the
+    # reference's single-file Flush/WriteStop (writer/writer.go:273-337)
+    # cannot express
+    from parquet_go_ray.pipelines.table import (
+        table_compact_vacuum,
+        table_mor_delete,
+        table_time_travel,
+    )
+
+    q["table_time_travel"] = table_time_travel
+    q["table_mor_delete"] = table_mor_delete
+    q["table_compact_vacuum"] = table_compact_vacuum
     q["native_sink_roundtrip"] = native_sink_roundtrip
     q["native_bloom_scan"] = native_bloom_scan
     q["native_compact_roundtrip"] = native_compact_roundtrip
@@ -559,6 +574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_partitioned_scan", "corpus_to_native",
         "native_dnf_scan", "native_null_scan", "native_evolved_scan",
         "native_zorder_scan", "native_table_lifecycle",
+        # snapshot/transaction layer (new this round's extension)
+        "table_time_travel", "table_mor_delete", "table_compact_vacuum",
         # oracled kernel twins + the r4-reworked knn merge must stay inside
         # the driver's ~50-query window
         "ngram_jaccard_exhaustive", "dedup_clusters_exhaustive",
@@ -567,6 +584,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_returnflag", "range_join_sessions",
     ]
     tail = [
+        # extension-round demotions — green in r2+r3, code untouched, each
+        # family keeps another oracled row inside the 50-window (frees slots
+        # for the new snapshot/transaction queries + the sole-family rows
+        # distinct_count/hash_sample/vocab/asof/grouped_topk/scan_bloom)
+        "rt_nested_struct",       # struct+list Dremel kept via transcode_native_nested
+        "rt_embeddings",          # list<float> kept via transcode_native_nested + rt_map
+        "rt_lineitem_dict_rle",   # dict+RLE kept via native transcodes (dict encodings) + rt_documents_auto
+        "window_sessions_events",  # windows family kept via window_tumbling_events
+        "window_hopping_events",   # windows family kept via window_tumbling_events
+        "topk_lineitem_price",     # top-k family kept via grouped_topk_orders
         # r4 demotions — r3-green, code untouched this round, each family
         # keeps another oracled row in the top 50 (this frees slots for the
         # queries whose code DID change in r4: dedup_exact, the three
@@ -693,6 +720,22 @@ def oracle_sql() -> dict[str, str]:
         "native_zorder_scan": (
             "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem "
             "WHERE l_suppkey < 8"
+        ),
+        "table_time_travel": (
+            "WITH s1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderkey % 3 = 0), "
+            "s2 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderkey % 3 <= 1) "
+            "SELECT CAST(1 AS BIGINT) AS snap, * FROM s1 "
+            "UNION ALL SELECT CAST(2 AS BIGINT) AS snap, * FROM s2 "
+            "UNION ALL SELECT CAST(3 AS BIGINT) AS snap, * FROM s1"
+        ),
+        "table_mor_delete": (
+            "SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag "
+            "FROM lineitem WHERE NOT (l_quantity < 10) AND l_returnflag = 'R'"
+        ),
+        "table_compact_vacuum": (
+            "SELECT * FROM documents WHERE NOT (doc_id < 50 OR lang = 'de')"
         ),
         "native_null_scan": (
             "SELECT doc_id, lang_n FROM (SELECT doc_id, "

@@ -1349,6 +1349,28 @@ def _clause_mask(col, op: str, val, typ: pa.DataType):
     return _PRED_ARROW[op](col, pa.scalar(pv, typ))
 
 
+def dnf_mask(tbl: pa.Table, branches, types: dict | None = None):
+    """Exact Kleene-logic boolean mask for a normalized DNF predicate over a
+    decoded table: OR across branches of AND across clauses, SQL null
+    semantics (a null comparison is null; ``Table.filter`` then drops those
+    rows).  Returns None when some branch is empty (admits every row).
+    ``types`` optionally overrides per-column logical types (defaults to the
+    table's own column types)."""
+    or_mask = None
+    for br in branches:
+        m = None
+        for pcol, pop, pval in br:
+            typ = types[pcol] if types is not None else tbl.schema.field(pcol).type
+            cm = _clause_mask(tbl[pcol], pop, pval, typ)
+            if isinstance(cm, pa.ChunkedArray):
+                cm = cm.combine_chunks()
+            m = cm if m is None else pc.and_kleene(m, cm)
+        if m is None:  # empty AND branch admits every row
+            return None
+        or_mask = m if or_mask is None else pc.or_kleene(or_mask, m)
+    return or_mask
+
+
 def _all_data_pages_dict(md: dict) -> bool:
     """True iff encoding_stats PROVES every data page of the chunk is
     dictionary-encoded — then the dict page is the chunk's complete value
@@ -1843,18 +1865,7 @@ def read_par1_pruned(
                 cols[nm] = col
             tbl = pa.table({nm: cols[nm] for nm in need})
             if branches:
-                or_mask = None
-                for br in branches:
-                    m = None
-                    for pcol, pop, pval in br:
-                        cm = _clause_mask(tbl[pcol], pop, pval, nodes[pcol].type)
-                        if isinstance(cm, pa.ChunkedArray):
-                            cm = cm.combine_chunks()
-                        m = cm if m is None else pc.and_kleene(m, cm)
-                    if m is None:  # empty AND branch admits every row
-                        or_mask = None
-                        break
-                    or_mask = m if or_mask is None else pc.or_kleene(or_mask, m)
+                or_mask = dnf_mask(tbl, branches, {nm: nodes[nm].type for nm in need})
                 if or_mask is not None:
                     tbl = tbl.filter(or_mask)
             out_tables.append(tbl.select(names))

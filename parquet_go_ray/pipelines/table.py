@@ -1,0 +1,654 @@
+"""Snapshot/transaction layer over native PAR1 dataset directories.
+
+The reference engine's lifecycle ends at one file (`writer/writer.go`
+Flush/WriteStop close a single PAR1 stream); a 100 TB corpus instead lives
+as a DIRECTORY of immutable parts that must evolve — appends land while
+scans run, bad records need retraction, small files need compaction, and a
+botched job needs rollback.  This module adds the minimal
+Iceberg/Delta-style mechanics (public designs) over the engine's own
+files, all Ray-Data-first:
+
+* **Snapshot log** — ``<table>/_snapshots/v0000000001.json`` etc.  Each
+  snapshot is the COMPLETE live state: the data-file list (with per-file
+  stats, so the log doubles as the scan manifest) plus the delete-file
+  list.  Commits are atomic and optimistically concurrent: the snapshot
+  body is written to a tmp file and ``os.link``-ed to its version name —
+  a concurrent committer losing the race gets ``FileExistsError`` and
+  retries against the new parent, so two writers never tear a snapshot.
+* **Time travel** — ``table_scan(dir, version=N)`` reads the table exactly
+  as committed at version N; ``table_rollback`` makes an old state current
+  with a new commit (history is never rewritten).
+* **Merge-on-read deletes** — ``table_delete(dir, predicate)`` writes
+  POSITION-delete parquet files ``(file_path, pos)`` through the engine's
+  own sink (Iceberg v2 position-delete analog); scans subtract the
+  positions per data file.  Data files are never rewritten at delete time;
+  ``table_compact`` later folds the deletes in and restores full
+  page-pruned scans.
+* **Vacuum** — removes files no retained snapshot references (failed-txn
+  orphans, compacted-away parts), never anything a live version still
+  needs.
+
+Driver-side state is always O(file count), never data: writes go through
+``write_par1_dataset`` (one Ray block -> one indexed part), position
+finding and deleted-file reads are per-file Ray tasks, and the clean-file
+fast path is exactly ``read_par1_dataset``'s pruned distributed scan.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..formats.par1 import (
+    _normalize_predicate,
+    _schema_tree,
+    dnf_mask,
+    read_par1_meta,
+    read_par1_pruned,
+)
+from .native_io import (
+    _manifest_admits_file,
+    _manifest_table,
+    _write_part,
+    read_par1_dataset,
+    write_par1_dataset,
+)
+
+SNAP_DIR = "_snapshots"
+DATA_DIR = "data"
+DELETE_DIR = "_deletes"
+
+
+def _snap_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, SNAP_DIR)
+
+
+def _snap_path(table_dir: str, version: int) -> str:
+    return os.path.join(_snap_dir(table_dir), f"v{version:010d}.json")
+
+
+def table_versions(table_dir: str) -> list[int]:
+    """Committed snapshot versions, ascending ([] for a fresh directory)."""
+    d = _snap_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.startswith("v") and n.endswith(".json") and ".tmp." not in n:
+            out.append(int(n[1:-5]))
+    return sorted(out)
+
+
+def load_snapshot(table_dir: str, version: int | None = None) -> dict:
+    """The snapshot dict at `version` (default: latest)."""
+    if version is None:
+        vs = table_versions(table_dir)
+        if not vs:
+            raise FileNotFoundError(f"no snapshots under {table_dir}")
+        version = vs[-1]
+    with open(_snap_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _commit(table_dir: str, op: str, build) -> int:
+    """Atomic optimistic commit: `build(parent_snapshot_or_None)` returns
+    (data_entries, delete_entries) for the new snapshot.  The tmp+os.link
+    publish is all-or-nothing; losing a race re-reads the parent and
+    rebuilds, so appends merge instead of clobbering each other."""
+    os.makedirs(_snap_dir(table_dir), exist_ok=True)
+    while True:
+        vs = table_versions(table_dir)
+        parent = load_snapshot(table_dir, vs[-1]) if vs else None
+        data, deletes = build(parent)
+        v = (vs[-1] + 1) if vs else 1
+        snap = {
+            "version": v,
+            "parent": vs[-1] if vs else None,
+            "op": op,
+            "data": data,
+            "deletes": deletes,
+        }
+        tmp = _snap_path(table_dir, v) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, _snap_path(table_dir, v))
+            return v
+        except FileExistsError:
+            continue  # concurrent committer won this version; retry on new parent
+        finally:
+            os.unlink(tmp)
+
+
+def _entries_from_manifest(table_dir: str, man_rows: list[dict]) -> list[dict]:
+    return [
+        {
+            "path": os.path.relpath(r["path"], table_dir),
+            "rows": r["rows"],
+            "bytes": r["bytes"],
+            "stats": r["stats"],
+        }
+        for r in man_rows
+    ]
+
+
+def table_write(
+    ds: rd.Dataset,
+    table_dir: str,
+    mode: str = "append",
+    txn_id: str | None = None,
+    **write_kwargs,
+) -> int:
+    """Commit a Dataset into the table: parts stream through
+    ``write_par1_dataset`` into ``data/<txn>/`` (content-named, atomic,
+    skip-existing — re-running a failed txn with the same `txn_id` resumes
+    its encode), then ONE snapshot publishes them.  `mode="append"` adds to
+    the parent's live set; `mode="overwrite"` replaces it (old files stay
+    on disk for time travel until vacuumed).  Returns the new version."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode {mode!r}")
+    txn = txn_id or uuid.uuid4().hex[:12]
+    out = os.path.join(table_dir, DATA_DIR, txn)
+    man = write_par1_dataset(ds, out, **write_kwargs).take_all()
+    new = _entries_from_manifest(table_dir, man)
+    if not new and mode == "append":
+        raise ValueError("table_write: empty dataset append")
+
+    def build(parent):
+        if mode == "overwrite" or parent is None:
+            return new, []
+        have = {e["path"] for e in parent["data"]}
+        return parent["data"] + [e for e in new if e["path"] not in have], list(
+            parent["deletes"]
+        )
+
+    return _commit(table_dir, mode, build)
+
+
+def _decode_stats(stats_json: str) -> dict:
+    st = json.loads(stats_json)
+
+    def dec(v):
+        if isinstance(v, dict) and "b64" in v:
+            return base64.b64decode(v["b64"])
+        return v
+
+    return {c: {**e, "min": dec(e["min"]), "max": dec(e["max"])} for c, e in st.items()}
+
+
+def _entry_admits(entry: dict, branches) -> bool:
+    sj = entry.get("stats")
+    if not sj or not branches:
+        return True
+    return _manifest_admits_file(_decode_stats(sj), branches)
+
+
+def _stat_bound(stats_json: str, col: str, which: str):
+    v = _decode_stats(stats_json).get(col, {}).get(which)
+    return v.decode("utf-8", "replace") if isinstance(v, bytes) else v
+
+
+def table_delete(
+    table_dir: str, predicate, txn_id: str | None = None
+) -> int:
+    """Merge-on-read row deletion: one Ray task per live data file whose
+    snapshot stats admit the predicate evaluates the exact DNF mask
+    row-group by row-group (``dnf_mask`` — SQL null semantics, so a null
+    comparison never deletes) and emits global row POSITIONS; the
+    positions land as engine-written position-delete parquet files
+    ``(file_path, pos)`` sorted by file_path (tight stats -> scans load
+    only the delete files covering their data file).  No data file is
+    rewritten.  Returns the new version (or the current one when nothing
+    matched — an empty delete is a no-op, not a commit)."""
+    snap = load_snapshot(table_dir)
+    branches = _normalize_predicate(predicate)
+    if not branches:
+        raise ValueError("table_delete needs a predicate")
+    pcols = sorted({c for br in branches for c, _op, _v in br})
+    cand = [e["path"] for e in snap["data"] if _entry_admits(e, branches)]
+    if not cand:
+        return snap["version"]
+    txn = txn_id or uuid.uuid4().hex[:12]
+
+    def find_positions(batch: pa.Table) -> pa.Table:
+        fps: list[str] = []
+        poss: list[int] = []
+        for rel in batch["path"].to_pylist():
+            p = os.path.join(table_dir, rel)
+            meta = read_par1_meta(p)
+            base = 0
+            for rg_i, rg in enumerate(meta["row_groups"]):
+                tbl, _st = read_par1_pruned(p, pcols, None, row_groups=[rg_i])
+                m = dnf_mask(tbl, branches)
+                if m is None:
+                    hit = np.arange(tbl.num_rows, dtype=np.int64)
+                else:
+                    if isinstance(m, pa.ChunkedArray):
+                        m = m.combine_chunks()
+                    hit = np.flatnonzero(
+                        m.fill_null(False).to_numpy(zero_copy_only=False)
+                    )
+                fps.extend([rel] * len(hit))
+                poss.extend((hit + base).tolist())
+                base += rg["num_rows"]
+        return pa.table(
+            {"file_path": pa.array(fps, pa.string()), "pos": pa.array(poss, pa.int64())}
+        )
+
+    pos_ds = rd.from_items(
+        [{"path": p} for p in cand], override_num_blocks=len(cand)
+    ).map_batches(find_positions, batch_format="pyarrow", batch_size=None)
+    n_parts = max(1, len(cand) // 64)
+    man = write_par1_dataset(
+        pos_ds.repartition(n_parts),
+        os.path.join(table_dir, DELETE_DIR, txn),
+        codec="zstd",
+        encodings={"file_path": "dict", "pos": "delta_bp"},
+        sort_by="file_path",
+    ).take_all()
+    new_del = []
+    for r in man:
+        if r["rows"] == 0:
+            continue
+        new_del.append(
+            {
+                "path": os.path.relpath(r["path"], table_dir),
+                "rows": r["rows"],
+                "min_file": _stat_bound(r["stats"], "file_path", "min"),
+                "max_file": _stat_bound(r["stats"], "file_path", "max"),
+            }
+        )
+    if not new_del:
+        return snap["version"]
+
+    def build(parent):
+        if parent is None:
+            raise RuntimeError("delete against a vanished table")
+        return list(parent["data"]), list(parent["deletes"]) + new_del
+
+    return _commit(table_dir, "delete", build)
+
+
+def _deletes_for_file(snap: dict, rel: str) -> list[str]:
+    """Delete-file rel paths whose [min_file, max_file] key range admits
+    this data file (bounds come from the delete part's own column stats —
+    sound under the writer's 64-byte truncation)."""
+    out = []
+    for d in snap["deletes"]:
+        lo, hi = d.get("min_file"), d.get("max_file")
+        if (lo is None or lo <= rel) and (hi is None or rel <= hi):
+            out.append(d["path"])
+    return out
+
+
+def _positions_for_file(table_dir: str, del_paths: list[str], rel: str):
+    pos: list[np.ndarray] = []
+    for dp in del_paths:
+        tbl, _st = read_par1_pruned(
+            os.path.join(table_dir, dp), ["pos"], ("file_path", "==", rel)
+        )
+        if tbl.num_rows:
+            pos.append(tbl["pos"].to_numpy(zero_copy_only=False))
+    if not pos:
+        return None
+    return np.unique(np.concatenate(pos))
+
+
+def _read_file_with_deletes(
+    table_dir: str,
+    rel: str,
+    del_paths: list[str],
+    columns: list[str],
+    branches,
+) -> pa.Table:
+    """Full-fidelity read of one position-deleted data file: each row group
+    reads whole (positions are file-global, so page pruning is off for
+    dirty files — compaction restores it), the delete mask drops positions,
+    then the exact DNF mask applies.  Row-group streaming keeps the working
+    set one row group, not one file."""
+    p = os.path.join(table_dir, rel)
+    meta = read_par1_meta(p)
+    need = list(columns)
+    for br in branches:
+        for c, _op, _v in br:
+            if c not in need:
+                need.append(c)
+    positions = _positions_for_file(table_dir, del_paths, rel)
+    out: list[pa.Table] = []
+    base = 0
+    for rg_i, rg in enumerate(meta["row_groups"]):
+        n = rg["num_rows"]
+        tbl, _st = read_par1_pruned(p, need, None, row_groups=[rg_i])
+        if positions is not None:
+            loc = positions[(positions >= base) & (positions < base + n)] - base
+            if len(loc):
+                keep = np.ones(n, dtype=bool)
+                keep[loc] = False
+                tbl = tbl.filter(pa.array(keep))
+        if branches and tbl.num_rows:
+            m = dnf_mask(tbl, branches)
+            if m is not None:
+                tbl = tbl.filter(m)
+        out.append(tbl.select(columns))
+        base += n
+    return pa.concat_tables(out)
+
+
+def table_scan(
+    table_dir: str,
+    version: int | None = None,
+    columns: list[str] | None = None,
+    predicate=None,
+    **read_kwargs,
+) -> rd.Dataset:
+    """Snapshot-consistent distributed scan (optionally time-traveled).
+    The snapshot log IS the manifest: per-file stats prune whole files
+    driver-side before any task spawns.  Files untouched by deletes go
+    through ``read_par1_dataset``'s full pruning ladder (row-group stats,
+    ColumnIndex pages, blooms); position-deleted files take the
+    merge-on-read path, one Ray task per file.  The two streams union."""
+    snap = load_snapshot(table_dir, version)
+    branches = _normalize_predicate(predicate)
+    if not snap["data"]:
+        raise ValueError(f"snapshot v{snap['version']} has no data files")
+    live = [e for e in snap["data"] if _entry_admits(e, branches)]
+    schema_rel = (live or snap["data"])[0]["path"]
+    nodes = _schema_tree(read_par1_meta(os.path.join(table_dir, schema_rel)))
+    names = list(columns) if columns is not None else [n.name for n in nodes]
+    types = {n.name: n.type for n in nodes}
+    if not live:
+        return rd.from_arrow(
+            pa.table({nm: pa.chunked_array([], type=types[nm]) for nm in names})
+        )
+    clean: list[str] = []
+    dirty: list[tuple[str, list[str]]] = []
+    for e in live:
+        dels = _deletes_for_file(snap, e["path"])
+        (dirty.append((e["path"], dels)) if dels else clean.append(e["path"]))
+    parts: list[rd.Dataset] = []
+    if clean:
+        parts.append(
+            read_par1_dataset(
+                [os.path.join(table_dir, r) for r in clean],
+                columns=names,
+                predicate=predicate,
+                **read_kwargs,
+            )
+        )
+    if dirty:
+        empty = pa.table({nm: pa.chunked_array([], type=types[nm]) for nm in names})
+
+        def read_dirty(batch: pa.Table) -> pa.Table:
+            tables = []
+            for rel, dps in zip(
+                batch["path"].to_pylist(), batch["dels"].to_pylist()
+            ):
+                t = _read_file_with_deletes(table_dir, rel, list(dps), names, branches)
+                if t.num_rows:
+                    tables.append(t)
+            return pa.concat_tables(tables) if tables else empty
+
+        items = rd.from_items(
+            [{"path": r, "dels": d} for r, d in dirty],
+            override_num_blocks=len(dirty),
+        )
+        parts.append(
+            items.map_batches(read_dirty, batch_format="pyarrow", batch_size=None)
+        )
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+
+def table_compact(
+    table_dir: str,
+    target_bytes: int = 128 << 20,
+    txn_id: str | None = None,
+    codec: str | dict = "snappy",
+    encodings: dict | None = None,
+    page_rows: int = 65536,
+    bloom=None,
+    sort_by: str | list[str] | None = None,
+    page_bytes: int | None = None,
+) -> int:
+    """Copy-on-write maintenance: bin-pack the live files into
+    ~`target_bytes` outputs, FOLDING IN every position delete (the
+    merge-on-read debt is paid here, once), and commit the rewritten state
+    as one snapshot with an empty delete list.  One Ray task per bin; the
+    driver holds only the (path, bytes) listing.  Old parts stay for time
+    travel until ``table_vacuum``."""
+    snap = load_snapshot(table_dir)
+    if not snap["data"]:
+        raise ValueError("nothing to compact")
+    txn = txn_id or uuid.uuid4().hex[:12]
+    out_dir = os.path.join(table_dir, DATA_DIR, txn)
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_b = 0
+    for e in snap["data"]:
+        if cur and cur_b + e["bytes"] > target_bytes:
+            bins.append(cur)
+            cur, cur_b = [], 0
+        cur.append(e["path"])
+        cur_b += e["bytes"]
+    if cur:
+        bins.append(cur)
+    sort_keys = [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
+    wkw = dict(
+        codec=codec, encodings=encodings, page_rows=page_rows, bloom=bloom,
+        page_bytes=page_bytes,
+    )
+    if sort_keys:
+        wkw["sorting_columns"] = [(c, False, False) for c in sort_keys]
+    dels_by_file = {e["path"]: _deletes_for_file(snap, e["path"]) for e in snap["data"]}
+    first = os.path.join(table_dir, snap["data"][0]["path"])
+    all_cols = [n.name for n in _schema_tree(read_par1_meta(first))]
+
+    def compact_bin(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in batch["bin"].to_pylist():
+            merged = pa.concat_tables(
+                _read_file_with_deletes(
+                    table_dir, rel, dels_by_file[rel], all_cols, []
+                )
+                for rel in bins[i]
+            )
+            if sort_keys:
+                merged = merged.sort_by([(c, "ascending") for c in sort_keys])
+            rows.append(_write_part(merged, out_dir, "", wkw))
+        return _manifest_table(rows)
+
+    man = (
+        rd.from_items([{"bin": i} for i in range(len(bins))], override_num_blocks=len(bins))
+        .map_batches(compact_bin, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    new = _entries_from_manifest(table_dir, man)
+
+    def build(parent):
+        return new, []
+
+    return _commit(table_dir, "compact", build)
+
+
+def table_rollback(table_dir: str, version: int) -> int:
+    """Make an earlier state current AGAIN via a new commit (append-only
+    history — nothing is rewritten, so the rolled-back-from state stays
+    inspectable)."""
+    old = load_snapshot(table_dir, version)
+
+    def build(parent):
+        return list(old["data"]), list(old["deletes"])
+
+    return _commit(table_dir, "rollback", build)
+
+
+def table_history(table_dir: str) -> pa.Table:
+    """One row per committed snapshot: version, parent, op, live file /
+    delete-file counts, live rows and bytes."""
+    rows = [load_snapshot(table_dir, v) for v in table_versions(table_dir)]
+    return pa.table(
+        {
+            "version": pa.array([s["version"] for s in rows], pa.int64()),
+            "parent": pa.array([s["parent"] for s in rows], pa.int64()),
+            "op": pa.array([s["op"] for s in rows], pa.string()),
+            "data_files": pa.array([len(s["data"]) for s in rows], pa.int64()),
+            "delete_files": pa.array([len(s["deletes"]) for s in rows], pa.int64()),
+            "rows": pa.array(
+                [sum(e["rows"] for e in s["data"]) for s in rows], pa.int64()
+            ),
+            "bytes": pa.array(
+                [sum(e["bytes"] for e in s["data"]) for s in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def table_vacuum(table_dir: str, keep_last: int | None = None) -> list[str]:
+    """Physically remove files NO retained snapshot references — failed-txn
+    orphans and compacted-away parts.  `keep_last=N` first expires all but
+    the newest N snapshots (their exclusive files become removable and
+    time travel to them stops); default retains every snapshot, so only
+    true orphans go.  Returns removed rel paths (data + delete files +
+    expired snapshot logs)."""
+    vs = table_versions(table_dir)
+    if not vs:
+        return []
+    retained = vs if keep_last is None else vs[-keep_last:]
+    expired = [v for v in vs if v not in set(retained)]
+    referenced: set[str] = set()
+    for v in retained:
+        s = load_snapshot(table_dir, v)
+        referenced.update(e["path"] for e in s["data"])
+        referenced.update(d["path"] for d in s["deletes"])
+    removed: list[str] = []
+    for sub in (DATA_DIR, DELETE_DIR):
+        root = os.path.join(table_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dn, fns in os.walk(root):
+            for fn in fns:
+                p = os.path.join(dirpath, fn)
+                rel = os.path.relpath(p, table_dir)
+                if rel not in referenced:
+                    os.remove(p)
+                    removed.append(rel)
+    for v in expired:
+        os.remove(_snap_path(table_dir, v))
+        removed.append(os.path.relpath(_snap_path(table_dir, v), table_dir))
+    # drop now-empty txn directories so listings stay clean
+    for sub in (DATA_DIR, DELETE_DIR):
+        root = os.path.join(table_dir, sub)
+        if os.path.isdir(root):
+            for dirpath, dn, fns in list(os.walk(root, topdown=False)):
+                if not dn and not fns and dirpath != root:
+                    os.rmdir(dirpath)
+    return sorted(removed)
+
+
+# ---------------------------------------------------------------------------
+# driver queries (oracled at sf0.01 by __ray_entry__.oracle_sql)
+
+
+def _snap_tagged(ds: rd.Dataset, snap: int) -> rd.Dataset:
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "snap", pa.array(np.full(batch.num_rows, snap, np.int64))
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def table_time_travel(sf_dir: str) -> rd.Dataset:
+    """Snapshot isolation under the oracle: two appends then a ROLLBACK to
+    v1; the result unions the scan AT v1, AT v2, and at the post-rollback
+    head (which must equal v1 bit-for-bit).  Every row crosses the engine's
+    encoders, the snapshot log, and the engine's decoders."""
+    from ..sources.io import read_parquet_any
+
+    d = f"/tmp/pgr_table_tt_{uuid.uuid4().hex[:8]}"
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    orders = read_parquet_any(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def keep(rem: int):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(k % 3 == rem))
+
+        return f
+
+    enc = {"o_orderkey": "delta_bp", "o_totalprice": "byte_stream_split"}
+    table_write(
+        orders.map_batches(keep(0), batch_format="pyarrow").repartition(3),
+        d, encodings=enc,
+    )
+    table_write(
+        orders.map_batches(keep(1), batch_format="pyarrow").repartition(2),
+        d, encodings=enc,
+    )
+    table_rollback(d, 1)
+    parts = [
+        _snap_tagged(table_scan(d, version=1, columns=cols), 1),
+        _snap_tagged(table_scan(d, version=2, columns=cols), 2),
+        _snap_tagged(table_scan(d, columns=cols), 3),  # head == v1 again
+    ]
+    return parts[0].union(*parts[1:])
+
+
+def table_mor_delete(sf_dir: str) -> rd.Dataset:
+    """Merge-on-read deletes composed with a pruned scan, under the oracle:
+    position-delete files retract `l_quantity < 10`, then a predicate scan
+    on ANOTHER column runs over the deleted table — surviving rows must
+    equal SQL `WHERE NOT (deleted) AND predicate` exactly."""
+    from ..sources.io import read_parquet_any
+
+    d = f"/tmp/pgr_table_mor_{uuid.uuid4().hex[:8]}"
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+    li = read_parquet_any(f"{sf_dir}/lineitem.parquet", columns=cols).repartition(8)
+    table_write(
+        li, d, row_group_rows=4096, page_rows=1024,
+        encodings={"l_orderkey": "delta_bp", "l_returnflag": "dict",
+                   "l_extendedprice": "byte_stream_split"},
+    )
+    table_delete(d, ("l_quantity", "<", 10.0))
+    return table_scan(d, columns=cols, predicate=("l_returnflag", "==", "R"))
+
+
+def table_compact_vacuum(sf_dir: str) -> rd.Dataset:
+    """The maintenance tail of the table lifecycle, oracled: two appends, a
+    DNF delete (OR of range + equality branches), copy-on-write compaction
+    that folds the position deletes in, then vacuum(keep_last=1) which must
+    physically remove the superseded parts and delete files while the final
+    scan still returns exactly the SQL survivors."""
+    from ..sources.io import read_parquet_any
+
+    d = f"/tmp/pgr_table_cv_{uuid.uuid4().hex[:8]}"
+    docs = read_parquet_any(f"{sf_dir}/documents.parquet")
+
+    def keep(rem: int):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(k % 2 == rem))
+
+        return f
+
+    enc = {"doc_id": "delta_bp", "lang": "dict", "source": "dict"}
+    table_write(docs.map_batches(keep(0), batch_format="pyarrow").repartition(4),
+                d, encodings=enc)
+    table_write(docs.map_batches(keep(1), batch_format="pyarrow").repartition(4),
+                d, encodings=enc)
+    table_delete(d, [[("doc_id", "<", 50)], [("lang", "==", "de")]])
+    table_compact(d, target_bytes=64 << 20, sort_by="doc_id", encodings=enc)
+    removed = table_vacuum(d, keep_last=1)
+    assert removed, "vacuum must reclaim the compacted-away parts"
+    assert len(table_versions(d)) == 1
+    hist = table_history(d)
+    assert hist["op"].to_pylist() == ["compact"]
+    return table_scan(d)

@@ -1,0 +1,180 @@
+"""Snapshot/transaction layer (pipelines/table.py): commits, time travel,
+merge-on-read position deletes, compaction, rollback, vacuum."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from parquet_go_ray.pipelines import table as T
+
+
+def _mk(n0: int, n1: int) -> pa.Table:
+    idx = np.arange(n0, n1)
+    return pa.table(
+        {
+            "k": pa.array(idx, pa.int64()),
+            "v": pa.array((idx * 7) % 100, pa.int64()),
+            "s": pa.array([f"row{i:05d}" for i in idx]),
+        }
+    )
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    d = str(tmp_path / "tbl")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _scan_pd(d, **kw):
+    df = T.table_scan(d, **kw).to_pandas()
+    return df.sort_values("k").reset_index(drop=True)
+
+
+def test_append_and_time_travel(ray_session, tdir):
+    v1 = T.table_write(rd.from_arrow(_mk(0, 1000)).repartition(3), tdir)
+    v2 = T.table_write(rd.from_arrow(_mk(1000, 1400)).repartition(2), tdir)
+    assert (v1, v2) == (1, 2)
+    assert len(_scan_pd(tdir, version=1)) == 1000
+    assert len(_scan_pd(tdir)) == 1400
+    hist = T.table_history(tdir).to_pylist()
+    assert [h["op"] for h in hist] == ["append", "append"]
+    assert hist[1]["parent"] == 1
+
+
+def test_overwrite_keeps_history(ray_session, tdir):
+    T.table_write(rd.from_arrow(_mk(0, 500)), tdir)
+    T.table_write(rd.from_arrow(_mk(900, 1000)), tdir, mode="overwrite")
+    assert list(_scan_pd(tdir)["k"]) == list(range(900, 1000))
+    assert list(_scan_pd(tdir, version=1)["k"]) == list(range(500))
+
+
+def test_mor_delete_and_predicate(ray_session, tdir):
+    T.table_write(rd.from_arrow(_mk(0, 2000)).repartition(4), tdir)
+    v = T.table_delete(tdir, ("v", "<", 20))
+    assert v == 2
+    exp = _mk(0, 2000).to_pandas()
+    exp = exp[~(exp.v < 20)]
+    got = _scan_pd(tdir)
+    assert list(got.k) == sorted(exp.k)
+    # predicate over the deleted table composes (MoR path re-filters exactly)
+    got2 = _scan_pd(tdir, predicate=[("k", ">=", 100), ("k", "<", 1500)])
+    exp2 = exp[(exp.k >= 100) & (exp.k < 1500)]
+    assert list(got2.k) == sorted(exp2.k)
+    # pre-delete version still intact
+    assert len(_scan_pd(tdir, version=1)) == 2000
+
+
+def test_delete_noop_and_second_delete_unions(ray_session, tdir):
+    T.table_write(rd.from_arrow(_mk(0, 300)), tdir)
+    v = T.table_delete(tdir, ("k", ">=", 10_000))  # matches nothing
+    assert v == 1  # no-op: no new commit
+    T.table_delete(tdir, ("k", "<", 50))
+    T.table_delete(tdir, [("k", ">=", 250)])
+    got = _scan_pd(tdir)
+    assert list(got.k) == list(range(50, 250))
+
+
+def test_compact_applies_deletes(ray_session, tdir):
+    T.table_write(rd.from_arrow(_mk(0, 1200)).repartition(6), tdir)
+    T.table_delete(tdir, ("v", ">=", 80))
+    v = T.table_compact(tdir, target_bytes=1 << 20, sort_by="k")
+    snap = T.load_snapshot(tdir, v)
+    assert snap["op"] == "compact" and snap["deletes"] == []
+    exp = _mk(0, 1200).to_pandas()
+    exp = exp[~(exp.v >= 80)]
+    assert list(_scan_pd(tdir).k) == sorted(exp.k)
+    # fewer live files than before
+    assert len(snap["data"]) < 6
+
+
+def test_rollback(ray_session, tdir):
+    T.table_write(rd.from_arrow(_mk(0, 400)), tdir)
+    T.table_delete(tdir, ("k", "<", 100))
+    assert len(_scan_pd(tdir)) == 300
+    v = T.table_rollback(tdir, 1)
+    assert len(_scan_pd(tdir)) == 400
+    hist = T.table_history(tdir).to_pylist()
+    assert hist[-1]["op"] == "rollback" and hist[-1]["version"] == v
+
+
+def test_vacuum_orphans_and_expiry(ray_session, tdir):
+    T.table_write(rd.from_arrow(_mk(0, 600)).repartition(2), tdir)
+    T.table_write(rd.from_arrow(_mk(600, 900)), tdir)
+    # orphan: a data file from a txn that never committed
+    orphan_dir = os.path.join(tdir, T.DATA_DIR, "deadbeef0000")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part_junk.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1junkPAR1")
+    removed = T.table_vacuum(tdir)
+    assert [os.path.basename(r) for r in removed] == ["part_junk.parquet"]
+    assert not os.path.exists(orphan)
+    # overwrite, then expire old versions: their exclusive files go
+    T.table_write(rd.from_arrow(_mk(0, 10)), tdir, mode="overwrite")
+    removed = T.table_vacuum(tdir, keep_last=1)
+    assert any(r.startswith(T.DATA_DIR) for r in removed)
+    assert T.table_versions(tdir) == [3]
+    assert len(_scan_pd(tdir)) == 10
+
+
+def test_commit_conflict_retries(ray_session, tdir):
+    T.table_write(rd.from_arrow(_mk(0, 100)), tdir)
+    # simulate a concurrent committer claiming version 2 mid-commit
+    s1 = T.load_snapshot(tdir, 1)
+    claim = dict(s1, version=2, parent=1, op="append")
+    os.makedirs(T._snap_dir(tdir), exist_ok=True)
+    with open(T._snap_path(tdir, 2), "w") as f:
+        json.dump(claim, f)
+    v = T.table_write(rd.from_arrow(_mk(100, 200)), tdir)
+    assert v == 3  # retried past the claimed version
+    snap = T.load_snapshot(tdir, 3)
+    assert snap["parent"] == 2
+    # claimed v2 carried v1's file list; v3 appended 100 more rows on top
+    assert len(_scan_pd(tdir)) == 200
+    assert len({e["path"] for e in snap["data"]}) == len(snap["data"])
+
+
+def test_scan_prunes_files_from_snapshot_stats(ray_session, tdir):
+    # two disjoint key ranges in separate commits -> separate files; a
+    # predicate on one range must only admit that file set
+    T.table_write(rd.from_arrow(_mk(0, 500)), tdir)
+    T.table_write(rd.from_arrow(_mk(10_000, 10_500)), tdir)
+    snap = T.load_snapshot(tdir)
+    branches = T._normalize_predicate(("k", "<", 100))
+    admitted = [e["path"] for e in snap["data"] if T._entry_admits(e, branches)]
+    assert len(admitted) == 1
+    got = _scan_pd(tdir, predicate=("k", "<", 100))
+    assert list(got.k) == list(range(100))
+
+
+def test_delete_respects_null_semantics(ray_session, tdir):
+    tbl = pa.table(
+        {
+            "k": pa.array(range(10), pa.int64()),
+            "v": pa.array([None if i % 2 else i for i in range(10)], pa.int64()),
+        }
+    )
+    T.table_write(rd.from_arrow(tbl), tdir)
+    T.table_delete(tdir, ("v", "<", 100))  # null v never matches -> survives
+    got = _scan_pd(tdir)
+    assert list(got.k) == [1, 3, 5, 7, 9]
+    assert got.v.isna().all()
+
+
+def test_multi_row_group_positions(ray_session, tdir):
+    # tiny row groups force positions to span many groups per file
+    T.table_write(
+        rd.from_arrow(_mk(0, 4000)).repartition(2), tdir, row_group_rows=256,
+        page_rows=64,
+    )
+    T.table_delete(tdir, [[("k", "<", 10)], [("k", ">=", 3990)], [("v", "==", 55)]])
+    exp = _mk(0, 4000).to_pandas()
+    exp = exp[~((exp.k < 10) | (exp.k >= 3990) | (exp.v == 55))]
+    assert list(_scan_pd(tdir).k) == sorted(exp.k)
