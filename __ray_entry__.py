@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["scan_native_pruned"] = scan_native_pruned
     q["read_native_pruned_multi"] = read_native_pruned_multi
+    from parquet_go_ray.pipelines.native_io import native_bitpacked_scan
+
+    q["native_bitpacked_scan"] = native_bitpacked_scan
     q["native_dnf_scan"] = native_dnf_scan
     q["native_null_scan"] = native_null_scan
     q["native_evolved_scan"] = native_evolved_scan
@@ -566,7 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # r3 (their operator family keeps another oracled row up front).
     front = [
         "rt_int96_events", "text_quality", "token_count", "lang_id",
-        "fingerprint", "clean_corpus", "image_ppm_features",
+        "fingerprint", "image_ppm_features",
         "audio_frames_docs", "knn_ivf_full_probe",
         "transcode_native_nested", "transcode_native_v2", "scan_native_pruned",
         "read_native_pruned_multi", "native_sink_roundtrip",
@@ -576,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_zorder_scan", "native_table_lifecycle",
         # snapshot/transaction layer (new this round's extension)
         "table_time_travel", "table_mor_delete", "table_compact_vacuum",
+        "native_bitpacked_scan",
         # oracled kernel twins + the r4-reworked knn merge must stay inside
         # the driver's ~50-query window
         "ngram_jaccard_exhaustive", "dedup_clusters_exhaustive",
@@ -588,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family keeps another oracled row inside the 50-window (frees slots
         # for the new snapshot/transaction queries + the sole-family rows
         # distinct_count/hash_sample/vocab/asof/grouped_topk/scan_bloom)
+        "clean_corpus",           # cleaning pipeline kept via corpus_to_native (clean->dedup->sink)
         "rt_nested_struct",       # struct+list Dremel kept via transcode_native_nested
         "rt_embeddings",          # list<float> kept via transcode_native_nested + rt_map
         "rt_lineitem_dict_rle",   # dict+RLE kept via native transcodes (dict encodings) + rt_documents_auto
@@ -736,6 +741,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "table_compact_vacuum": (
             "SELECT * FROM documents WHERE NOT (doc_id < 50 OR lang = 'de')"
+        ),
+        "native_bitpacked_scan": (
+            "SELECT doc_id, lang FROM (SELECT doc_id, "
+            "CASE WHEN (doc_id // 50) % 3 = 0 THEN NULL ELSE lang END AS lang "
+            "FROM documents) WHERE lang IS NOT NULL AND doc_id < 450"
         ),
         "native_null_scan": (
             "SELECT doc_id, lang_n FROM (SELECT doc_id, "

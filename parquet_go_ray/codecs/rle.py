@@ -141,6 +141,41 @@ def decode_levels(buf: bytes, max_level: int, count: int, pos: int = 0) -> tuple
     return vals, pos + 4 + ln
 
 
+def encode_levels_bitpacked(levels: np.ndarray, max_level: int) -> bytes:
+    """Deprecated BIT_PACKED level stream (parquet-format Encodings.md):
+    each level as a big-endian ``bit_width(max_level)``-bit group, groups
+    concatenated MSB-first into one continuous bitstream, NO length prefix
+    (the byte count is implied by num_values).  Write analog of the
+    reference's deprecated encoder (encoding/encodingwrite.go:420-466);
+    the reference cannot READ what it encodes (layout/page.go:669-671) —
+    this engine writes AND reads the encoding."""
+    w = bit_width(max_level)
+    n = len(levels)
+    if w == 0 or n == 0:
+        return b""
+    v = levels.astype(np.uint64, copy=False)
+    shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts) & 1).astype(np.uint8).ravel()
+    return np.packbits(bits).tobytes()  # packbits default = MSB-first
+
+
+def decode_levels_bitpacked(
+    buf: bytes, max_level: int, count: int, pos: int = 0
+) -> tuple[np.ndarray, int]:
+    """Inverse of encode_levels_bitpacked; consumes ceil(count*width/8)
+    bytes at `pos` and returns (levels, new_pos)."""
+    w = bit_width(max_level)
+    if w == 0 or count == 0:
+        return np.zeros(count, np.uint64), pos
+    nbytes = (count * w + 7) // 8
+    bits = np.unpackbits(np.frombuffer(buf, np.uint8, nbytes, pos))[: count * w]
+    shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
+    vals = (bits.reshape(count, w).astype(np.uint64) << shifts).sum(
+        axis=1, dtype=np.uint64
+    )
+    return vals, pos + nbytes
+
+
 # -- registered column codec: frame-of-reference + hybrid --------------------
 
 

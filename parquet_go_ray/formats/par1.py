@@ -40,7 +40,14 @@ from ..codecs.delta import (
     encode_delta_length_ba,
 )
 from ..codecs.plain import decode_plain, encode_plain
-from ..codecs.rle import decode_hybrid, decode_levels, encode_hybrid, encode_levels
+from ..codecs.rle import (
+    decode_hybrid,
+    decode_levels,
+    decode_levels_bitpacked,
+    encode_hybrid,
+    encode_levels,
+    encode_levels_bitpacked,
+)
 from .parquet_meta import (
     COMP_BROTLI,
     COMP_GZIP,
@@ -60,6 +67,7 @@ from .parquet_meta import (
     ENC_DELTA_BINARY_PACKED,
     ENC_DELTA_BYTE_ARRAY,
     ENC_DELTA_LENGTH_BYTE_ARRAY,
+    ENC_BIT_PACKED,
     ENC_PLAIN,
     ENC_PLAIN_DICTIONARY,
     ENC_RLE,
@@ -482,12 +490,15 @@ def _write_leaf_chunk(
     pt_override: int | None = None,
     bloom_fpp: float | None = None,
     page_bytes: int | None = None,
+    level_encoding: str = "rle",
 ) -> dict:
     """Write one leaf's column chunk (dict page + v1 or v2 data pages, paged
     on ROW boundaries — pages never split a record mid-list).  Returns the
     ColumnChunk dict.  pt_override=PT_INT96 marks a binary(12) stream as the
     deprecated INT96 physical (stats/indexes suppressed: INT96 ordering is
-    undefined by the spec)."""
+    undefined by the spec).  level_encoding="bit_packed" writes v1 pages'
+    rep/def level streams with the deprecated MSB BIT_PACKED encoding
+    (codecs/rle.py:encode_levels_bitpacked) instead of the RLE hybrid."""
     pt, _, _, storage = _physical(st.node.type)
     if pt_override is not None:
         pt = pt_override
@@ -629,11 +640,20 @@ def _write_leaf_chunk(
             u = len(w.out) + len(rep_b) + len(def_b) + len(values_b)
             c = len(w.out) + len(rep_b) + len(def_b) + len(body)
         else:
+            bp = level_encoding == "bit_packed"
             payload = b""
             if max_rep:
-                payload += encode_levels(rep[pos0:pos1].astype(np.uint64), max_rep)
+                payload += (
+                    encode_levels_bitpacked(rep[pos0:pos1], max_rep)
+                    if bp
+                    else encode_levels(rep[pos0:pos1].astype(np.uint64), max_rep)
+                )
             if max_def:
-                payload += encode_levels(defs[pos0:pos1].astype(np.uint64), max_def)
+                payload += (
+                    encode_levels_bitpacked(defs[pos0:pos1], max_def)
+                    if bp
+                    else encode_levels(defs[pos0:pos1].astype(np.uint64), max_def)
+                )
             payload += values_b
             u, c = _write_page(
                 out,
@@ -643,8 +663,8 @@ def _write_leaf_chunk(
                     "data_page_header": {
                         "num_values": pos1 - pos0,
                         "encoding": enc_id,
-                        "definition_level_encoding": ENC_RLE,
-                        "repetition_level_encoding": ENC_RLE,
+                        "definition_level_encoding": ENC_BIT_PACKED if bp else ENC_RLE,
+                        "repetition_level_encoding": ENC_BIT_PACKED if bp else ENC_RLE,
                     }
                 },
                 payload,
@@ -657,7 +677,12 @@ def _write_leaf_chunk(
         )
         if not n_rows:
             break
-    enc_list = sorted({ENC_RLE, enc_id} | ({ENC_PLAIN} if enc == "dict" else set()))
+    lvl_enc = (
+        ENC_BIT_PACKED
+        if level_encoding == "bit_packed" and page_version == 1
+        else ENC_RLE
+    )
+    enc_list = sorted({lvl_enc, enc_id} | ({ENC_PLAIN} if enc == "dict" else set()))
     enc_stats = []
     if dict_off is not None:
         enc_stats.append(
@@ -728,8 +753,21 @@ def write_par1(
     column_key_value_metadata: dict[str, dict[str, str]] | None = None,
     sorting_columns: list[tuple[str, bool, bool]] | None = None,
     bloom: dict[str, float] | list[str] | None = None,
+    level_encoding: str = "rle",
 ) -> dict:
     """Write `table` as a real parquet file through the engine's encoders.
+
+    `level_encoding="bit_packed"` writes v1 data pages' repetition/
+    definition level streams with the DEPRECATED MSB-first BIT_PACKED
+    encoding (parquet-format Encodings.md; the reference's write-only
+    analog is encoding/encodingwrite.go:420-466 — its reader rejects the
+    encoding at layout/page.go:669-671, while this engine reads it back).
+    v1 pages only: the v2 page format mandates RLE levels.  Interop note:
+    Arrow C++ (pyarrow) decodes BIT_PACKED levels with its LSB-first
+    BitReader — the OPPOSITE bit order from the spec's MSB definition —
+    and DuckDB rejects the encoding outright; files written with this flag
+    are readable by this engine and by spec-faithful readers (parquet-mr
+    lineage), which is exactly why the encoding is deprecated.
 
     `codec`: one name for every column, or {column/leaf-path: codec} with a
     ""/"default" fallback key — parquet compression is per column chunk, so
@@ -776,6 +814,10 @@ def write_par1(
 
     Returns the footer dict."""
     assert data_page_version in (1, 2), data_page_version
+    if level_encoding not in ("rle", "bit_packed"):
+        raise ValueError(f"level_encoding {level_encoding!r}")
+    if level_encoding == "bit_packed" and data_page_version == 2:
+        raise ValueError("bit_packed levels are v1-only (v2 mandates RLE)")
     # per-column compression (parquet codecs are per column chunk; the
     # chunk container's per_column_codec analog, §2.8): dict = column (or
     # dotted leaf path) -> codec name, "" or "default" key = fallback
@@ -866,6 +908,7 @@ def write_par1(
                         pt_override=PT_INT96 if name in int96_cols else None,
                         bloom_fpp=bloom_fpp.get(".".join(st.path), bloom_fpp.get(name)),
                         page_bytes=page_bytes,
+                        level_encoding=level_encoding,
                     )
                     kv = col_kv.get(".".join(st.path)) or col_kv.get(name)
                     if kv:
@@ -1029,13 +1072,25 @@ def _decode_data_page(
         dph = hdr["data_page_header"]
         n = dph["num_values"]
         vpos = 0
-        # v1 level order: repetition levels first, then definition levels
+        # v1 level order: repetition levels first, then definition levels.
+        # Each stream is the u32-prefixed RLE hybrid or the deprecated MSB
+        # BIT_PACKED raw bitstream, per its header field (the reference
+        # rejects BIT_PACKED here, layout/page.go:669-671; we decode it).
+        def _lvls(enc, max_l, pos):
+            if enc == ENC_BIT_PACKED:
+                return decode_levels_bitpacked(raw, max_l, n, pos)
+            return decode_levels(raw, max_l, n, pos)
+
         if max_rep:
-            repv, vpos = decode_levels(raw, max_rep, n, vpos)
+            repv, vpos = _lvls(
+                dph.get("repetition_level_encoding", ENC_RLE), max_rep, vpos
+            )
         else:
             repv = np.zeros(n, np.uint64)
         if max_def:
-            defv, vpos = decode_levels(raw, max_def, n, vpos)
+            defv, vpos = _lvls(
+                dph.get("definition_level_encoding", ENC_RLE), max_def, vpos
+            )
         else:
             defv = np.zeros(n, np.uint64)
         nn = int((defv == max_def).sum()) if max_def else n

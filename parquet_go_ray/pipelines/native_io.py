@@ -1268,6 +1268,45 @@ def native_dnf_scan(sf_dir: str) -> rd.Dataset:
     )
 
 
+def native_bitpacked_scan(sf_dir: str) -> rd.Dataset:
+    """Deprecated MSB BIT_PACKED level streams, written AND read by the
+    engine (the last §2.2 encoding gap): documents with deterministically
+    injected nulls land as v1 pages whose definition-level streams use the
+    deprecated bit-packed encoding (spec MSB order, codecs/rle.py), then a
+    not_null + range predicate scan decodes those levels in every Ray task.
+    The reference WRITES this encoding (encoding/encodingwrite.go:420-466)
+    but its reader rejects it (layout/page.go:669-671); pyarrow decodes the
+    bits in the opposite (LSB) order and DuckDB errors outright — so
+    conformance anchors on the parquet-format spec's own worked example
+    (tests/test_par1.py golden) and this oracle over the injected-null
+    semantics."""
+    import numpy as np
+
+    out_dir = f"/tmp/pgr_native_bp_{uuid.uuid4().hex[:8]}"
+    docs = _read_parquet_any(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array((ids // 50) % 3 != 0)
+        masked = pc.if_else(keep, batch["lang"], pa.scalar(None, pa.string()))
+        return batch.set_column(1, "lang", masked)
+
+    ds = docs.map_batches(inject, batch_format="pyarrow").repartition(4)
+    write_par1_dataset(
+        ds, out_dir, codec="snappy", page_rows=512, level_encoding="bit_packed",
+        encodings={"doc_id": "delta_bp", "lang": "dict"},
+    ).materialize()
+    return read_par1_dataset(
+        out_dir,
+        columns=["doc_id", "lang"],
+        predicate=[("lang", "not_null", None), ("doc_id", "<", 450)],
+    )
+
+
 def native_evolved_scan(sf_dir: str) -> rd.Dataset:
     """Schema-evolution scan (union_by_name): two 'generations' of the
     documents corpus land in one directory — older parts carry only
@@ -1391,6 +1430,7 @@ def write_par1_dataset(
     sort_by: str | list[str] | None = None,
     page_bytes: int | None = None,
     cluster_by: list[str] | None = None,
+    level_encoding: str = "rle",
 ) -> rd.Dataset:
     """Distributed native-format sink: every Ray block becomes one indexed
     PAR1 file (pages + CRC + ColumnIndex/OffsetIndex + Statistics) under
@@ -1434,7 +1474,7 @@ def write_par1_dataset(
         codec=codec, encodings=encodings, page_rows=page_rows,
         row_group_rows=row_group_rows, data_page_version=data_page_version,
         key_value_metadata=key_value_metadata, bloom=bloom,
-        page_bytes=page_bytes,
+        page_bytes=page_bytes, level_encoding=level_encoding,
     )
     if sort_keys:
         wkw["sorting_columns"] = [(c, False, False) for c in sort_keys]
