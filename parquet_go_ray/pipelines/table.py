@@ -9,12 +9,17 @@ Iceberg/Delta-style mechanics (public designs) over the engine's own
 files, all Ray-Data-first:
 
 * **Snapshot log** — ``<table>/_snapshots/v0000000001.json`` etc.  Each
-  snapshot is the COMPLETE live state: the data-file list (with per-file
-  stats, so the log doubles as the scan manifest) plus the delete-file
-  list.  Commits are atomic and optimistically concurrent: the snapshot
-  body is written to a tmp file and ``os.link``-ed to its version name —
-  a concurrent committer losing the race gets ``FileExistsError`` and
-  retries against the new parent, so two writers never tear a snapshot.
+  snapshot holds only O(commit-count) state: a list of PARQUET MANIFEST
+  files (one set per committing txn, written distributedly through the
+  engine's own sink with per-file stats), the delete-file list, and a
+  rows/bytes summary.  The live data-file set is the union of the
+  manifests — the driver never serializes a 10^6-entry file list into
+  JSON, and an append commit costs O(its own new files), not O(table).
+  Commits are atomic and optimistically concurrent: the snapshot body is
+  written to a tmp file and ``os.link``-ed to its version name — a
+  concurrent committer losing the race gets ``FileExistsError`` and
+  retries against the new parent, so two writers never tear a snapshot
+  and concurrent appends merge instead of clobbering.
 * **Time travel** — ``table_scan(dir, version=N)`` reads the table exactly
   as committed at version N; ``table_rollback`` makes an old state current
   with a new commit (history is never rewritten).
@@ -24,20 +29,23 @@ files, all Ray-Data-first:
   positions per data file.  Data files are never rewritten at delete time;
   ``table_compact`` later folds the deletes in and restores full
   page-pruned scans.
-* **Vacuum** — removes files no retained snapshot references (failed-txn
-  orphans, compacted-away parts), never anything a live version still
-  needs.
+* **Vacuum** — removes files NO retained snapshot references (failed-txn
+  orphans, compacted-away parts and their manifests), never anything a
+  live version still needs.
 
-Driver-side state is always O(file count), never data: writes go through
-``write_par1_dataset`` (one Ray block -> one indexed part), position
-finding and deleted-file reads are per-file Ray tasks, and the clean-file
-fast path is exactly ``read_par1_dataset``'s pruned distributed scan.
+Scans prune whole files from the manifests' per-file stats before any
+data task spawns — inline for small tables, fanned out over Ray tasks
+(one per manifest row group) past ``_MANIFEST_DISTRIBUTE_THRESHOLD`` so
+the driver only ever holds the admitted path listing.  Clean files then
+take ``read_par1_dataset``'s full pruning ladder; position-deleted files
+take a row-group-streamed merge path.
 """
 
 from __future__ import annotations
 
 import base64
 import json
+import math
 import os
 import uuid
 
@@ -50,10 +58,13 @@ from ..formats.par1 import (
     _normalize_predicate,
     _schema_tree,
     dnf_mask,
+    read_par1,
     read_par1_meta,
     read_par1_pruned,
 )
 from .native_io import (
+    _MANIFEST_DISTRIBUTE_THRESHOLD,
+    _manifest_admit_rows,
     _manifest_admits_file,
     _manifest_table,
     _write_part,
@@ -64,6 +75,11 @@ from .native_io import (
 SNAP_DIR = "_snapshots"
 DATA_DIR = "data"
 DELETE_DIR = "_deletes"
+MANIFEST_DIR = "_manifests"
+
+# manifest rows per manifest part: one row group's worth of listing per
+# distributed-admission task, a few MB of stats JSON per part
+_MANIFEST_PART_ROWS = 65536
 
 
 def _snap_dir(table_dir: str) -> str:
@@ -98,23 +114,18 @@ def load_snapshot(table_dir: str, version: int | None = None) -> dict:
 
 
 def _commit(table_dir: str, op: str, build) -> int:
-    """Atomic optimistic commit: `build(parent_snapshot_or_None)` returns
-    (data_entries, delete_entries) for the new snapshot.  The tmp+os.link
-    publish is all-or-nothing; losing a race re-reads the parent and
-    rebuilds, so appends merge instead of clobbering each other."""
+    """Atomic optimistic commit: ``build(parent_snapshot_or_None)`` returns
+    {"manifests": [...], "deletes": [...], "summary": {...}} for the new
+    snapshot.  The tmp+os.link publish is all-or-nothing; losing a race
+    re-reads the parent and rebuilds, so appends merge instead of
+    clobbering each other."""
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
     while True:
         vs = table_versions(table_dir)
         parent = load_snapshot(table_dir, vs[-1]) if vs else None
-        data, deletes = build(parent)
+        body = build(parent)
         v = (vs[-1] + 1) if vs else 1
-        snap = {
-            "version": v,
-            "parent": vs[-1] if vs else None,
-            "op": op,
-            "data": data,
-            "deletes": deletes,
-        }
+        snap = {"version": v, "parent": vs[-1] if vs else None, "op": op, **body}
         tmp = _snap_path(table_dir, v) + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(snap, f)
@@ -129,49 +140,60 @@ def _commit(table_dir: str, op: str, build) -> int:
             os.unlink(tmp)
 
 
-def _entries_from_manifest(table_dir: str, man_rows: list[dict]) -> list[dict]:
-    return [
-        {
-            "path": os.path.relpath(r["path"], table_dir),
-            "rows": r["rows"],
-            "bytes": r["bytes"],
-            "stats": r["stats"],
-        }
-        for r in man_rows
-    ]
+def _sink_manifest(
+    table_dir: str, txn: str, man: rd.Dataset
+) -> tuple[list[str], dict]:
+    """Persist a sink's manifest rows as PARQUET MANIFEST PARTS under
+    ``_manifests/<txn>/`` — distributed through the engine's own writer, so
+    the driver holds only the (tiny) manifest-of-manifests listing, never
+    the per-data-file rows.  Paths are stored RELATIVE to the table root
+    (relocatable).  Returns (manifest rel paths, {"files","rows","bytes"}
+    summary)."""
+    man = man.filter(expr="rows > 0").materialize()
+    n = man.count()
+    if n == 0:
+        return [], {"files": 0, "rows": 0, "bytes": 0}
+    summary = {
+        "files": n,
+        "rows": int(man.sum("rows")),
+        "bytes": int(man.sum("bytes")),
+    }
 
-
-def table_write(
-    ds: rd.Dataset,
-    table_dir: str,
-    mode: str = "append",
-    txn_id: str | None = None,
-    **write_kwargs,
-) -> int:
-    """Commit a Dataset into the table: parts stream through
-    ``write_par1_dataset`` into ``data/<txn>/`` (content-named, atomic,
-    skip-existing — re-running a failed txn with the same `txn_id` resumes
-    its encode), then ONE snapshot publishes them.  `mode="append"` adds to
-    the parent's live set; `mode="overwrite"` replaces it (old files stay
-    on disk for time travel until vacuumed).  Returns the new version."""
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"mode {mode!r}")
-    txn = txn_id or uuid.uuid4().hex[:12]
-    out = os.path.join(table_dir, DATA_DIR, txn)
-    man = write_par1_dataset(ds, out, **write_kwargs).take_all()
-    new = _entries_from_manifest(table_dir, man)
-    if not new and mode == "append":
-        raise ValueError("table_write: empty dataset append")
-
-    def build(parent):
-        if mode == "overwrite" or parent is None:
-            return new, []
-        have = {e["path"] for e in parent["data"]}
-        return parent["data"] + [e for e in new if e["path"] not in have], list(
-            parent["deletes"]
+    def relativize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        rels = pa.array(
+            [os.path.relpath(p, table_dir) for p in batch["path"].to_pylist()],
+            pa.string(),
         )
+        return batch.set_column(batch.schema.get_field_index("path"), "path", rels)
 
-    return _commit(table_dir, mode, build)
+    mm = write_par1_dataset(
+        man.repartition(max(1, math.ceil(n / _MANIFEST_PART_ROWS))).map_batches(
+            relativize, batch_format="pyarrow"
+        ),
+        os.path.join(table_dir, MANIFEST_DIR, txn),
+        codec="zstd",
+        encodings={"path": "delta_ba", "partition": "dict"},
+        row_group_rows=8192,
+    ).take_all()
+    rels = [
+        os.path.relpath(r["path"], table_dir) for r in mm if r["rows"] > 0
+    ]
+    return sorted(rels), summary
+
+
+def _live_entries(table_dir: str, snap: dict) -> list[dict]:
+    """Driver-side listing of the snapshot's live data files: the union of
+    its manifest parts, with per-file stats.  O(file count) — the same
+    scale of state every distributed scan already holds to spawn tasks."""
+    out: list[dict] = []
+    for m in snap["manifests"]:
+        t = read_par1(
+            os.path.join(table_dir, m), columns=["path", "rows", "bytes", "stats"]
+        )
+        out.extend(t.to_pylist())
+    return out
 
 
 def _decode_stats(stats_json: str) -> dict:
@@ -192,6 +214,83 @@ def _entry_admits(entry: dict, branches) -> bool:
     return _manifest_admits_file(_decode_stats(sj), branches)
 
 
+def _admitted_paths(table_dir: str, snap: dict, branches) -> list[str]:
+    """Live data-file rel paths whose manifest stats admit the DNF — the
+    file-level pruning rung.  Small tables evaluate inline; past
+    _MANIFEST_DISTRIBUTE_THRESHOLD rows the JSON-decode + admission loop
+    fans out one Ray task per manifest part and only admitted paths return
+    to the driver."""
+    mpaths = [os.path.join(table_dir, m) for m in snap["manifests"]]
+    if not mpaths:
+        return []
+    if not branches:
+        out: list[str] = []
+        for mp in mpaths:
+            out.extend(read_par1(mp, columns=["path"])["path"].to_pylist())
+        return out
+    total = sum(read_par1_meta(mp)["num_rows"] for mp in mpaths)
+    if total <= _MANIFEST_DISTRIBUTE_THRESHOLD:
+        return [
+            e["path"] for e in _live_entries(table_dir, snap) if _entry_admits(e, branches)
+        ]
+
+    def admit(batch: pa.Table) -> pa.Table:
+        ads: list[str] = []
+        for mp in batch["m"].to_pylist():
+            mt = read_par1(mp, columns=["path", "stats"])
+            ads.extend(sorted(_manifest_admit_rows(mt, branches)))
+        return pa.table({"admitted": pa.array([ads], pa.list_(pa.string()))})
+
+    rows = (
+        rd.from_items(
+            [{"m": mp} for mp in mpaths],
+            override_num_blocks=min(len(mpaths), 64),
+        )
+        .map_batches(admit, batch_format="pyarrow")
+        .take_all()
+    )
+    return [p for r in rows for p in r["admitted"]]
+
+
+def table_write(
+    ds: rd.Dataset,
+    table_dir: str,
+    mode: str = "append",
+    txn_id: str | None = None,
+    **write_kwargs,
+) -> int:
+    """Commit a Dataset into the table: data parts stream through
+    ``write_par1_dataset`` into ``data/<txn>/`` (content-named, atomic,
+    skip-existing — re-running a failed txn with the same `txn_id` resumes
+    its encode), their manifest rows stream into parquet manifest parts
+    under ``_manifests/<txn>/``, then ONE snapshot publishes the manifest
+    refs.  `mode="append"` adds to the parent's manifest list;
+    `mode="overwrite"` replaces it (old files stay on disk for time travel
+    until vacuumed).  Returns the new version."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode {mode!r}")
+    txn = txn_id or uuid.uuid4().hex[:12]
+    out = os.path.join(table_dir, DATA_DIR, txn)
+    man = write_par1_dataset(ds, out, **write_kwargs)
+    rels, summary = _sink_manifest(table_dir, txn, man)
+    if not rels and mode == "append":
+        raise ValueError("table_write: empty dataset append")
+
+    def build(parent):
+        if mode == "overwrite" or parent is None:
+            return {"manifests": rels, "deletes": [], "summary": summary}
+        have = set(parent["manifests"])
+        return {
+            "manifests": parent["manifests"] + [r for r in rels if r not in have],
+            "deletes": list(parent["deletes"]),
+            "summary": {
+                k: parent["summary"][k] + summary[k] for k in ("files", "rows", "bytes")
+            },
+        }
+
+    return _commit(table_dir, mode, build)
+
+
 def _stat_bound(stats_json: str, col: str, which: str):
     v = _decode_stats(stats_json).get(col, {}).get(which)
     return v.decode("utf-8", "replace") if isinstance(v, bytes) else v
@@ -201,7 +300,7 @@ def table_delete(
     table_dir: str, predicate, txn_id: str | None = None
 ) -> int:
     """Merge-on-read row deletion: one Ray task per live data file whose
-    snapshot stats admit the predicate evaluates the exact DNF mask
+    manifest stats admit the predicate evaluates the exact DNF mask
     row-group by row-group (``dnf_mask`` — SQL null semantics, so a null
     comparison never deletes) and emits global row POSITIONS; the
     positions land as engine-written position-delete parquet files
@@ -214,7 +313,7 @@ def table_delete(
     if not branches:
         raise ValueError("table_delete needs a predicate")
     pcols = sorted({c for br in branches for c, _op, _v in br})
-    cand = [e["path"] for e in snap["data"] if _entry_admits(e, branches)]
+    cand = _admitted_paths(table_dir, snap, branches)
     if not cand:
         return snap["version"]
     txn = txn_id or uuid.uuid4().hex[:12]
@@ -273,7 +372,11 @@ def table_delete(
     def build(parent):
         if parent is None:
             raise RuntimeError("delete against a vanished table")
-        return list(parent["data"]), list(parent["deletes"]) + new_del
+        return {
+            "manifests": list(parent["manifests"]),
+            "deletes": list(parent["deletes"]) + new_del,
+            "summary": dict(parent["summary"]),
+        }
 
     return _commit(table_dir, "delete", build)
 
@@ -351,18 +454,21 @@ def table_scan(
     **read_kwargs,
 ) -> rd.Dataset:
     """Snapshot-consistent distributed scan (optionally time-traveled).
-    The snapshot log IS the manifest: per-file stats prune whole files
-    driver-side before any task spawns.  Files untouched by deletes go
-    through ``read_par1_dataset``'s full pruning ladder (row-group stats,
-    ColumnIndex pages, blooms); position-deleted files take the
-    merge-on-read path, one Ray task per file.  The two streams union."""
+    The manifests ARE the scan index: per-file stats prune whole files
+    before any data task spawns (inline or distributed — _admitted_paths).
+    Files untouched by deletes go through ``read_par1_dataset``'s full
+    pruning ladder (row-group stats, ColumnIndex pages, blooms);
+    position-deleted files take the merge-on-read path, one Ray task per
+    file.  The two streams union."""
     snap = load_snapshot(table_dir, version)
     branches = _normalize_predicate(predicate)
-    if not snap["data"]:
+    if not snap["manifests"]:
         raise ValueError(f"snapshot v{snap['version']} has no data files")
-    live = [e for e in snap["data"] if _entry_admits(e, branches)]
-    schema_rel = (live or snap["data"])[0]["path"]
-    nodes = _schema_tree(read_par1_meta(os.path.join(table_dir, schema_rel)))
+    all_first = read_par1(
+        os.path.join(table_dir, snap["manifests"][0]), columns=["path"]
+    )["path"][0].as_py()
+    live = _admitted_paths(table_dir, snap, branches)
+    nodes = _schema_tree(read_par1_meta(os.path.join(table_dir, all_first)))
     names = list(columns) if columns is not None else [n.name for n in nodes]
     types = {n.name: n.type for n in nodes}
     if not live:
@@ -371,9 +477,9 @@ def table_scan(
         )
     clean: list[str] = []
     dirty: list[tuple[str, list[str]]] = []
-    for e in live:
-        dels = _deletes_for_file(snap, e["path"])
-        (dirty.append((e["path"], dels)) if dels else clean.append(e["path"]))
+    for rel in live:
+        dels = _deletes_for_file(snap, rel)
+        (dirty.append((rel, dels)) if dels else clean.append(rel))
     parts: list[rd.Dataset] = []
     if clean:
         parts.append(
@@ -421,18 +527,19 @@ def table_compact(
     """Copy-on-write maintenance: bin-pack the live files into
     ~`target_bytes` outputs, FOLDING IN every position delete (the
     merge-on-read debt is paid here, once), and commit the rewritten state
-    as one snapshot with an empty delete list.  One Ray task per bin; the
-    driver holds only the (path, bytes) listing.  Old parts stay for time
-    travel until ``table_vacuum``."""
+    as one fresh-manifest snapshot with an empty delete list.  One Ray
+    task per bin; the driver holds only the (path, bytes) listing.  Old
+    parts stay for time travel until ``table_vacuum``."""
     snap = load_snapshot(table_dir)
-    if not snap["data"]:
+    entries = _live_entries(table_dir, snap)
+    if not entries:
         raise ValueError("nothing to compact")
     txn = txn_id or uuid.uuid4().hex[:12]
     out_dir = os.path.join(table_dir, DATA_DIR, txn)
     bins: list[list[str]] = []
     cur: list[str] = []
     cur_b = 0
-    for e in snap["data"]:
+    for e in entries:
         if cur and cur_b + e["bytes"] > target_bytes:
             bins.append(cur)
             cur, cur_b = [], 0
@@ -447,8 +554,8 @@ def table_compact(
     )
     if sort_keys:
         wkw["sorting_columns"] = [(c, False, False) for c in sort_keys]
-    dels_by_file = {e["path"]: _deletes_for_file(snap, e["path"]) for e in snap["data"]}
-    first = os.path.join(table_dir, snap["data"][0]["path"])
+    dels_by_file = {e["path"]: _deletes_for_file(snap, e["path"]) for e in entries}
+    first = os.path.join(table_dir, entries[0]["path"])
     all_cols = [n.name for n in _schema_tree(read_par1_meta(first))]
 
     def compact_bin(batch: pa.Table) -> pa.Table:
@@ -465,15 +572,13 @@ def table_compact(
             rows.append(_write_part(merged, out_dir, "", wkw))
         return _manifest_table(rows)
 
-    man = (
-        rd.from_items([{"bin": i} for i in range(len(bins))], override_num_blocks=len(bins))
-        .map_batches(compact_bin, batch_format="pyarrow", batch_size=None)
-        .take_all()
-    )
-    new = _entries_from_manifest(table_dir, man)
+    man = rd.from_items(
+        [{"bin": i} for i in range(len(bins))], override_num_blocks=len(bins)
+    ).map_batches(compact_bin, batch_format="pyarrow", batch_size=None)
+    rels, summary = _sink_manifest(table_dir, txn, man)
 
     def build(parent):
-        return new, []
+        return {"manifests": rels, "deletes": [], "summary": summary}
 
     return _commit(table_dir, "compact", build)
 
@@ -485,39 +590,47 @@ def table_rollback(table_dir: str, version: int) -> int:
     old = load_snapshot(table_dir, version)
 
     def build(parent):
-        return list(old["data"]), list(old["deletes"])
+        return {
+            "manifests": list(old["manifests"]),
+            "deletes": list(old["deletes"]),
+            "summary": dict(old["summary"]),
+        }
 
     return _commit(table_dir, "rollback", build)
 
 
 def table_history(table_dir: str) -> pa.Table:
-    """One row per committed snapshot: version, parent, op, live file /
-    delete-file counts, live rows and bytes."""
+    """One row per committed snapshot: version, parent, op, manifest /
+    delete-file counts and the commit's live rows/bytes summary — all from
+    the O(commit-count) snapshot JSONs, no manifest reads."""
     rows = [load_snapshot(table_dir, v) for v in table_versions(table_dir)]
     return pa.table(
         {
             "version": pa.array([s["version"] for s in rows], pa.int64()),
             "parent": pa.array([s["parent"] for s in rows], pa.int64()),
             "op": pa.array([s["op"] for s in rows], pa.string()),
-            "data_files": pa.array([len(s["data"]) for s in rows], pa.int64()),
+            "data_files": pa.array(
+                [s["summary"]["files"] for s in rows], pa.int64()
+            ),
             "delete_files": pa.array([len(s["deletes"]) for s in rows], pa.int64()),
-            "rows": pa.array(
-                [sum(e["rows"] for e in s["data"]) for s in rows], pa.int64()
-            ),
-            "bytes": pa.array(
-                [sum(e["bytes"] for e in s["data"]) for s in rows], pa.int64()
-            ),
+            "rows": pa.array([s["summary"]["rows"] for s in rows], pa.int64()),
+            "bytes": pa.array([s["summary"]["bytes"] for s in rows], pa.int64()),
         }
     )
 
 
+def table_files(table_dir: str, version: int | None = None) -> list[dict]:
+    """Live data-file entries {path, rows, bytes, stats} at a version —
+    the manifest union, for tooling and tests."""
+    return _live_entries(table_dir, load_snapshot(table_dir, version))
+
+
 def table_vacuum(table_dir: str, keep_last: int | None = None) -> list[str]:
     """Physically remove files NO retained snapshot references — failed-txn
-    orphans and compacted-away parts.  `keep_last=N` first expires all but
-    the newest N snapshots (their exclusive files become removable and
-    time travel to them stops); default retains every snapshot, so only
-    true orphans go.  Returns removed rel paths (data + delete files +
-    expired snapshot logs)."""
+    orphans and compacted-away parts plus their manifests.  `keep_last=N`
+    first expires all but the newest N snapshots (their exclusive files
+    become removable and time travel to them stops); default retains every
+    snapshot, so only true orphans go.  Returns removed rel paths."""
     vs = table_versions(table_dir)
     if not vs:
         return []
@@ -526,10 +639,11 @@ def table_vacuum(table_dir: str, keep_last: int | None = None) -> list[str]:
     referenced: set[str] = set()
     for v in retained:
         s = load_snapshot(table_dir, v)
-        referenced.update(e["path"] for e in s["data"])
+        referenced.update(s["manifests"])
         referenced.update(d["path"] for d in s["deletes"])
+        referenced.update(e["path"] for e in _live_entries(table_dir, s))
     removed: list[str] = []
-    for sub in (DATA_DIR, DELETE_DIR):
+    for sub in (DATA_DIR, DELETE_DIR, MANIFEST_DIR):
         root = os.path.join(table_dir, sub)
         if not os.path.isdir(root):
             continue
@@ -544,7 +658,7 @@ def table_vacuum(table_dir: str, keep_last: int | None = None) -> list[str]:
         os.remove(_snap_path(table_dir, v))
         removed.append(os.path.relpath(_snap_path(table_dir, v), table_dir))
     # drop now-empty txn directories so listings stay clean
-    for sub in (DATA_DIR, DELETE_DIR):
+    for sub in (DATA_DIR, DELETE_DIR, MANIFEST_DIR):
         root = os.path.join(table_dir, sub)
         if os.path.isdir(root):
             for dirpath, dn, fns in list(os.walk(root, topdown=False)):

@@ -90,8 +90,9 @@ def test_compact_applies_deletes(ray_session, tdir):
     exp = _mk(0, 1200).to_pandas()
     exp = exp[~(exp.v >= 80)]
     assert list(_scan_pd(tdir).k) == sorted(exp.k)
-    # fewer live files than before
-    assert len(snap["data"]) < 6
+    # fewer live files than before, and the summary tracks the survivors
+    assert snap["summary"]["files"] < 6
+    assert snap["summary"]["rows"] == len(exp)
 
 
 def test_rollback(ray_session, tdir):
@@ -136,9 +137,9 @@ def test_commit_conflict_retries(ray_session, tdir):
     assert v == 3  # retried past the claimed version
     snap = T.load_snapshot(tdir, 3)
     assert snap["parent"] == 2
-    # claimed v2 carried v1's file list; v3 appended 100 more rows on top
+    # claimed v2 carried v1's manifest list; v3 appended 100 more rows on top
     assert len(_scan_pd(tdir)) == 200
-    assert len({e["path"] for e in snap["data"]}) == len(snap["data"])
+    assert len(set(snap["manifests"])) == len(snap["manifests"])
 
 
 def test_scan_prunes_files_from_snapshot_stats(ray_session, tdir):
@@ -148,7 +149,8 @@ def test_scan_prunes_files_from_snapshot_stats(ray_session, tdir):
     T.table_write(rd.from_arrow(_mk(10_000, 10_500)), tdir)
     snap = T.load_snapshot(tdir)
     branches = T._normalize_predicate(("k", "<", 100))
-    admitted = [e["path"] for e in snap["data"] if T._entry_admits(e, branches)]
+    assert len(T.table_files(tdir)) == 2
+    admitted = T._admitted_paths(tdir, snap, branches)
     assert len(admitted) == 1
     got = _scan_pd(tdir, predicate=("k", "<", 100))
     assert list(got.k) == list(range(100))
@@ -178,3 +180,14 @@ def test_multi_row_group_positions(ray_session, tdir):
     exp = _mk(0, 4000).to_pandas()
     exp = exp[~((exp.k < 10) | (exp.k >= 3990) | (exp.v == 55))]
     assert list(_scan_pd(tdir).k) == sorted(exp.k)
+
+
+def test_distributed_manifest_admission_matches_inline(ray_session, tdir, monkeypatch):
+    T.table_write(rd.from_arrow(_mk(0, 500)).repartition(3), tdir)
+    T.table_write(rd.from_arrow(_mk(20_000, 20_500)).repartition(2), tdir)
+    snap = T.load_snapshot(tdir)
+    branches = T._normalize_predicate([[("k", "<", 100)], [("k", ">=", 20_400)]])
+    inline = sorted(T._admitted_paths(tdir, snap, branches))
+    monkeypatch.setattr(T, "_MANIFEST_DISTRIBUTE_THRESHOLD", 0)
+    dist = sorted(T._admitted_paths(tdir, snap, branches))
+    assert dist == inline and 0 < len(dist) < len(T.table_files(tdir))
