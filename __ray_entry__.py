@@ -281,14 +281,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # reference's single-file Flush/WriteStop (writer/writer.go:273-337)
     # cannot express
     from parquet_go_ray.pipelines.table import (
+        table_changes_scan,
         table_compact_vacuum,
         table_mor_delete,
         table_time_travel,
+        table_upsert_scan,
     )
 
     q["table_time_travel"] = table_time_travel
     q["table_mor_delete"] = table_mor_delete
     q["table_compact_vacuum"] = table_compact_vacuum
+    q["table_upsert_scan"] = table_upsert_scan
+    q["table_changes_scan"] = table_changes_scan
     q["native_sink_roundtrip"] = native_sink_roundtrip
     q["native_bloom_scan"] = native_bloom_scan
     q["native_compact_roundtrip"] = native_compact_roundtrip
@@ -572,14 +576,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint", "image_ppm_features",
         "audio_frames_docs", "knn_ivf_full_probe",
         "transcode_native_nested", "transcode_native_v2", "scan_native_pruned",
-        "read_native_pruned_multi", "native_sink_roundtrip",
-        "native_bloom_scan", "native_compact_roundtrip",
+        "read_native_pruned_multi",
+        "native_bloom_scan",
         "native_partitioned_scan", "corpus_to_native",
         "native_dnf_scan", "native_null_scan", "native_evolved_scan",
         "native_zorder_scan", "native_table_lifecycle",
         # snapshot/transaction layer (new this round's extension)
         "table_time_travel", "table_mor_delete", "table_compact_vacuum",
-        "native_bitpacked_scan",
+        "table_upsert_scan", "table_changes_scan", "native_bitpacked_scan",
         # oracled kernel twins + the r4-reworked knn merge must stay inside
         # the driver's ~50-query window
         "ngram_jaccard_exhaustive", "dedup_clusters_exhaustive",
@@ -593,6 +597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # for the new snapshot/transaction queries + the sole-family rows
         # distinct_count/hash_sample/vocab/asof/grouped_topk/scan_bloom)
         "clean_corpus",           # cleaning pipeline kept via corpus_to_native (clean->dedup->sink)
+        "native_sink_roundtrip",  # distributed sink kept via corpus_to_native + every table_* query
+        "native_compact_roundtrip",  # compact_par1_dataset kept via native_table_lifecycle (zorder compact)
         "rt_nested_struct",       # struct+list Dremel kept via transcode_native_nested
         "rt_embeddings",          # list<float> kept via transcode_native_nested + rt_map
         "rt_lineitem_dict_rle",   # dict+RLE kept via native transcodes (dict encodings) + rt_documents_auto
@@ -746,6 +752,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM (SELECT doc_id, "
             "CASE WHEN (doc_id // 50) % 3 = 0 THEN NULL ELSE lang END AS lang "
             "FROM documents) WHERE lang IS NOT NULL AND doc_id < 450"
+        ),
+        "table_upsert_scan": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderkey % 5 <> 0 "
+            "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice + 100000.0 "
+            "FROM orders WHERE o_orderkey % 5 = 0 "
+            "UNION ALL SELECT o_orderkey + 10000000, o_custkey, 1.0 "
+            "FROM orders WHERE o_orderkey < 500"
+        ),
+        "table_changes_scan": (
+            "SELECT * FROM documents WHERE doc_id % 3 IN (1, 2)"
         ),
         "native_null_scan": (
             "SELECT doc_id, lang_n FROM (SELECT doc_id, "

@@ -296,27 +296,20 @@ def _stat_bound(stats_json: str, col: str, which: str):
     return v.decode("utf-8", "replace") if isinstance(v, bytes) else v
 
 
-def table_delete(
-    table_dir: str, predicate, txn_id: str | None = None
-) -> int:
-    """Merge-on-read row deletion: one Ray task per live data file whose
-    manifest stats admit the predicate evaluates the exact DNF mask
-    row-group by row-group (``dnf_mask`` — SQL null semantics, so a null
-    comparison never deletes) and emits global row POSITIONS; the
-    positions land as engine-written position-delete parquet files
-    ``(file_path, pos)`` sorted by file_path (tight stats -> scans load
-    only the delete files covering their data file).  No data file is
-    rewritten.  Returns the new version (or the current one when nothing
-    matched — an empty delete is a no-op, not a commit)."""
-    snap = load_snapshot(table_dir)
-    branches = _normalize_predicate(predicate)
-    if not branches:
-        raise ValueError("table_delete needs a predicate")
+def _write_position_deletes(
+    table_dir: str, snap: dict, branches, txn: str
+) -> list[dict]:
+    """Find and persist the position-delete files for a DNF over the
+    snapshot's live data: one Ray task per manifest-admitted data file
+    evaluates the exact mask row-group by row-group and emits global row
+    POSITIONS, which land as engine-written ``(file_path, pos)`` parquet
+    files sorted by file_path (tight stats -> scans load only the delete
+    files covering their data file).  Returns the new delete entries
+    ([] when nothing matched)."""
     pcols = sorted({c for br in branches for c, _op, _v in br})
     cand = _admitted_paths(table_dir, snap, branches)
     if not cand:
-        return snap["version"]
-    txn = txn_id or uuid.uuid4().hex[:12]
+        return []
 
     def find_positions(batch: pa.Table) -> pa.Table:
         fps: list[str] = []
@@ -366,6 +359,23 @@ def table_delete(
                 "max_file": _stat_bound(r["stats"], "file_path", "max"),
             }
         )
+    return new_del
+
+
+def table_delete(
+    table_dir: str, predicate, txn_id: str | None = None
+) -> int:
+    """Merge-on-read row deletion (``dnf_mask`` exact semantics — SQL null
+    comparisons never delete): position-delete files land via
+    ``_write_position_deletes``; no data file is rewritten.  Returns the
+    new version (or the current one when nothing matched — an empty delete
+    is a no-op, not a commit)."""
+    snap = load_snapshot(table_dir)
+    branches = _normalize_predicate(predicate)
+    if not branches:
+        raise ValueError("table_delete needs a predicate")
+    txn = txn_id or uuid.uuid4().hex[:12]
+    new_del = _write_position_deletes(table_dir, snap, branches, txn)
     if not new_del:
         return snap["version"]
 
@@ -379,6 +389,91 @@ def table_delete(
         }
 
     return _commit(table_dir, "delete", build)
+
+
+def table_upsert(
+    ds: rd.Dataset,
+    table_dir: str,
+    key: str,
+    txn_id: str | None = None,
+    **write_kwargs,
+) -> int:
+    """MERGE-style atomic upsert by key: rows of `ds` REPLACE existing rows
+    with the same `key` value and INSERT otherwise, in ONE commit — a
+    reader never observes the deleted-but-not-reinserted intermediate
+    state.  Mechanics: the incoming key set (upsert-batch-sized, held once
+    on the driver and shipped as an `in` predicate) drives position-delete
+    files over manifest-admitted data files, the new rows sink as data
+    parts + manifest, and a single snapshot publishes both.  Matched old
+    rows stay physically present for time travel until compaction/vacuum.
+    Incoming keys must be unique (the caller's contract, as in Iceberg
+    MERGE); duplicate keys in `ds` would land as duplicate rows."""
+    snap = load_snapshot(table_dir)
+    txn = txn_id or uuid.uuid4().hex[:12]
+    ds = ds.materialize()  # consumed twice: key collection + the sink
+    keys = ds.unique(key)
+    if not keys:
+        raise ValueError("table_upsert: empty dataset")
+    branches = _normalize_predicate((key, "in", keys))
+    new_del = _write_position_deletes(table_dir, snap, branches, txn)
+    man = write_par1_dataset(
+        ds, os.path.join(table_dir, DATA_DIR, txn), **write_kwargs
+    )
+    rels, summary = _sink_manifest(table_dir, txn, man)
+
+    def build(parent):
+        if parent is None:
+            raise RuntimeError("upsert against a vanished table")
+        have = set(parent["manifests"])
+        return {
+            "manifests": parent["manifests"] + [r for r in rels if r not in have],
+            "deletes": list(parent["deletes"]) + new_del,
+            "summary": {
+                k: parent["summary"][k] + summary[k] for k in ("files", "rows", "bytes")
+            },
+        }
+
+    return _commit(table_dir, "upsert", build)
+
+
+def table_changes(
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Incremental (CDC-style) scan: the rows ADDED by commits after
+    `from_version` up to `to_version` (default head) — exactly the files
+    in manifests the later snapshot has and the earlier lacks, read
+    as-written (append-time content, before any later deletes; retractions
+    travel separately as the snapshots' delete entries).  This is how a
+    downstream consumer tails a 100 TB ingest table without rescanning
+    it."""
+    to_snap = load_snapshot(table_dir, to_version)
+    from_snap = load_snapshot(table_dir, from_version)
+    new_manifests = [
+        m for m in to_snap["manifests"] if m not in set(from_snap["manifests"])
+    ]
+    if not new_manifests:
+        ref = _live_entries(table_dir, to_snap)
+        if not ref:
+            raise ValueError("table_changes: empty table")
+        nodes = _schema_tree(
+            read_par1_meta(os.path.join(table_dir, ref[0]["path"]))
+        )
+        names = list(columns) if columns is not None else [n.name for n in nodes]
+        return rd.from_arrow(
+            pa.table({nm: pa.chunked_array([], type=dict(
+                (n.name, n.type) for n in nodes)[nm]) for nm in names})
+        )
+    paths: list[str] = []
+    for m in new_manifests:
+        paths.extend(
+            read_par1(os.path.join(table_dir, m), columns=["path"])["path"].to_pylist()
+        )
+    return read_par1_dataset(
+        [os.path.join(table_dir, p) for p in paths], columns=columns
+    )
 
 
 def _deletes_for_file(snap: dict, rel: str) -> list[str]:
@@ -766,3 +861,75 @@ def table_compact_vacuum(sf_dir: str) -> rd.Dataset:
     hist = table_history(d)
     assert hist["op"].to_pylist() == ["compact"]
     return table_scan(d)
+
+
+def table_upsert_scan(sf_dir: str) -> rd.Dataset:
+    """Atomic MERGE-by-key under the oracle: one upsert commit UPDATES
+    every 5th order's price (+100000) and INSERTS shifted-key rows; the
+    final scan must equal the SQL three-way reconciliation exactly —
+    replaced rows gone, updated values present, inserts present."""
+    import pyarrow.compute as pc
+
+    from ..sources.io import read_parquet_any
+
+    d = f"/tmp/pgr_table_up_{uuid.uuid4().hex[:8]}"
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    orders = read_parquet_any(f"{sf_dir}/orders.parquet", columns=cols)
+    enc = {"o_orderkey": "delta_bp", "o_totalprice": "byte_stream_split"}
+    table_write(orders.repartition(4), d, encodings=enc)
+
+    def updates(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        m = batch.filter(pa.array(k % 5 == 0))
+        return m.set_column(
+            m.schema.get_field_index("o_totalprice"),
+            "o_totalprice",
+            pc.add(m["o_totalprice"], pa.scalar(100000.0, pa.float64())),
+        )
+
+    def inserts(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        m = batch.filter(pa.array(k < 500))
+        return pa.table(
+            {
+                "o_orderkey": pc.add(m["o_orderkey"], pa.scalar(10_000_000)),
+                "o_custkey": m["o_custkey"],
+                "o_totalprice": pa.array(
+                    np.full(m.num_rows, 1.0), pa.float64()
+                ),
+            }
+        )
+
+    up = orders.map_batches(updates, batch_format="pyarrow").union(
+        orders.map_batches(inserts, batch_format="pyarrow")
+    )
+    table_upsert(up, d, key="o_orderkey", encodings=enc)
+    hist = table_history(d)
+    assert hist["op"].to_pylist() == ["append", "upsert"]
+    return table_scan(d, columns=cols)
+
+
+def table_changes_scan(sf_dir: str) -> rd.Dataset:
+    """Incremental-consumption (CDC) under the oracle: three append
+    commits partition documents by doc_id % 3; ``table_changes(d, 1)``
+    must return EXACTLY the rows commits 2 and 3 added — the tail a
+    downstream consumer reads without rescanning the table."""
+    from ..sources.io import read_parquet_any
+
+    d = f"/tmp/pgr_table_ch_{uuid.uuid4().hex[:8]}"
+    docs = read_parquet_any(f"{sf_dir}/documents.parquet")
+
+    def keep(rem: int):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(k % 3 == rem))
+
+        return f
+
+    enc = {"doc_id": "delta_bp", "lang": "dict", "source": "dict"}
+    for rem in (0, 1, 2):
+        table_write(
+            docs.map_batches(keep(rem), batch_format="pyarrow").repartition(2),
+            d, encodings=enc,
+        )
+    return table_changes(d, 1)

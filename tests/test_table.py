@@ -191,3 +191,36 @@ def test_distributed_manifest_admission_matches_inline(ray_session, tdir, monkey
     monkeypatch.setattr(T, "_MANIFEST_DISTRIBUTE_THRESHOLD", 0)
     dist = sorted(T._admitted_paths(tdir, snap, branches))
     assert dist == inline and 0 < len(dist) < len(T.table_files(tdir))
+
+
+def test_upsert_updates_and_inserts_atomically(ray_session, tdir):
+    T.table_write(rd.from_arrow(_mk(0, 500)).repartition(2), tdir)
+    up = pa.table(
+        {
+            "k": pa.array([10, 20, 999], pa.int64()),  # 10/20 update, 999 inserts
+            "v": pa.array([-1, -2, -3], pa.int64()),
+            "s": pa.array(["u10", "u20", "new"]),
+        }
+    )
+    v = T.table_upsert(rd.from_arrow(up), tdir, key="k")
+    assert v == 2 and T.load_snapshot(tdir)["op"] == "upsert"
+    got = _scan_pd(tdir)
+    assert len(got) == 501
+    assert got.set_index("k").loc[10].s == "u10"
+    assert got.set_index("k").loc[999].v == -3
+    assert got.set_index("k").loc[11].s == "row00011"  # untouched
+    # summary counts the inserts+updates as appended rows
+    assert T.load_snapshot(tdir)["summary"]["rows"] == 503
+
+
+def test_changes_between_versions(ray_session, tdir):
+    T.table_write(rd.from_arrow(_mk(0, 100)), tdir)
+    T.table_write(rd.from_arrow(_mk(100, 250)), tdir)
+    T.table_write(rd.from_arrow(_mk(250, 300)), tdir)
+    ch = T.table_changes(tdir, 1).to_pandas()
+    assert sorted(ch.k) == list(range(100, 300))
+    ch12 = T.table_changes(tdir, 1, to_version=2).to_pandas()
+    assert sorted(ch12.k) == list(range(100, 250))
+    none = T.table_changes(tdir, 3)
+    # empty-Dataset to_pandas drops columns (Ray quirk): assert via schema()
+    assert none.count() == 0 and none.schema().names == ["k", "v", "s"]
