@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from parquet_go_ray.pipelines.table import (
         table_changes_scan,
         table_compact_vacuum,
+        table_eq_delete_scan,
+        table_merge_eq_scan,
         table_mor_delete,
         table_time_travel,
         table_upsert_scan,
@@ -293,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["table_compact_vacuum"] = table_compact_vacuum
     q["table_upsert_scan"] = table_upsert_scan
     q["table_changes_scan"] = table_changes_scan
+    q["table_eq_delete_scan"] = table_eq_delete_scan
+    q["table_merge_eq_scan"] = table_merge_eq_scan
     q["native_sink_roundtrip"] = native_sink_roundtrip
     q["native_bloom_scan"] = native_bloom_scan
     q["native_compact_roundtrip"] = native_compact_roundtrip
@@ -763,6 +767,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "table_changes_scan": (
             "SELECT * FROM documents WHERE doc_id % 3 IN (1, 2)"
+        ),
+        "table_eq_delete_scan": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE ((doc_id % 2 = 0 AND doc_id >= 100) OR doc_id % 2 = 1) "
+            "AND lang <> 'de'"
+        ),
+        "table_merge_eq_scan": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderkey % 7 <> 0 "
+            "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice + 50000.0 "
+            "FROM orders WHERE o_orderkey % 7 = 0 "
+            "UNION ALL SELECT o_orderkey + 20000000, o_custkey, 2.0 "
+            "FROM orders WHERE o_orderkey < 300"
         ),
         "native_null_scan": (
             "SELECT doc_id, lang_n FROM (SELECT doc_id, "

@@ -363,17 +363,43 @@ def _write_position_deletes(
 
 
 def table_delete(
-    table_dir: str, predicate, txn_id: str | None = None
+    table_dir: str, predicate, txn_id: str | None = None, mode: str = "position"
 ) -> int:
     """Merge-on-read row deletion (``dnf_mask`` exact semantics — SQL null
-    comparisons never delete): position-delete files land via
-    ``_write_position_deletes``; no data file is rewritten.  Returns the
-    new version (or the current one when nothing matched — an empty delete
-    is a no-op, not a commit)."""
-    snap = load_snapshot(table_dir)
+    comparisons never delete).  ``mode="position"`` scans the affected
+    files NOW and lands exact position-delete files (reads stay cheap);
+    ``mode="equality"`` records only the predicate plus the set of txns it
+    applies to — an O(1) commit that never touches a data file (the
+    Iceberg v2 equality-delete trade: cheap writes, scans re-evaluate the
+    predicate on affected files until compaction folds it in).  Rows
+    appended AFTER an equality delete are never retracted by it, even when
+    they match.  No data file is rewritten in either mode.  Returns the
+    new version (a position delete that matches nothing is a no-op, not a
+    commit)."""
     branches = _normalize_predicate(predicate)
     if not branches:
         raise ValueError("table_delete needs a predicate")
+    if mode not in ("position", "equality"):
+        raise ValueError(f"mode {mode!r}")
+    if mode == "equality":
+        pred_json = _pred_to_json(branches)
+
+        def build_eq(parent):
+            if parent is None:
+                raise RuntimeError("delete against a vanished table")
+            entry = {
+                "kind": "eq",
+                "pred": pred_json,
+                "txns": sorted({_txn_of(m) for m in parent["manifests"]}),
+            }
+            return {
+                "manifests": list(parent["manifests"]),
+                "deletes": list(parent["deletes"]) + [entry],
+                "summary": dict(parent["summary"]),
+            }
+
+        return _commit(table_dir, "delete", build_eq)
+    snap = load_snapshot(table_dir)
     txn = txn_id or uuid.uuid4().hex[:12]
     new_del = _write_position_deletes(table_dir, snap, branches, txn)
     if not new_del:
@@ -396,26 +422,61 @@ def table_upsert(
     table_dir: str,
     key: str,
     txn_id: str | None = None,
+    deletes: str = "position",
     **write_kwargs,
 ) -> int:
     """MERGE-style atomic upsert by key: rows of `ds` REPLACE existing rows
     with the same `key` value and INSERT otherwise, in ONE commit — a
     reader never observes the deleted-but-not-reinserted intermediate
-    state.  Mechanics: the incoming key set (upsert-batch-sized, held once
-    on the driver and shipped as an `in` predicate) drives position-delete
-    files over manifest-admitted data files, the new rows sink as data
-    parts + manifest, and a single snapshot publishes both.  Matched old
-    rows stay physically present for time travel until compaction/vacuum.
-    Incoming keys must be unique (the caller's contract, as in Iceberg
-    MERGE); duplicate keys in `ds` would land as duplicate rows."""
+    state.
+
+    ``deletes="position"``: the incoming key set (upsert-batch-sized, held
+    once on the driver and shipped as an `in` predicate) drives
+    position-delete files over manifest-admitted data files — the upsert
+    READS the key column of every admitted data file now, and scans stay
+    cheap.  ``deletes="equality"``: the key column of `ds` itself lands as
+    Iceberg-v2-style EQUALITY-delete files — the commit cost is O(upsert
+    batch) and NO existing data file is read (the streaming-CDC-ingest
+    shape); scans anti-join affected files against the key sets until
+    compaction folds the debt in.  Either way, matched old rows stay
+    physically present for time travel until compaction/vacuum.  Incoming
+    keys must be unique (the caller's contract, as in Iceberg MERGE);
+    duplicate keys in `ds` would land as duplicate rows."""
+    if deletes not in ("position", "equality"):
+        raise ValueError(f"deletes {deletes!r}")
     snap = load_snapshot(table_dir)
     txn = txn_id or uuid.uuid4().hex[:12]
     ds = ds.materialize()  # consumed twice: key collection + the sink
-    keys = ds.unique(key)
-    if not keys:
-        raise ValueError("table_upsert: empty dataset")
-    branches = _normalize_predicate((key, "in", keys))
-    new_del = _write_position_deletes(table_dir, snap, branches, txn)
+    if deletes == "equality":
+        kman = write_par1_dataset(
+            ds.select_columns([key]),
+            os.path.join(table_dir, DELETE_DIR, txn),
+            codec="zstd",
+            sort_by=key,
+        ).take_all()
+        new_del = []
+        for r in kman:
+            if r["rows"] == 0:
+                continue
+            st = json.loads(r["stats"]).get(key, {})
+            new_del.append(
+                {
+                    "kind": "eqfile",
+                    "col": key,
+                    "path": os.path.relpath(r["path"], table_dir),
+                    "rows": r["rows"],
+                    "min_key": st.get("min"),  # already JSON-safe (b64 dict for bytes)
+                    "max_key": st.get("max"),
+                }
+            )
+        if not new_del:
+            raise ValueError("table_upsert: empty dataset")
+    else:
+        keys = ds.unique(key)
+        if not keys:
+            raise ValueError("table_upsert: empty dataset")
+        branches = _normalize_predicate((key, "in", keys))
+        new_del = _write_position_deletes(table_dir, snap, branches, txn)
     man = write_par1_dataset(
         ds, os.path.join(table_dir, DATA_DIR, txn), **write_kwargs
     )
@@ -425,9 +486,13 @@ def table_upsert(
         if parent is None:
             raise RuntimeError("upsert against a vanished table")
         have = set(parent["manifests"])
+        dels = list(new_del)
+        if deletes == "equality":
+            txns = sorted({_txn_of(m) for m in parent["manifests"]})
+            dels = [{**d, "txns": txns} for d in dels]
         return {
             "manifests": parent["manifests"] + [r for r in rels if r not in have],
-            "deletes": list(parent["deletes"]) + new_del,
+            "deletes": list(parent["deletes"]) + dels,
             "summary": {
                 k: parent["summary"][k] + summary[k] for k in ("files", "rows", "bytes")
             },
@@ -477,15 +542,135 @@ def table_changes(
 
 
 def _deletes_for_file(snap: dict, rel: str) -> list[str]:
-    """Delete-file rel paths whose [min_file, max_file] key range admits
-    this data file (bounds come from the delete part's own column stats —
-    sound under the writer's 64-byte truncation)."""
+    """POSITION-delete-file rel paths whose [min_file, max_file] key range
+    admits this data file (bounds come from the delete part's own column
+    stats — sound under the writer's 64-byte truncation)."""
     out = []
     for d in snap["deletes"]:
+        if d.get("kind", "pos") != "pos":
+            continue
         lo, hi = d.get("min_file"), d.get("max_file")
         if (lo is None or lo <= rel) and (hi is None or rel <= hi):
             out.append(d["path"])
     return out
+
+
+def _txn_of(rel: str) -> str:
+    """The committing txn id encoded in a data/manifest/delete rel path
+    (``data/<txn>/...``, ``_manifests/<txn>/...``, ``_deletes/<txn>/...``)."""
+    return rel.replace(os.sep, "/").split("/")[1]
+
+
+def _pred_to_json(branches) -> list:
+    """Normalized DNF branches -> JSON-safe nesting (bytes values, which
+    _normalize_predicate produces for strings, travel base64-wrapped)."""
+
+    def enc(v):
+        if isinstance(v, bytes):
+            return {"b64": base64.b64encode(v).decode()}
+        if isinstance(v, list):
+            return [enc(x) for x in v]
+        return v
+
+    return [[[c, op, enc(v)] for c, op, v in br] for br in branches]
+
+
+def _pred_from_json(obj) -> list[list[tuple[str, str, object]]]:
+    def dec(v):
+        if isinstance(v, dict) and "b64" in v:
+            return base64.b64decode(v["b64"])
+        if isinstance(v, list):
+            return [dec(x) for x in v]
+        return v
+
+    return [[(c, op, dec(v)) for c, op, v in br] for br in obj]
+
+
+def _eq_deletes_for_file(snap: dict, rel: str, stats_json: str | None = None):
+    """EQUALITY-delete entries applicable to this data file.  Sequence
+    gating is by txn: an equality delete records the txns whose manifests
+    were live when it committed, so rows APPENDED AFTER the delete (a new
+    txn) are never retracted — Iceberg v2 sequence-number semantics.  When
+    the caller has the file's manifest stats, entries whose predicate /
+    key range provably can't match any row in the file are dropped (the
+    file stays clean and keeps the full pruning ladder)."""
+    txn = _txn_of(rel)
+    stats = None
+    if stats_json:
+        try:
+            stats = _decode_stats(stats_json)
+        except Exception:
+            stats = None
+    out = []
+    for d in snap["deletes"]:
+        kind = d.get("kind", "pos")
+        if kind not in ("eq", "eqfile"):
+            continue
+        if txn not in set(d["txns"]):
+            continue
+        if stats is not None:
+            if kind == "eq" and not _manifest_admits_file(
+                stats, _pred_from_json(d["pred"])
+            ):
+                continue
+            if kind == "eqfile":
+                lo = _json_bound(d.get("min_key"))
+                hi = _json_bound(d.get("max_key"))
+                br = [(d["col"], ">=", lo)] if lo is not None else []
+                if hi is not None:
+                    br.append((d["col"], "<=", hi))
+                if br and not _manifest_admits_file(stats, [br]):
+                    continue
+        out.append(d)
+    return out
+
+
+def _json_bound(v):
+    if isinstance(v, dict) and "b64" in v:
+        return base64.b64decode(v["b64"])
+    return v
+
+
+def _eq_value_sets(table_dir: str, eq_dels: list[dict]) -> list:
+    """Materialize each applicable equality delete as an evaluator input:
+    ("pred", branches) for inline predicates, ("vals", col, pa.Array) for
+    key-set delete files (the file is delete-batch-sized, read once per
+    data-file task)."""
+    out = []
+    for d in eq_dels:
+        if d.get("kind") == "eq":
+            out.append(("pred", _pred_from_json(d["pred"])))
+        else:
+            t = read_par1(os.path.join(table_dir, d["path"]), columns=[d["col"]])
+            out.append(("vals", d["col"], t[d["col"]].combine_chunks()))
+    return out
+
+
+def _apply_eq_deletes(tbl: pa.Table, evals: list) -> pa.Table:
+    """Subtract equality-deleted rows: a row goes iff the delete predicate
+    is TRUE for it (SQL semantics — null comparisons never delete)."""
+    import pyarrow.compute as pc
+
+    from ..formats.par1 import dnf_mask as _dnf
+
+    for ev in evals:
+        if tbl.num_rows == 0:
+            break
+        if ev[0] == "pred":
+            m = _dnf(tbl, ev[1])
+            if m is None:  # predicate matches every row
+                tbl = tbl.slice(0, 0)
+                continue
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            tbl = tbl.filter(pc.invert(m.fill_null(False)))
+        else:
+            _tag, col, vals = ev
+            if len(vals) == 0:
+                continue
+            hit = pc.is_in(tbl[col], value_set=vals)
+            tbl = tbl.filter(pc.invert(hit.fill_null(False)))
+    return tbl
 
 
 def _positions_for_file(table_dir: str, del_paths: list[str], rel: str):
@@ -507,17 +692,25 @@ def _read_file_with_deletes(
     del_paths: list[str],
     columns: list[str],
     branches,
+    eq_dels: list[dict] | None = None,
 ) -> pa.Table:
-    """Full-fidelity read of one position-deleted data file: each row group
+    """Full-fidelity read of one delete-affected data file: each row group
     reads whole (positions are file-global, so page pruning is off for
-    dirty files — compaction restores it), the delete mask drops positions,
-    then the exact DNF mask applies.  Row-group streaming keeps the working
-    set one row group, not one file."""
+    dirty files — compaction restores it), the position mask drops deleted
+    rows, applicable equality deletes subtract matching rows, then the
+    exact scan DNF applies.  Row-group streaming keeps the working set one
+    row group, not one file."""
     p = os.path.join(table_dir, rel)
     meta = read_par1_meta(p)
     need = list(columns)
     for br in branches:
         for c, _op, _v in br:
+            if c not in need:
+                need.append(c)
+    evals = _eq_value_sets(table_dir, eq_dels or [])
+    for ev in evals:
+        cols = [c for br in ev[1] for c, _o, _v in br] if ev[0] == "pred" else [ev[1]]
+        for c in cols:
             if c not in need:
                 need.append(c)
     positions = _positions_for_file(table_dir, del_paths, rel)
@@ -532,6 +725,8 @@ def _read_file_with_deletes(
                 keep = np.ones(n, dtype=bool)
                 keep[loc] = False
                 tbl = tbl.filter(pa.array(keep))
+        if evals and tbl.num_rows:
+            tbl = _apply_eq_deletes(tbl, evals)
         if branches and tbl.num_rows:
             m = dnf_mask(tbl, branches)
             if m is not None:
@@ -570,11 +765,26 @@ def table_scan(
         return rd.from_arrow(
             pa.table({nm: pa.chunked_array([], type=types[nm]) for nm in names})
         )
+    # equality deletes refine by per-file stats when the table is small
+    # enough that the driver already holds the manifest rows; in the
+    # distributed-admission regime they gate by txn only (conservative —
+    # more files take the merge-on-read path, never a wrong row)
+    stats_by_rel: dict[str, str] = {}
+    if any(d.get("kind") in ("eq", "eqfile") for d in snap["deletes"]):
+        total = sum(
+            read_par1_meta(os.path.join(table_dir, m))["num_rows"]
+            for m in snap["manifests"]
+        )
+        if total <= _MANIFEST_DISTRIBUTE_THRESHOLD:
+            stats_by_rel = {
+                e["path"]: e.get("stats") for e in _live_entries(table_dir, snap)
+            }
     clean: list[str] = []
-    dirty: list[tuple[str, list[str]]] = []
+    dirty: list[tuple[str, list[str], list[dict]]] = []
     for rel in live:
         dels = _deletes_for_file(snap, rel)
-        (dirty.append((rel, dels)) if dels else clean.append(rel))
+        eqs = _eq_deletes_for_file(snap, rel, stats_by_rel.get(rel))
+        (dirty.append((rel, dels, eqs)) if dels or eqs else clean.append(rel))
     parts: list[rd.Dataset] = []
     if clean:
         parts.append(
@@ -590,16 +800,24 @@ def table_scan(
 
         def read_dirty(batch: pa.Table) -> pa.Table:
             tables = []
-            for rel, dps in zip(
-                batch["path"].to_pylist(), batch["dels"].to_pylist()
+            for rel, dps, eqj in zip(
+                batch["path"].to_pylist(),
+                batch["dels"].to_pylist(),
+                batch["eqs"].to_pylist(),
             ):
-                t = _read_file_with_deletes(table_dir, rel, list(dps), names, branches)
+                t = _read_file_with_deletes(
+                    table_dir, rel, list(dps), names, branches,
+                    eq_dels=json.loads(eqj),
+                )
                 if t.num_rows:
                     tables.append(t)
             return pa.concat_tables(tables) if tables else empty
 
         items = rd.from_items(
-            [{"path": r, "dels": d} for r, d in dirty],
+            [
+                {"path": r, "dels": d, "eqs": json.dumps(e)}
+                for r, d, e in dirty
+            ],
             override_num_blocks=len(dirty),
         )
         parts.append(
@@ -650,6 +868,10 @@ def table_compact(
     if sort_keys:
         wkw["sorting_columns"] = [(c, False, False) for c in sort_keys]
     dels_by_file = {e["path"]: _deletes_for_file(snap, e["path"]) for e in entries}
+    eqs_by_file = {
+        e["path"]: _eq_deletes_for_file(snap, e["path"], e.get("stats"))
+        for e in entries
+    }
     first = os.path.join(table_dir, entries[0]["path"])
     all_cols = [n.name for n in _schema_tree(read_par1_meta(first))]
 
@@ -658,7 +880,8 @@ def table_compact(
         for i in batch["bin"].to_pylist():
             merged = pa.concat_tables(
                 _read_file_with_deletes(
-                    table_dir, rel, dels_by_file[rel], all_cols, []
+                    table_dir, rel, dels_by_file[rel], all_cols, [],
+                    eq_dels=eqs_by_file[rel],
                 )
                 for rel in bins[i]
             )
@@ -735,7 +958,7 @@ def table_vacuum(table_dir: str, keep_last: int | None = None) -> list[str]:
     for v in retained:
         s = load_snapshot(table_dir, v)
         referenced.update(s["manifests"])
-        referenced.update(d["path"] for d in s["deletes"])
+        referenced.update(d["path"] for d in s["deletes"] if "path" in d)
         referenced.update(e["path"] for e in _live_entries(table_dir, s))
     removed: list[str] = []
     for sub in (DATA_DIR, DELETE_DIR, MANIFEST_DIR):
@@ -906,6 +1129,82 @@ def table_upsert_scan(sf_dir: str) -> rd.Dataset:
     table_upsert(up, d, key="o_orderkey", encodings=enc)
     hist = table_history(d)
     assert hist["op"].to_pylist() == ["append", "upsert"]
+    return table_scan(d, columns=cols)
+
+
+def table_eq_delete_scan(sf_dir: str) -> rd.Dataset:
+    """EQUALITY deletes under the oracle: the even doc_ids commit, an O(1)
+    equality-delete commit (no data file read or written) retracts
+    ``doc_id < 100``, then the odd doc_ids append — re-introducing keys
+    the earlier delete must NOT touch (txn sequence gating).  The final
+    scan composes the merge-on-read anti-join with a pruning-ladder
+    predicate on another column."""
+    from ..sources.io import read_parquet_any
+
+    d = f"/tmp/pgr_table_eq_{uuid.uuid4().hex[:8]}"
+    docs = read_parquet_any(f"{sf_dir}/documents.parquet")
+
+    def keep(rem: int):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(k % 2 == rem))
+
+        return f
+
+    enc = {"doc_id": "delta_bp", "lang": "dict", "source": "dict"}
+    table_write(docs.map_batches(keep(0), batch_format="pyarrow").repartition(3),
+                d, encodings=enc)
+    table_delete(d, ("doc_id", "<", 100), mode="equality")
+    table_write(docs.map_batches(keep(1), batch_format="pyarrow").repartition(2),
+                d, encodings=enc)
+    assert [e.get("kind") for e in load_snapshot(d)["deletes"]] == ["eq"]
+    return table_scan(
+        d, columns=["doc_id", "lang", "source"], predicate=("lang", "!=", "de")
+    )
+
+
+def table_merge_eq_scan(sf_dir: str) -> rd.Dataset:
+    """Streaming-CDC-shaped MERGE under the oracle: the upsert's key set
+    lands as Iceberg-v2-style EQUALITY-delete files — the commit cost is
+    O(upsert batch) and NO existing data file is read — yet the scan must
+    equal the SQL three-way reconciliation exactly (updates applied,
+    replaced rows gone, inserts present)."""
+    import pyarrow.compute as pc
+
+    from ..sources.io import read_parquet_any
+
+    d = f"/tmp/pgr_table_meq_{uuid.uuid4().hex[:8]}"
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    orders = read_parquet_any(f"{sf_dir}/orders.parquet", columns=cols)
+    enc = {"o_orderkey": "delta_bp", "o_totalprice": "byte_stream_split"}
+    table_write(orders.repartition(4), d, encodings=enc)
+
+    def updates(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        m = batch.filter(pa.array(k % 7 == 0))
+        return m.set_column(
+            m.schema.get_field_index("o_totalprice"),
+            "o_totalprice",
+            pc.add(m["o_totalprice"], pa.scalar(50000.0, pa.float64())),
+        )
+
+    def inserts(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        m = batch.filter(pa.array(k < 300))
+        return pa.table(
+            {
+                "o_orderkey": pc.add(m["o_orderkey"], pa.scalar(20_000_000)),
+                "o_custkey": m["o_custkey"],
+                "o_totalprice": pa.array(np.full(m.num_rows, 2.0), pa.float64()),
+            }
+        )
+
+    up = orders.map_batches(updates, batch_format="pyarrow").union(
+        orders.map_batches(inserts, batch_format="pyarrow")
+    )
+    table_upsert(up, d, key="o_orderkey", deletes="equality", encodings=enc)
+    dels = load_snapshot(d)["deletes"]
+    assert dels and all(e.get("kind") == "eqfile" for e in dels)
     return table_scan(d, columns=cols)
 
 

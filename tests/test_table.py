@@ -224,3 +224,100 @@ def test_changes_between_versions(ray_session, tdir):
     none = T.table_changes(tdir, 3)
     # empty-Dataset to_pandas drops columns (Ray quirk): assert via schema()
     assert none.count() == 0 and none.schema().names == ["k", "v", "s"]
+
+
+def test_equality_delete_gates_by_txn(ray_session, tdir):
+    """An equality delete retracts matching rows from files committed
+    BEFORE it, never from later appends with the same keys."""
+    T.table_write(rd.from_arrow(_mk(0, 1000)).repartition(3), tdir)
+    v = T.table_delete(tdir, ("k", "<", 100), mode="equality")
+    assert v == 2 and T.load_snapshot(tdir)["deletes"][0]["kind"] == "eq"
+    assert list(_scan_pd(tdir)["k"]) == list(range(100, 1000))
+    # re-append some of the deleted keys: they must survive
+    T.table_write(rd.from_arrow(_mk(0, 50)), tdir)
+    got = list(_scan_pd(tdir)["k"])
+    assert got == list(range(50)) + list(range(100, 1000))
+    # time travel to before the delete sees everything
+    assert len(_scan_pd(tdir, version=1)) == 1000
+    # composes with a scan predicate (evaluated after the delete)
+    got2 = _scan_pd(tdir, predicate=("k", "<", 200))
+    assert list(got2["k"]) == list(range(50)) + list(range(100, 200))
+
+
+def test_equality_delete_null_semantics(ray_session, tdir):
+    t = pa.table(
+        {
+            "k": pa.array([0, 1, 2, 3], pa.int64()),
+            "v": pa.array([10, None, 30, None], pa.int64()),
+            "s": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    T.table_write(rd.from_arrow(t), tdir)
+    T.table_delete(tdir, ("v", "<", 50), mode="equality")
+    # null comparisons never delete -> nulls survive
+    assert list(_scan_pd(tdir)["k"]) == [1, 3]
+
+
+def test_equality_delete_stats_keep_untouched_files_clean(ray_session, tdir):
+    T.table_write(rd.from_arrow(_mk(0, 100)), tdir)
+    T.table_write(rd.from_arrow(_mk(5000, 5100)), tdir)
+    T.table_delete(tdir, ("k", "<", 10), mode="equality")
+    snap = T.load_snapshot(tdir)
+    ents = {e["path"]: e for e in T.table_files(tdir)}
+    dirty = [
+        rel
+        for rel, e in ents.items()
+        if T._eq_deletes_for_file(snap, rel, e.get("stats"))
+    ]
+    # only the low-key file can contain matching rows
+    assert len(dirty) == 1
+    lo = T._decode_stats(ents[dirty[0]]["stats"])["k"]["min"]
+    assert lo == 0
+    assert list(_scan_pd(tdir)["k"]) == list(range(10, 100)) + list(
+        range(5000, 5100)
+    )
+
+
+def test_equality_upsert_matches_position_upsert(ray_session, tmp_path):
+    """deletes='equality' and deletes='position' MERGEs land the same
+    logical table; the equality path reads no data file at upsert time."""
+    up = pa.table(
+        {
+            "k": pa.array([10, 20, 999], pa.int64()),
+            "v": pa.array([-1, -2, -3], pa.int64()),
+            "s": pa.array(["u10", "u20", "new"]),
+        }
+    )
+    frames = {}
+    for mode in ("position", "equality"):
+        d = str(tmp_path / mode)
+        T.table_write(rd.from_arrow(_mk(0, 500)).repartition(2), d)
+        T.table_upsert(rd.from_arrow(up), d, key="k", deletes=mode)
+        frames[mode] = _scan_pd(d)
+        dels = T.load_snapshot(d)["deletes"]
+        kinds = {e.get("kind", "pos") for e in dels}
+        assert kinds == ({"pos"} if mode == "position" else {"eqfile"})
+        shutil.rmtree(d, ignore_errors=True)
+    assert frames["position"].equals(frames["equality"])
+
+
+def test_equality_deletes_fold_on_compact_and_vacuum(ray_session, tdir):
+    T.table_write(rd.from_arrow(_mk(0, 800)).repartition(2), tdir)
+    T.table_delete(tdir, [[("v", "<", 10)], [("s", "==", "row00500")]],
+                   mode="equality")
+    up = pa.table(
+        {
+            "k": pa.array([600], pa.int64()),
+            "v": pa.array([77], pa.int64()),
+            "s": pa.array(["u600"]),
+        }
+    )
+    T.table_upsert(rd.from_arrow(up), tdir, key="k", deletes="equality")
+    before = _scan_pd(tdir)
+    T.table_compact(tdir, sort_by="k")
+    assert T.load_snapshot(tdir)["deletes"] == []
+    assert _scan_pd(tdir).equals(before)
+    removed = T.table_vacuum(tdir, keep_last=1)
+    # the eqfile delete parts are unreferenced now and must be reclaimed
+    assert any(r.startswith("_deletes/") for r in removed)
+    assert _scan_pd(tdir).equals(before)
