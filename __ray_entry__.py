@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # reference's single-file Flush/WriteStop (writer/writer.go:273-337)
     # cannot express
     from parquet_go_ray.pipelines.table import (
+        bucket_join_orders_customer,
         table_changes_scan,
         table_compact_vacuum,
         table_eq_delete_scan,
@@ -297,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["table_changes_scan"] = table_changes_scan
     q["table_eq_delete_scan"] = table_eq_delete_scan
     q["table_merge_eq_scan"] = table_merge_eq_scan
+    q["bucket_join_orders_customer"] = bucket_join_orders_customer
     q["native_sink_roundtrip"] = native_sink_roundtrip
     q["native_bloom_scan"] = native_bloom_scan
     q["native_compact_roundtrip"] = native_compact_roundtrip
@@ -780,6 +782,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders WHERE o_orderkey % 7 = 0 "
             "UNION ALL SELECT o_orderkey + 20000000, o_custkey, 2.0 "
             "FROM orders WHERE o_orderkey < 300"
+        ),
+        "bucket_join_orders_customer": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE NOT (c_acctbal < 0)"
         ),
         "native_null_scan": (
             "SELECT doc_id, lang_n FROM (SELECT doc_id, "

@@ -118,12 +118,16 @@ def _commit(table_dir: str, op: str, build) -> int:
     {"manifests": [...], "deletes": [...], "summary": {...}} for the new
     snapshot.  The tmp+os.link publish is all-or-nothing; losing a race
     re-reads the parent and rebuilds, so appends merge instead of
-    clobbering each other."""
+    clobbering each other.  The table's bucket spec (a layout property,
+    fixed at creation) carries over from the parent unless the body sets
+    it explicitly."""
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
     while True:
         vs = table_versions(table_dir)
         parent = load_snapshot(table_dir, vs[-1]) if vs else None
         body = build(parent)
+        if "bucket" not in body and parent and parent.get("bucket"):
+            body = {**body, "bucket": parent["bucket"]}
         v = (vs[-1] + 1) if vs else 1
         snap = {"version": v, "parent": vs[-1] if vs else None, "op": op, **body}
         tmp = _snap_path(table_dir, v) + f".tmp.{uuid.uuid4().hex[:8]}"
@@ -252,11 +256,67 @@ def _admitted_paths(table_dir: str, snap: dict, branches) -> list[str]:
     return [p for r in rows for p in r["admitted"]]
 
 
+BUCKET_COL = "_bucket"
+
+
+def _bucket_ids(arr, n: int) -> np.ndarray:
+    """Stable bucket assignment: spec-stable XXH64 (the engine's own
+    bloom-filter hash — golden-vector tested, never polars/python hash)
+    over the key's plain-encoded bytes, mod n.  Integer keys hash as
+    int64 LE regardless of storage width; string/binary keys hash raw
+    bytes; nulls land in bucket 0."""
+    import pyarrow.compute as pc
+
+    from ..formats.bloom import hash_arrow_values
+    from ..formats.parquet_meta import PT_BYTE_ARRAY, PT_INT64
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_integer(t):
+        pt, fill = PT_INT64, pa.scalar(0, pa.int64())
+        arr = arr.cast(pa.int64())
+    elif pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+        pt, fill = PT_BYTE_ARRAY, pa.scalar("", t)
+    else:
+        raise ValueError(f"bucket_by supports integer and string/binary keys, not {t}")
+    nulls = None
+    if arr.null_count:
+        nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        arr = arr.fill_null(fill)
+    h = hash_arrow_values(arr, pt)
+    b = (h % np.uint64(n)).astype(np.int64)
+    if nulls is not None:
+        b[nulls] = 0
+    return b
+
+
+def _apply_bucketing(ds: rd.Dataset, spec: dict) -> rd.Dataset:
+    col, n = spec["col"], int(spec["n"])
+
+    def add(batch: pa.Table) -> pa.Table:
+        if BUCKET_COL in batch.schema.names:
+            return batch
+        return batch.append_column(
+            BUCKET_COL, pa.array(_bucket_ids(batch[col], n), pa.int64())
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def _bucket_of(rel: str) -> int | None:
+    for part in rel.replace(os.sep, "/").split("/"):
+        if part.startswith(f"{BUCKET_COL}="):
+            return int(part.split("=", 1)[1])
+    return None
+
+
 def table_write(
     ds: rd.Dataset,
     table_dir: str,
     mode: str = "append",
     txn_id: str | None = None,
+    bucket_by: tuple[str, int] | None = None,
     **write_kwargs,
 ) -> int:
     """Commit a Dataset into the table: data parts stream through
@@ -266,9 +326,36 @@ def table_write(
     under ``_manifests/<txn>/``, then ONE snapshot publishes the manifest
     refs.  `mode="append"` adds to the parent's manifest list;
     `mode="overwrite"` replaces it (old files stay on disk for time travel
-    until vacuumed).  Returns the new version."""
+    until vacuumed).
+
+    `bucket_by=(col, n)` declares a BUCKETED layout at table creation (or
+    overwrite): every commit hash-partitions its rows by the stable bucket
+    of `col` into ``_bucket=<i>/`` hive directories (the ``_bucket``
+    column stays in the files).  Appends inherit and enforce the spec —
+    two tables bucketed the same way join bucket-to-bucket with NO
+    shuffle (``table_bucket_join``), the co-partitioned layout a 100 TB
+    fact-to-fact join needs.  Returns the new version."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
+    spec = (
+        {"col": bucket_by[0], "n": int(bucket_by[1])} if bucket_by is not None else None
+    )
+    vs = table_versions(table_dir)
+    parent_spec = load_snapshot(table_dir).get("bucket") if vs else None
+    if mode == "append" and vs:
+        if parent_spec:
+            if spec is not None and spec != parent_spec:
+                raise ValueError(
+                    f"table is bucketed by {parent_spec}; append cannot rebucket"
+                )
+            spec = parent_spec
+        elif spec is not None:
+            raise ValueError(
+                "bucket_by on append to an unbucketed table; use mode='overwrite'"
+            )
+    if spec:
+        ds = _apply_bucketing(ds, spec)
+        write_kwargs = {**write_kwargs, "partition_by": BUCKET_COL}
     txn = txn_id or uuid.uuid4().hex[:12]
     out = os.path.join(table_dir, DATA_DIR, txn)
     man = write_par1_dataset(ds, out, **write_kwargs)
@@ -278,7 +365,10 @@ def table_write(
 
     def build(parent):
         if mode == "overwrite" or parent is None:
-            return {"manifests": rels, "deletes": [], "summary": summary}
+            return {
+                "manifests": rels, "deletes": [], "summary": summary,
+                "bucket": spec,
+            }
         have = set(parent["manifests"])
         return {
             "manifests": parent["manifests"] + [r for r in rels if r not in have],
@@ -446,6 +536,10 @@ def table_upsert(
         raise ValueError(f"deletes {deletes!r}")
     snap = load_snapshot(table_dir)
     txn = txn_id or uuid.uuid4().hex[:12]
+    spec = snap.get("bucket")
+    if spec:  # bucketed layout is a table invariant: upserted rows follow it
+        ds = _apply_bucketing(ds, spec)
+        write_kwargs = {**write_kwargs, "partition_by": BUCKET_COL}
     ds = ds.materialize()  # consumed twice: key collection + the sink
     if deletes == "equality":
         kman = write_par1_dataset(
@@ -736,6 +830,35 @@ def _read_file_with_deletes(
     return pa.concat_tables(out)
 
 
+def _split_clean_dirty(
+    table_dir: str, snap: dict, live: list[str]
+) -> tuple[list[str], list[tuple[str, list[str], list[dict]]]]:
+    """Partition the live file list into delete-free files (full pruning
+    ladder) and files needing the merge-on-read path, with their position
+    delete files and applicable equality deletes.  Equality deletes refine
+    by per-file stats when the table is small enough that the driver
+    already holds the manifest rows; in the distributed-admission regime
+    they gate by txn only (conservative — more files take the
+    merge-on-read path, never a wrong row)."""
+    stats_by_rel: dict[str, str] = {}
+    if any(d.get("kind") in ("eq", "eqfile") for d in snap["deletes"]):
+        total = sum(
+            read_par1_meta(os.path.join(table_dir, m))["num_rows"]
+            for m in snap["manifests"]
+        )
+        if total <= _MANIFEST_DISTRIBUTE_THRESHOLD:
+            stats_by_rel = {
+                e["path"]: e.get("stats") for e in _live_entries(table_dir, snap)
+            }
+    clean: list[str] = []
+    dirty: list[tuple[str, list[str], list[dict]]] = []
+    for rel in live:
+        dels = _deletes_for_file(snap, rel)
+        eqs = _eq_deletes_for_file(snap, rel, stats_by_rel.get(rel))
+        (dirty.append((rel, dels, eqs)) if dels or eqs else clean.append(rel))
+    return clean, dirty
+
+
 def table_scan(
     table_dir: str,
     version: int | None = None,
@@ -765,26 +888,7 @@ def table_scan(
         return rd.from_arrow(
             pa.table({nm: pa.chunked_array([], type=types[nm]) for nm in names})
         )
-    # equality deletes refine by per-file stats when the table is small
-    # enough that the driver already holds the manifest rows; in the
-    # distributed-admission regime they gate by txn only (conservative —
-    # more files take the merge-on-read path, never a wrong row)
-    stats_by_rel: dict[str, str] = {}
-    if any(d.get("kind") in ("eq", "eqfile") for d in snap["deletes"]):
-        total = sum(
-            read_par1_meta(os.path.join(table_dir, m))["num_rows"]
-            for m in snap["manifests"]
-        )
-        if total <= _MANIFEST_DISTRIBUTE_THRESHOLD:
-            stats_by_rel = {
-                e["path"]: e.get("stats") for e in _live_entries(table_dir, snap)
-            }
-    clean: list[str] = []
-    dirty: list[tuple[str, list[str], list[dict]]] = []
-    for rel in live:
-        dels = _deletes_for_file(snap, rel)
-        eqs = _eq_deletes_for_file(snap, rel, stats_by_rel.get(rel))
-        (dirty.append((rel, dels, eqs)) if dels or eqs else clean.append(rel))
+    clean, dirty = _split_clean_dirty(table_dir, snap, live)
     parts: list[rd.Dataset] = []
     if clean:
         parts.append(
@@ -826,6 +930,134 @@ def table_scan(
     return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
 
+def table_bucket_join(
+    left_dir: str,
+    right_dir: str,
+    left_on: str,
+    right_on: str | None = None,
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    how: str = "inner",
+    left_version: int | None = None,
+    right_version: int | None = None,
+) -> rd.Dataset:
+    """SHUFFLE-FREE equi-join of two bucketed tables: both sides were
+    hash-partitioned at write time by the same stable bucket function
+    (``table_write(bucket_by=(key, n))``), so every join key pair lives in
+    the same bucket id on both sides — the join runs as one independent
+    Ray task per bucket (read left bucket files + right bucket files,
+    one vectorized Arrow hash join), with NO all-to-all exchange.  This is
+    the co-partitioned fact-to-fact join: at 100 TB the alternative
+    ``groupby``-style join moves every byte of both tables across the
+    cluster; this moves nothing but the output.  Merge-on-read deletes on
+    either side apply exactly (dirty files take the delete-merging path
+    inside the bucket task).  ``how``: "inner" or "left".  Bucket counts
+    must match; integer keys hash width-independently (int64 LE), so an
+    int32 key joins an int64 key correctly."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how {how!r}")
+    right_on = right_on or left_on
+    lsnap = load_snapshot(left_dir, left_version)
+    rsnap = load_snapshot(right_dir, right_version)
+    lspec, rspec = lsnap.get("bucket"), rsnap.get("bucket")
+    if not lspec or not rspec:
+        raise ValueError("table_bucket_join needs bucket_by on both tables")
+    if lspec["col"] != left_on or rspec["col"] != right_on:
+        raise ValueError(
+            f"join keys ({left_on}, {right_on}) must be the bucket columns "
+            f"({lspec['col']}, {rspec['col']})"
+        )
+    if int(lspec["n"]) != int(rspec["n"]):
+        raise ValueError(
+            f"bucket counts differ: {lspec['n']} vs {rspec['n']} — rebucket one side"
+        )
+
+    def side(table_dir, snap, on, cols):
+        live = _admitted_paths(table_dir, snap, [])
+        if not live:
+            raise ValueError(f"{table_dir}: no live data files")
+        nodes = _schema_tree(
+            read_par1_meta(os.path.join(table_dir, live[0]))
+        )
+        names = [n.name for n in nodes]
+        sel = [c for c in (cols if cols is not None else names) if c != BUCKET_COL]
+        if on not in sel:
+            sel = [on] + sel
+        unknown = [c for c in sel if c not in names]
+        if unknown:
+            raise ValueError(f"{table_dir}: unknown columns {unknown}")
+        clean, dirty = _split_clean_dirty(table_dir, snap, live)
+        by_bucket: dict[int, list] = {}
+        for rel in clean:
+            b = _bucket_of(rel)
+            if b is None:
+                raise ValueError(f"{table_dir}: unbucketed data file {rel}")
+            by_bucket.setdefault(b, []).append((rel, [], []))
+        for rel, dels, eqs in dirty:
+            b = _bucket_of(rel)
+            if b is None:
+                raise ValueError(f"{table_dir}: unbucketed data file {rel}")
+            by_bucket.setdefault(b, []).append((rel, dels, eqs))
+        types = {n.name: n.type for n in nodes}
+        empty = pa.table({c: pa.chunked_array([], type=types[c]) for c in sel})
+        return by_bucket, sel, empty
+
+    lbuckets, lsel, lempty = side(left_dir, lsnap, left_on, left_columns)
+    rbuckets, rsel, rempty = side(right_dir, rsnap, right_on, right_columns)
+    overlap = (set(lsel) & set(rsel)) - ({left_on} if left_on == right_on else set())
+    if overlap:
+        raise ValueError(
+            f"output column collision {sorted(overlap)}: project with "
+            "left_columns/right_columns"
+        )
+    join_type = "inner" if how == "inner" else "left outer"
+    out_schema = lempty.join(
+        rempty, keys=[left_on], right_keys=[right_on], join_type=join_type
+    ).schema
+    out_empty = pa.table(
+        {f.name: pa.chunked_array([], type=f.type) for f in out_schema}
+    )
+
+    if how == "inner":
+        todo = sorted(set(lbuckets) & set(rbuckets))
+    else:
+        todo = sorted(lbuckets)
+
+    def read_side(table_dir, files, cols, empty):
+        tabs = []
+        for rel, dels, eqs in files:
+            if dels or eqs:
+                t = _read_file_with_deletes(table_dir, rel, list(dels), cols, [],
+                                            eq_dels=list(eqs))
+            else:
+                t = read_par1(os.path.join(table_dir, rel), columns=cols)
+            if t.num_rows:
+                tabs.append(t)
+        return pa.concat_tables(tabs) if tabs else empty
+
+    lfiles = {b: lbuckets.get(b, []) for b in todo}
+    rfiles = {b: rbuckets.get(b, []) for b in todo}
+
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        outs = []
+        for b in batch["b"].to_pylist():
+            lt = read_side(left_dir, lfiles[b], lsel, lempty)
+            rt = read_side(right_dir, rfiles[b], rsel, rempty)
+            if lt.num_rows == 0 or (how == "inner" and rt.num_rows == 0):
+                continue
+            j = lt.join(rt, keys=[left_on], right_keys=[right_on],
+                        join_type=join_type)
+            if j.num_rows:
+                outs.append(j.select(out_schema.names).cast(out_schema))
+        return pa.concat_tables(outs) if outs else out_empty
+
+    if not todo:
+        return rd.from_arrow(out_empty)
+    return rd.from_items(
+        [{"b": b} for b in todo], override_num_blocks=len(todo)
+    ).map_batches(join_bucket, batch_format="pyarrow", batch_size=None)
+
+
 def table_compact(
     table_dir: str,
     target_bytes: int = 128 << 20,
@@ -849,17 +1081,27 @@ def table_compact(
         raise ValueError("nothing to compact")
     txn = txn_id or uuid.uuid4().hex[:12]
     out_dir = os.path.join(table_dir, DATA_DIR, txn)
-    bins: list[list[str]] = []
-    cur: list[str] = []
-    cur_b = 0
+    # a bucketed layout is a table invariant: bin-pack WITHIN each bucket
+    # and keep outputs under their _bucket=<i>/ directory
+    bucketed = snap.get("bucket") is not None
+    groups: dict[object, list[dict]] = {}
     for e in entries:
-        if cur and cur_b + e["bytes"] > target_bytes:
+        groups.setdefault(_bucket_of(e["path"]) if bucketed else None, []).append(e)
+    bins: list[list[str]] = []
+    bin_bucket: list[object] = []
+    for bkt, ents in sorted(groups.items(), key=lambda kv: (kv[0] is None, kv[0])):
+        cur: list[str] = []
+        cur_b = 0
+        for e in ents:
+            if cur and cur_b + e["bytes"] > target_bytes:
+                bins.append(cur)
+                bin_bucket.append(bkt)
+                cur, cur_b = [], 0
+            cur.append(e["path"])
+            cur_b += e["bytes"]
+        if cur:
             bins.append(cur)
-            cur, cur_b = [], 0
-        cur.append(e["path"])
-        cur_b += e["bytes"]
-    if cur:
-        bins.append(cur)
+            bin_bucket.append(bkt)
     sort_keys = [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
     wkw = dict(
         codec=codec, encodings=encodings, page_rows=page_rows, bloom=bloom,
@@ -887,7 +1129,13 @@ def table_compact(
             )
             if sort_keys:
                 merged = merged.sort_by([(c, "ascending") for c in sort_keys])
-            rows.append(_write_part(merged, out_dir, "", wkw))
+            bkt = bin_bucket[i]
+            dest = (
+                os.path.join(out_dir, f"{BUCKET_COL}={bkt}")
+                if bkt is not None
+                else out_dir
+            )
+            rows.append(_write_part(merged, dest, "", wkw))
         return _manifest_table(rows)
 
     man = rd.from_items(
@@ -1206,6 +1454,40 @@ def table_merge_eq_scan(sf_dir: str) -> rd.Dataset:
     dels = load_snapshot(d)["deletes"]
     assert dels and all(e.get("kind") == "eqfile" for e in dels)
     return table_scan(d, columns=cols)
+
+
+def bucket_join_orders_customer(sf_dir: str) -> rd.Dataset:
+    """Shuffle-free co-partitioned join under the oracle: orders and
+    customer land as tables bucketed by the SAME stable hash of their join
+    keys (16 buckets), an equality delete retracts negative-balance
+    customers merge-on-read, and ``table_bucket_join`` joins bucket to
+    bucket — one Ray task per bucket, no all-to-all exchange — matching
+    SQL ``orders JOIN customer``."""
+    from ..sources.io import read_parquet_any
+
+    tag = uuid.uuid4().hex[:8]
+    do = f"/tmp/pgr_bj_orders_{tag}"
+    dc = f"/tmp/pgr_bj_customer_{tag}"
+    orders = read_parquet_any(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    customer = read_parquet_any(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    table_write(
+        orders.repartition(4), do, bucket_by=("o_custkey", 16),
+        encodings={"o_orderkey": "delta_bp", "o_totalprice": "byte_stream_split"},
+    )
+    table_write(customer.repartition(2), dc, bucket_by=("c_custkey", 16),
+                encodings={"c_mktsegment": "dict"})
+    table_delete(dc, ("c_acctbal", "<", 0.0), mode="equality")
+    return table_bucket_join(
+        do, dc, "o_custkey", "c_custkey",
+        left_columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        right_columns=["c_mktsegment"],
+    )
 
 
 def table_changes_scan(sf_dir: str) -> rd.Dataset:

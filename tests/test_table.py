@@ -321,3 +321,93 @@ def test_equality_deletes_fold_on_compact_and_vacuum(ray_session, tdir):
     # the eqfile delete parts are unreferenced now and must be reclaimed
     assert any(r.startswith("_deletes/") for r in removed)
     assert _scan_pd(tdir).equals(before)
+
+
+def test_bucketed_write_and_join(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    lt = pa.table({"k": np.arange(2000) % 300, "lx": np.arange(2000)})
+    rt = pa.table({"k2": np.arange(0, 300, 3), "ry": rng.integers(0, 10, 100)})
+    dl, dr = str(tmp_path / "l"), str(tmp_path / "r")
+    T.table_write(rd.from_arrow(lt).repartition(4), dl, bucket_by=("k", 8))
+    T.table_write(rd.from_arrow(rt).repartition(2), dr, bucket_by=("k2", 8))
+    j = (
+        T.table_bucket_join(dl, dr, "k", "k2")
+        .to_pandas()
+        .sort_values(["k", "lx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        lt.to_pandas()
+        .merge(rt.to_pandas(), left_on="k", right_on="k2")
+        .drop(columns=["k2"])
+        .sort_values(["k", "lx"])
+        .reset_index(drop=True)
+    )
+    assert j[["k", "lx", "ry"]].equals(
+        exp[["k", "lx", "ry"]].astype(j[["k", "lx", "ry"]].dtypes.to_dict())
+    )
+    # left join keeps unmatched left rows as nulls
+    j3 = T.table_bucket_join(dl, dr, "k", "k2", how="left").to_pandas()
+    assert len(j3) == 2000 and j3.ry.isna().sum() > 0
+
+
+def test_bucket_spec_enforced(ray_session, tmp_path):
+    d = str(tmp_path / "t")
+    T.table_write(rd.from_arrow(_mk(0, 100)), d, bucket_by=("k", 4))
+    with pytest.raises(ValueError, match="rebucket"):
+        T.table_write(rd.from_arrow(_mk(100, 200)), d, bucket_by=("k", 8))
+    # plain append inherits the spec
+    T.table_write(rd.from_arrow(_mk(100, 200)), d)
+    assert all(
+        T._bucket_of(e["path"]) is not None for e in T.table_files(d)
+    )
+    d2 = str(tmp_path / "u")
+    T.table_write(rd.from_arrow(_mk(0, 100)), d2)
+    with pytest.raises(ValueError, match="unbucketed"):
+        T.table_write(rd.from_arrow(_mk(100, 200)), d2, bucket_by=("k", 4))
+    with pytest.raises(ValueError, match="bucket_by on both"):
+        T.table_bucket_join(d, d2, "k", "k")
+
+
+def test_bucket_join_composes_with_mor(ray_session, tmp_path):
+    """Upsert on the left, equality delete on the right: the bucket join
+    sees the reconciled state of both sides without any compaction."""
+    lt = pa.table({"k": np.arange(500), "lx": np.arange(500) * 2})
+    rt = pa.table({"k": np.arange(0, 500, 5), "ry": np.arange(100)})
+    dl, dr = str(tmp_path / "l"), str(tmp_path / "r")
+    T.table_write(rd.from_arrow(lt).repartition(3), dl, bucket_by=("k", 4))
+    T.table_write(rd.from_arrow(rt), dr, bucket_by=("k", 4))
+    up = pa.table({"k": pa.array([10, 9999], pa.int64()),
+                   "lx": pa.array([-1, -2], pa.int64())})
+    T.table_upsert(rd.from_arrow(up), dl, key="k", deletes="equality")
+    T.table_delete(dr, ("ry", ">=", 50), mode="equality")
+    got = (
+        T.table_bucket_join(dl, dr, "k")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    lpd = lt.to_pandas()
+    lpd = lpd[lpd.k != 10]
+    lpd = (
+        __import__("pandas")
+        .concat([lpd, up.to_pandas()])
+        .reset_index(drop=True)
+    )
+    rpd = rt.to_pandas()
+    rpd = rpd[rpd.ry < 50]
+    exp = lpd.merge(rpd, on="k").sort_values("k").reset_index(drop=True)
+    assert got[["k", "lx", "ry"]].equals(
+        exp[["k", "lx", "ry"]].astype(got[["k", "lx", "ry"]].dtypes.to_dict())
+    )
+
+
+def test_bucket_ids_string_keys_and_nulls(ray_session):
+    a = pa.array(["alpha", "beta", None, "alpha", ""])
+    b = T._bucket_ids(a, 16)
+    assert b[0] == b[3]          # deterministic per value
+    assert b[2] == 0             # nulls -> bucket 0
+    # int width independence: int32 and int64 of the same value co-bucket
+    i32 = T._bucket_ids(pa.array([7, 42], pa.int32()), 16)
+    i64 = T._bucket_ids(pa.array([7, 42], pa.int64()), 16)
+    assert list(i32) == list(i64)
