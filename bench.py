@@ -286,6 +286,64 @@ def run_bench() -> dict:
     except ImportError:
         pass
 
+    # -- table layer: bucketed fact-to-fact join with NO shuffle, plus a
+    # streaming-shape equality-delete MERGE (commit reads no data file) --
+    try:
+        import uuid as _uuid
+
+        from parquet_go_ray.pipelines.table import (
+            table_bucket_join, table_upsert, table_write,
+        )
+
+        tag = _uuid.uuid4().hex[:8]
+        d_li = f"/tmp/pgr_bench_bj_li_{tag}"
+        d_or = f"/tmp/pgr_bench_bj_or_{tag}"
+        li = ray.data.read_parquet(
+            f"{SF_DIR}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_quantity"],
+        ).repartition(32)
+        orders = ray.data.read_parquet(
+            f"{SF_DIR}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ).repartition(8)
+        t0 = time.time()
+        table_write(li, d_li, bucket_by=("l_orderkey", 32), codec="snappy",
+                    encodings={"l_orderkey": "delta_bp",
+                               "l_extendedprice": "byte_stream_split"})
+        table_write(orders, d_or, bucket_by=("o_orderkey", 32), codec="snappy",
+                    encodings={"o_orderkey": "delta_bp",
+                               "o_totalprice": "byte_stream_split"})
+        queries["table_bucket_write"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        n_join = table_bucket_join(
+            d_li, d_or, "l_orderkey", "o_orderkey",
+            left_columns=["l_orderkey", "l_extendedprice"],
+            right_columns=["o_custkey", "o_totalprice"],
+        ).count()
+        queries["table_bucket_join"] = round(time.time() - t0, 3)
+        extras["table_bucket_join_rows"] = int(n_join)
+        # equality-delete MERGE: upsert 10% of orders without reading a file
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        def _bump(b):
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            m = b.filter(_pa.array(k % 10 == 0))
+            return m.set_column(
+                m.schema.get_field_index("o_totalprice"), "o_totalprice",
+                _pc.add(m["o_totalprice"], _pa.scalar(1.0, _pa.float64())),
+            )
+
+        up = orders.map_batches(_bump, batch_format="pyarrow")
+        t0 = time.time()
+        table_upsert(up, d_or, key="o_orderkey", deletes="equality",
+                     codec="snappy")
+        queries["table_merge_eq"] = round(time.time() - t0, 3)
+        shutil.rmtree(d_li, ignore_errors=True)
+        shutil.rmtree(d_or, ignore_errors=True)
+    except ImportError:
+        pass
+
     ray.shutdown()
     return {
         "metric": "headline_encode_sec",

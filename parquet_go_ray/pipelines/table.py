@@ -1149,6 +1149,38 @@ def table_compact(
     return _commit(table_dir, "compact", build)
 
 
+def explain_table_scan(
+    table_dir: str, version: int | None = None, predicate=None
+) -> dict:
+    """Observability for a snapshot scan's planning decisions WITHOUT
+    reading data: how many live files the manifests hold, how many the
+    per-file stats admit for this predicate, and how the admitted set
+    splits into clean files (full pruning ladder) vs merge-on-read files
+    (with their delete kinds).  All numbers come from snapshot JSON +
+    manifest parquet only."""
+    snap = load_snapshot(table_dir, version)
+    branches = _normalize_predicate(predicate)
+    live_all = _admitted_paths(table_dir, snap, [])
+    admitted = (
+        _admitted_paths(table_dir, snap, branches) if branches else list(live_all)
+    )
+    clean, dirty = _split_clean_dirty(table_dir, snap, admitted)
+    kinds = {"pos": 0, "eq": 0, "eqfile": 0}
+    for d in snap["deletes"]:
+        kinds[d.get("kind", "pos")] += 1
+    return {
+        "version": snap["version"],
+        "files_live": len(live_all),
+        "files_admitted": len(admitted),
+        "files_clean": len(clean),
+        "files_merge_on_read": len(dirty),
+        "delete_files_position": kinds["pos"],
+        "delete_entries_equality": kinds["eq"] + kinds["eqfile"],
+        "rows_committed": snap["summary"]["rows"],
+        "bucket": snap.get("bucket"),
+    }
+
+
 def table_rollback(table_dir: str, version: int) -> int:
     """Make an earlier state current AGAIN via a new commit (append-only
     history — nothing is rewritten, so the rolled-back-from state stays

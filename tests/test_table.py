@@ -411,3 +411,21 @@ def test_bucket_ids_string_keys_and_nulls(ray_session):
     i32 = T._bucket_ids(pa.array([7, 42], pa.int32()), 16)
     i64 = T._bucket_ids(pa.array([7, 42], pa.int64()), 16)
     assert list(i32) == list(i64)
+
+
+def test_explain_table_scan(ray_session, tmp_path):
+    d = str(tmp_path / "t")
+    T.table_write(rd.from_arrow(_mk(0, 1000)).repartition(2), d)
+    T.table_write(rd.from_arrow(_mk(5000, 6000)).repartition(2), d)
+    T.table_delete(d, ("k", "<", 100), mode="equality")
+    ex = T.explain_table_scan(d, predicate=("k", ">=", 5000))
+    assert ex["files_live"] == 4
+    assert ex["files_admitted"] == 2          # manifest stats drop low-k files
+    assert ex["files_clean"] == 2             # eq delete can't touch k>=5000
+    assert ex["files_merge_on_read"] == 0
+    assert ex["delete_entries_equality"] == 1
+    ex2 = T.explain_table_scan(d, predicate=("k", "<", 200))
+    # only the file whose key range overlaps [0,200) is admitted, and the
+    # equality delete makes exactly that file take the merge-on-read path
+    assert ex2["files_admitted"] == ex2["files_merge_on_read"] >= 1
+    assert ex2["files_clean"] == 0
