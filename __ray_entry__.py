@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         table_mor_delete,
         table_time_travel,
         table_upsert_scan,
+        table_wap_publish,
     )
 
     q["table_time_travel"] = table_time_travel
@@ -299,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["table_eq_delete_scan"] = table_eq_delete_scan
     q["table_merge_eq_scan"] = table_merge_eq_scan
     q["bucket_join_orders_customer"] = bucket_join_orders_customer
+    q["table_wap_publish"] = table_wap_publish
 
     # incremental materialized-view refresh over the snapshot log's CDC
     # scan (pipelines/mview.py): fold ONLY appended rows into a grouped
@@ -609,6 +611,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_returnflag", "range_join_sessions",
     ]
     tail = [
+        # oracled but window-displaced: write-audit-publish (branch staging
+        # + fast-forward); its mechanics (commits, scans, history) are all
+        # exercised by the in-window table_* rows and pytest WAP cases
+        "table_wap_publish",
         # eq-delete/bucket-join/incremental-agg round demotions — each
         # family keeps an oracled row inside the 50-window
         "lookup_customer_nation",  # broadcast lookup; join family keeps join_orders_customer + bucket_join_orders_customer
@@ -810,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_orders, MIN(o_totalprice) AS min_price, "
             "MAX(o_totalprice) AS max_price FROM orders GROUP BY 1"
         ),
+        "table_wap_publish": "SELECT * FROM documents",
         "native_null_scan": (
             "SELECT doc_id, lang_n FROM (SELECT doc_id, "
             "CASE WHEN (doc_id // 100) % 4 = 0 THEN NULL ELSE lang END AS lang_n "

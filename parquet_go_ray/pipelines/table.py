@@ -102,34 +102,57 @@ def table_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def load_snapshot(table_dir: str, version: int | None = None) -> dict:
-    """The snapshot dict at `version` (default: latest)."""
-    if version is None:
-        vs = table_versions(table_dir)
-        if not vs:
-            raise FileNotFoundError(f"no snapshots under {table_dir}")
-        version = vs[-1]
-    with open(_snap_path(table_dir, version)) as f:
-        return json.load(f)
+def load_snapshot(
+    table_dir: str, version: int | None = None, branch: str = "main"
+) -> dict:
+    """The snapshot dict at `version`, or the HEAD of `branch` (default:
+    main — commits staged on other branches are invisible to it).
+    Snapshots written before branching existed carry no branch field and
+    read as main."""
+    if version is not None:
+        with open(_snap_path(table_dir, version)) as f:
+            return json.load(f)
+    vs = table_versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots under {table_dir}")
+    for v in reversed(vs):
+        with open(_snap_path(table_dir, v)) as f:
+            snap = json.load(f)
+        if snap.get("branch", "main") == branch:
+            return snap
+    raise FileNotFoundError(f"no snapshots on branch {branch!r} under {table_dir}")
 
 
-def _commit(table_dir: str, op: str, build) -> int:
+def _commit(table_dir: str, op: str, build, branch: str = "main") -> int:
     """Atomic optimistic commit: ``build(parent_snapshot_or_None)`` returns
     {"manifests": [...], "deletes": [...], "summary": {...}} for the new
     snapshot.  The tmp+os.link publish is all-or-nothing; losing a race
     re-reads the parent and rebuilds, so appends merge instead of
     clobbering each other.  The table's bucket spec (a layout property,
     fixed at creation) carries over from the parent unless the body sets
-    it explicitly."""
+    it explicitly.  `branch` commits build on that branch's head (a NEW
+    branch forks from main's head) while version numbers stay one global
+    sequence — main readers skip branch snapshots."""
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
     while True:
         vs = table_versions(table_dir)
-        parent = load_snapshot(table_dir, vs[-1]) if vs else None
+        parent = None
+        if vs:
+            try:
+                parent = load_snapshot(table_dir, branch=branch)
+            except FileNotFoundError:
+                parent = load_snapshot(table_dir)  # fork from main head
         body = build(parent)
         if "bucket" not in body and parent and parent.get("bucket"):
             body = {**body, "bucket": parent["bucket"]}
         v = (vs[-1] + 1) if vs else 1
-        snap = {"version": v, "parent": vs[-1] if vs else None, "op": op, **body}
+        snap = {
+            "version": v,
+            "parent": parent["version"] if parent else None,
+            "op": op,
+            "branch": branch,
+            **body,
+        }
         tmp = _snap_path(table_dir, v) + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(snap, f)
@@ -317,6 +340,7 @@ def table_write(
     mode: str = "append",
     txn_id: str | None = None,
     bucket_by: tuple[str, int] | None = None,
+    branch: str = "main",
     **write_kwargs,
 ) -> int:
     """Commit a Dataset into the table: data parts stream through
@@ -334,14 +358,24 @@ def table_write(
     column stays in the files).  Appends inherit and enforce the spec —
     two tables bucketed the same way join bucket-to-bucket with NO
     shuffle (``table_bucket_join``), the co-partitioned layout a 100 TB
-    fact-to-fact join needs.  Returns the new version."""
+    fact-to-fact join needs.
+
+    `branch`: write-audit-publish staging — a commit on a non-main branch
+    is INVISIBLE to main readers until ``table_fast_forward`` publishes
+    the branch head (a new branch forks from main's current state).
+    Returns the new version."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
     spec = (
         {"col": bucket_by[0], "n": int(bucket_by[1])} if bucket_by is not None else None
     )
     vs = table_versions(table_dir)
-    parent_spec = load_snapshot(table_dir).get("bucket") if vs else None
+    parent_spec = None
+    if vs:
+        try:
+            parent_spec = load_snapshot(table_dir, branch=branch).get("bucket")
+        except FileNotFoundError:
+            parent_spec = load_snapshot(table_dir).get("bucket")
     if mode == "append" and vs:
         if parent_spec:
             if spec is not None and spec != parent_spec:
@@ -378,7 +412,7 @@ def table_write(
             },
         }
 
-    return _commit(table_dir, mode, build)
+    return _commit(table_dir, mode, build, branch=branch)
 
 
 def _stat_bound(stats_json: str, col: str, which: str):
@@ -864,16 +898,18 @@ def table_scan(
     version: int | None = None,
     columns: list[str] | None = None,
     predicate=None,
+    branch: str = "main",
     **read_kwargs,
 ) -> rd.Dataset:
-    """Snapshot-consistent distributed scan (optionally time-traveled).
+    """Snapshot-consistent distributed scan (optionally time-traveled via
+    `version`, or of a staging `branch` head).
     The manifests ARE the scan index: per-file stats prune whole files
     before any data task spawns (inline or distributed — _admitted_paths).
     Files untouched by deletes go through ``read_par1_dataset``'s full
     pruning ladder (row-group stats, ColumnIndex pages, blooms);
     position-deleted files take the merge-on-read path, one Ray task per
     file.  The two streams union."""
-    snap = load_snapshot(table_dir, version)
+    snap = load_snapshot(table_dir, version, branch=branch)
     branches = _normalize_predicate(predicate)
     if not snap["manifests"]:
         raise ValueError(f"snapshot v{snap['version']} has no data files")
@@ -1192,9 +1228,31 @@ def table_rollback(table_dir: str, version: int) -> int:
             "manifests": list(old["manifests"]),
             "deletes": list(old["deletes"]),
             "summary": dict(old["summary"]),
+            "bucket": old.get("bucket"),
         }
 
     return _commit(table_dir, "rollback", build)
+
+
+def table_fast_forward(table_dir: str, branch: str) -> int:
+    """Write-audit-publish: PUBLISH a staging branch's head to main in one
+    atomic commit.  The audit workflow — stage appends on
+    ``table_write(..., branch="audit")``, validate them with
+    ``table_scan(..., branch="audit")`` while main readers see nothing,
+    then fast-forward — is how a 100 TB ingest pipeline gates bad data out
+    of the serving table (Iceberg WAP analog).  The branch history stays
+    inspectable; vacuum retains files any snapshot still references."""
+    head = load_snapshot(table_dir, branch=branch)
+
+    def build(parent):
+        return {
+            "manifests": list(head["manifests"]),
+            "deletes": list(head["deletes"]),
+            "summary": dict(head["summary"]),
+            "bucket": head.get("bucket"),
+        }
+
+    return _commit(table_dir, "publish", build)
 
 
 def table_history(table_dir: str) -> pa.Table:
@@ -1207,6 +1265,7 @@ def table_history(table_dir: str) -> pa.Table:
             "version": pa.array([s["version"] for s in rows], pa.int64()),
             "parent": pa.array([s["parent"] for s in rows], pa.int64()),
             "op": pa.array([s["op"] for s in rows], pa.string()),
+            "branch": pa.array([s.get("branch", "main") for s in rows], pa.string()),
             "data_files": pa.array(
                 [s["summary"]["files"] for s in rows], pa.int64()
             ),
@@ -1520,6 +1579,40 @@ def bucket_join_orders_customer(sf_dir: str) -> rd.Dataset:
         left_columns=["o_orderkey", "o_custkey", "o_totalprice"],
         right_columns=["c_mktsegment"],
     )
+
+
+def table_wap_publish(sf_dir: str) -> rd.Dataset:
+    """Write-audit-publish under the oracle: a third of documents commits
+    to main, the other two thirds STAGE on an audit branch in two commits
+    (main's scan count must not move), then one fast-forward publishes —
+    and the final scan must equal SQL `SELECT * FROM documents`."""
+    from ..sources.io import read_parquet_any
+
+    d = f"/tmp/pgr_table_wap_{uuid.uuid4().hex[:8]}"
+    docs = read_parquet_any(f"{sf_dir}/documents.parquet")
+
+    def keep(rem: int):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(k % 3 == rem))
+
+        return f
+
+    enc = {"doc_id": "delta_bp", "lang": "dict", "source": "dict"}
+    table_write(docs.map_batches(keep(0), batch_format="pyarrow").repartition(2),
+                d, encodings=enc)
+    base = table_scan(d).count()
+    for rem in (1, 2):
+        table_write(
+            docs.map_batches(keep(rem), batch_format="pyarrow").repartition(2),
+            d, branch="audit", encodings=enc,
+        )
+    assert table_scan(d).count() == base, "staged commits leaked to main"
+    table_fast_forward(d, "audit")
+    hist = table_history(d)
+    assert hist["op"].to_pylist()[-1] == "publish"
+    assert hist["branch"].to_pylist() == ["main", "audit", "audit", "main"]
+    return table_scan(d)
 
 
 def table_changes_scan(sf_dir: str) -> rd.Dataset:

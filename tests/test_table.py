@@ -429,3 +429,30 @@ def test_explain_table_scan(ray_session, tmp_path):
     # equality delete makes exactly that file take the merge-on-read path
     assert ex2["files_admitted"] == ex2["files_merge_on_read"] >= 1
     assert ex2["files_clean"] == 0
+
+
+def test_wap_branch_staging_and_publish(ray_session, tdir):
+    T.table_write(rd.from_arrow(_mk(0, 500)), tdir)
+    T.table_write(rd.from_arrow(_mk(500, 800)), tdir, branch="audit")
+    assert len(_scan_pd(tdir)) == 500          # invisible to main
+    assert T.table_scan(tdir, branch="audit").count() == 800  # fork + stage
+    T.table_write(rd.from_arrow(_mk(800, 900)), tdir, branch="audit")
+    assert len(_scan_pd(tdir)) == 500
+    T.table_fast_forward(tdir, "audit")
+    assert list(_scan_pd(tdir)["k"]) == list(range(900))
+    hist = T.table_history(tdir).to_pylist()
+    assert [h["branch"] for h in hist] == ["main", "audit", "audit", "main"]
+    assert hist[-1]["op"] == "publish"
+    # expiring the branch snapshots must NOT reclaim published files
+    T.table_vacuum(tdir, keep_last=1)
+    assert len(_scan_pd(tdir)) == 900
+
+
+def test_main_appends_build_on_main_not_branch(ray_session, tdir):
+    T.table_write(rd.from_arrow(_mk(0, 100)), tdir)
+    T.table_write(rd.from_arrow(_mk(100, 300)), tdir, branch="b")
+    v = T.table_write(rd.from_arrow(_mk(300, 350)), tdir)
+    snap = T.load_snapshot(tdir, v)
+    assert snap["parent"] == 1                  # main head, not the branch
+    assert len(_scan_pd(tdir)) == 150
+    assert T.table_scan(tdir, branch="b").count() == 300
