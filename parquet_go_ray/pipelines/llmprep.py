@@ -1,0 +1,376 @@
+"""LLM training-data preparation operators over the documents table:
+word-level repetition quality filters (Gopher-style, adapted to the corpus's
+single-line texts), PII/secret redaction, and distributed sequence packing
+(global token prefix-sum -> context-window chunk assignment).
+
+Every operator here is deliberately SQL-expressible so the driver can oracle
+it value-for-value against DuckDB; the implementations are the distributed
+Ray Data shapes (vectorized per-batch kernels, one narrow shuffle at most).
+
+Scale notes (the 100 TB story):
+  * repetition/redaction are embarrassingly parallel map_batches over
+    (doc_id, text) with compiled-regex actor state — no exchange at all;
+  * sequence packing needs a GLOBAL exclusive prefix sum over doc_id order.
+    We never sort the corpus: doc ids are range-bucketed (R buckets), a tiny
+    per-range token-total aggregate (R rows, KBs) computes range base
+    offsets on the driver, and one groupby(range) shuffle of the narrow
+    (doc_id, tokens) projection — 16 B/row, the same exchange shape as
+    dedup_exact — finishes the within-range cumsum.  The 100 TB text column
+    is read exactly once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..sources.io import read_parquet_any as _read_parquet_any
+from ..stages.common import arrow_out as _arrow_out
+from ..stages.common import pandas_to_arrow as _pandas_to_arrow
+
+_WORD_RE = r"\S+"
+
+# keep-thresholds for the repetition filter (Gopher-style rules adapted to
+# word level: the synthetic corpus is single-line word soup, so line-based
+# rules would be degenerate).  Chosen to split the sf0.001 corpus ~50/50.
+_KEEP_MIN_WORDS = 20
+_KEEP_MAX_DUP_WORD = 0.55
+_KEEP_MAX_TOP_WORD = 0.20
+_KEEP_MAX_DUP_2GRAM = 0.10
+
+
+class RepetitionScore:
+    """Word-level repetition metrics per document, all vectorized:
+    explode words once, then C-level pandas groupbys for distinct counts,
+    top-word dominance, and adjacent-bigram duplication."""
+
+    def __init__(self):
+        self.word_re = re.compile(_WORD_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        lists = text.str.findall(self.word_re)
+        words = lists.str.len().to_numpy(np.int64)
+        n = len(batch)
+        doc_ids = batch["doc_id"].to_numpy(np.int64)
+
+        # one exploded frame drives all three groupby metrics
+        ex = lists.reset_index(drop=True).explode()
+        ex = ex[ex.notna()]
+        rep_doc = ex.index.to_numpy(np.int64)
+        flat = ex.to_numpy(dtype=object)
+        e = pd.DataFrame({"d": rep_doc, "w": flat})
+
+        distinct = np.zeros(n, dtype=np.int64)
+        top_cnt = np.zeros(n, dtype=np.int64)
+        distinct_bg = np.zeros(n, dtype=np.int64)
+        if len(e):
+            g = e.groupby("d")["w"]
+            nu = g.nunique()
+            distinct[nu.index.to_numpy()] = nu.to_numpy()
+            tc = e.groupby(["d", "w"]).size().groupby(level=0).max()
+            top_cnt[tc.index.to_numpy()] = tc.to_numpy()
+            # adjacent bigrams: shift within the exploded order, mask the
+            # last word of each doc (next row belongs to the next doc)
+            w2 = np.roll(flat, -1)
+            same_doc = np.roll(rep_doc, -1) == rep_doc
+            bg = pd.DataFrame(
+                {
+                    "d": rep_doc[same_doc],
+                    "b": pd.Series(flat[same_doc]).str.cat(
+                        pd.Series(w2[same_doc]), sep="\n"
+                    ),
+                }
+            )
+            if len(bg):
+                nb = bg.groupby("d")["b"].nunique()
+                distinct_bg[nb.index.to_numpy()] = nb.to_numpy()
+
+        w = words.astype(np.float64)
+        dup_word = np.where(words > 0, 1.0 - distinct / np.maximum(w, 1), 0.0)
+        top_word = np.where(words > 0, top_cnt / np.maximum(w, 1), 0.0)
+        dup_2g = np.where(
+            words >= 2, 1.0 - distinct_bg / np.maximum(w - 1, 1), 0.0
+        )
+        dup_word = np.round(dup_word, 9)
+        top_word = np.round(top_word, 9)
+        dup_2g = np.round(dup_2g, 9)
+        keep = (
+            (words >= _KEEP_MIN_WORDS)
+            & (dup_word <= _KEEP_MAX_DUP_WORD)
+            & (top_word <= _KEEP_MAX_TOP_WORD)
+            & (dup_2g <= _KEEP_MAX_DUP_2GRAM)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "words": words,
+                "distinct_words": distinct,
+                "dup_word_frac": dup_word,
+                "top_word_frac": top_word,
+                "dup_2gram_frac": dup_2g,
+                "keep": keep,
+            }
+        )
+
+
+def quality_repetition(sf_dir: str) -> rd.Dataset:
+    ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(RepetitionScore, batch_format="pandas", concurrency=(1, 4))
+
+
+def quality_repetition_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin.  NB DuckDB list slices are 1-based with INCLUSIVE ends
+    (l[:-1] keeps the last element!), hence l[:len(l)-1]."""
+    return (
+        "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l "
+        f"FROM {table}), "
+        "e AS (SELECT doc_id, unnest(l) AS word FROM w), "
+        "tc AS (SELECT doc_id, max(cnt) AS top_cnt FROM "
+        "(SELECT doc_id, word, count(*) AS cnt FROM e GROUP BY 1,2) GROUP BY 1), "
+        "s AS (SELECT w.doc_id, len(l) AS words, "
+        "len(list_distinct(l)) AS distinct_words, "
+        "CASE WHEN len(l) >= 2 THEN len(list_distinct(list_transform("
+        "list_zip(l[:len(l)-1], l[2:]), p -> concat(p[1], chr(10), p[2])))) "
+        "ELSE 0 END AS distinct_bigrams, "
+        "COALESCE(tc.top_cnt, 0) AS top_cnt "
+        "FROM w LEFT JOIN tc ON w.doc_id = tc.doc_id) "
+        "SELECT doc_id, words, distinct_words, "
+        "ROUND(CASE WHEN words > 0 THEN 1.0 - CAST(distinct_words AS DOUBLE)/words ELSE 0.0 END, 9) AS dup_word_frac, "
+        "ROUND(CASE WHEN words > 0 THEN CAST(top_cnt AS DOUBLE)/words ELSE 0.0 END, 9) AS top_word_frac, "
+        "ROUND(CASE WHEN words >= 2 THEN 1.0 - CAST(distinct_bigrams AS DOUBLE)/(words-1) ELSE 0.0 END, 9) AS dup_2gram_frac, "
+        f"(words >= {_KEEP_MIN_WORDS} "
+        f"AND CASE WHEN words > 0 THEN 1.0 - CAST(distinct_words AS DOUBLE)/words ELSE 0.0 END <= {_KEEP_MAX_DUP_WORD} "
+        f"AND CASE WHEN words > 0 THEN CAST(top_cnt AS DOUBLE)/words ELSE 0.0 END <= {_KEEP_MAX_TOP_WORD} "
+        f"AND CASE WHEN words >= 2 THEN 1.0 - CAST(distinct_bigrams AS DOUBLE)/(words-1) ELSE 0.0 END <= {_KEEP_MAX_DUP_2GRAM}"
+        ") AS keep FROM s"
+    )
+
+
+# --- PII / secret redaction -------------------------------------------------
+
+# Patterns chosen to mean the same thing in Python re and DuckDB's RE2
+# (no lookaround, no backreferences; \b is the ASCII word boundary in both).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_HEX = r"\b[0-9a-f]{32,}\b"
+
+
+def _pii_salt(doc_ids: np.ndarray) -> pd.Series:
+    """Deterministic synthetic PII appended per doc so the redaction oracle
+    is meaningful on a corpus that contains none (mirrored exactly in SQL).
+    doc_id % 4: 0 -> email, 1 -> ipv4, 2 -> md5-hex secret, 3 -> nothing."""
+    m = doc_ids % 4
+    ids = doc_ids.astype(str).astype(object)
+    email = " contact user" + ids + "@mail.example.com now"
+    ip = (
+        " host 10.0."
+        + (doc_ids % 256).astype(str).astype(object)
+        + "."
+        + ((doc_ids * 7) % 256).astype(str).astype(object)
+        + " up"
+    )
+    # md5 has no vectorized kernel; it only runs on the 1/4 salted-with-secret
+    # rows and exists purely to give the redaction oracle real material
+    secret = np.array(
+        [
+            " key " + hashlib.md5(str(d).encode()).hexdigest() + " leaked"
+            for d in doc_ids[m == 2]
+        ],
+        dtype=object,
+    )
+    out = np.select([m == 0, m == 1], [email, ip], default="").astype(object)
+    out[m == 2] = secret
+    return pd.Series(out)
+
+
+class RedactPII:
+    """Sequential vectorized redaction: count-then-replace each pattern on
+    the current text (email -> ip -> hex secret), same order as the SQL CTE
+    chain so intermediate counts agree."""
+
+    def __init__(self):
+        self.email = re.compile(_PII_EMAIL)
+        self.ipv4 = re.compile(_PII_IPV4)
+        self.hexsec = re.compile(_PII_HEX)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy(np.int64)
+        text = batch["text"].reset_index(drop=True) + _pii_salt(doc_ids)
+        n_email = text.str.count(self.email).astype(np.int64)
+        t1 = text.str.replace(self.email, "<EMAIL>", regex=True)
+        n_ip = t1.str.count(self.ipv4).astype(np.int64)
+        t2 = t1.str.replace(self.ipv4, "<IP>", regex=True)
+        n_hex = t2.str.count(self.hexsec).astype(np.int64)
+        t3 = t2.str.replace(self.hexsec, "<SECRET>", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "clean_text": t3,
+                "n_email": n_email,
+                "n_ip": n_ip,
+                "n_secret": n_hex,
+                "n_pii": n_email + n_ip + n_hex,
+            }
+        )
+
+
+def redact_pii(sf_dir: str) -> rd.Dataset:
+    ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(RedactPII, batch_format="pandas", concurrency=(1, 4))
+
+
+def redact_pii_oracle_sql(table: str = "documents") -> str:
+    salt = (
+        "CASE doc_id % 4 "
+        "WHEN 0 THEN concat(' contact user', doc_id, '@mail.example.com now') "
+        "WHEN 1 THEN concat(' host 10.0.', doc_id % 256, '.', (doc_id * 7) % 256, ' up') "
+        "WHEN 2 THEN concat(' key ', md5(CAST(doc_id AS VARCHAR)), ' leaked') "
+        "ELSE '' END"
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, text || {salt} AS t FROM {table}), "
+        f"a AS (SELECT doc_id, len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email, "
+        f"regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t FROM s), "
+        f"b AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '{_PII_IPV4}')) AS n_ip, "
+        f"regexp_replace(t, '{_PII_IPV4}', '<IP>', 'g') AS t FROM a), "
+        f"c AS (SELECT doc_id, n_email, n_ip, len(regexp_extract_all(t, '{_PII_HEX}')) AS n_secret, "
+        f"regexp_replace(t, '{_PII_HEX}', '<SECRET>', 'g') AS t FROM b) "
+        "SELECT doc_id, t AS clean_text, n_email, n_ip, n_secret, "
+        "n_email + n_ip + n_secret AS n_pii FROM c"
+    )
+
+
+# --- distributed sequence packing --------------------------------------------
+
+PACK_BUDGET = 512  # context-window token budget per training chunk
+PACK_RANGES = 256  # doc_id range buckets for the two-level prefix sum
+
+
+class _TokCount:
+    def __init__(self):
+        self.word_re = re.compile(_WORD_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        toks = batch["text"].str.count(self.word_re).astype(np.int64)
+        # metadata-free arrow out: this feeds the groupby shuffle (see
+        # stages.common.pandas_to_arrow on schema-hash fallback)
+        return _pandas_to_arrow(
+            pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(np.int64), "tokens": toks}
+            )
+        )
+
+
+def _max_doc_id(path: str) -> int | None:
+    """Footer-stats max of doc_id (no data pass); None if stats are absent."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(path)
+        idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+        best = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or st.max is None:
+                return None
+            best = st.max if best is None else max(best, st.max)
+        return best
+    except Exception:
+        return None
+
+
+def seq_pack(
+    sf_dir: str, budget: int = PACK_BUDGET, ranges: int = PACK_RANGES
+) -> rd.Dataset:
+    """GPT-style sequence packing: concatenate all documents in doc_id order
+    into one token stream and assign each document its [chunk_first,
+    chunk_last] context-window span (budget tokens per chunk).
+
+    Global exclusive prefix sum without a global sort:
+      1. one pass over the text column -> narrow (doc_id, tokens),
+         materialized once (16 B/row; the 100 TB text is never re-read);
+      2. per-batch np.bincount partials by doc_id range -> a `ranges`-row
+         aggregate -> driver computes range base offsets (KBs, broadcast in
+         the closure);
+      3. groupby(range).map_groups: sort the range's ids, cumsum, add the
+         base offset.  The only exchange moves 16 B/row.
+    """
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_parquet_any(path, columns=["doc_id", "text"])
+    tok = ds.map_batches(
+        _TokCount, batch_format="pandas", concurrency=(1, 4)
+    ).materialize()
+
+    maxid = _max_doc_id(path)
+    if maxid is None:
+        maxid = int(tok.max("doc_id"))
+    width = max(1, (int(maxid) + ranges) // ranges)
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        t = batch.column("tokens").to_numpy()
+        rid = d // width
+        sums = np.bincount(rid, weights=t, minlength=ranges)
+        nz = np.nonzero(sums)[0]
+        return pa.table(
+            {"range_id": nz.astype(np.int64), "toks": sums[nz].astype(np.int64)}
+        )
+
+    totals = (
+        tok.map_batches(_partials, batch_format="pyarrow")
+        .groupby("range_id")
+        .sum("toks")
+        .to_pandas()
+    )
+    base = np.zeros(ranges, dtype=np.int64)
+    base[totals["range_id"].to_numpy()] = totals["sum(toks)"].to_numpy()
+    base = np.concatenate([[0], np.cumsum(base)[:-1]])
+
+    def _add_range(batch: pa.Table) -> pa.Table:
+        rid = batch.column("doc_id").to_numpy() // width
+        return batch.append_column("range_id", pa.array(rid, type=pa.int64()))
+
+    def _pack_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        t = g["tokens"].to_numpy(np.int64)
+        start = base[int(g["range_id"].iloc[0])] + np.concatenate(
+            [[0], np.cumsum(t)[:-1]]
+        )
+        first = start // budget
+        last = (start + np.maximum(t, 1) - 1) // budget
+        n_chunks = np.where(t == 0, 0, last - first + 1)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "tokens": t,
+                "token_start": start,
+                "chunk_first": first,
+                "chunk_last": last,
+                "n_chunks": n_chunks.astype(np.int64),
+            }
+        )
+
+    return (
+        tok.map_batches(_add_range, batch_format="pyarrow")
+        .groupby("range_id")
+        .map_groups(_arrow_out(_pack_range), batch_format="pandas")
+    )
+
+
+def seq_pack_oracle_sql(table: str = "documents", budget: int = PACK_BUDGET) -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS tokens FROM {table}), "
+        "p AS (SELECT doc_id, tokens, CAST(COALESCE(SUM(tokens) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start FROM t) "
+        f"SELECT doc_id, tokens, token_start, token_start // {budget} AS chunk_first, "
+        f"(token_start + GREATEST(tokens, 1) - 1) // {budget} AS chunk_last, "
+        f"CASE WHEN tokens = 0 THEN 0 ELSE (token_start + tokens - 1) // {budget} "
+        f"- token_start // {budget} + 1 END AS n_chunks FROM p"
+    )

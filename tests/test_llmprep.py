@@ -1,0 +1,158 @@
+"""LLM-prep operators: repetition quality filters, PII redaction, sequence
+packing — each checked value-for-value against its own DuckDB oracle SQL at
+sf0.001, plus edge-case tables exercising the distributed prefix-sum paths."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_ray.pipelines import llmprep as L
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str, sf_dir: str = SF) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def _assert_frames_equal(a: pd.DataFrame, b: pd.DataFrame):
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    a = a[sorted(a.columns)]
+    b = b[sorted(b.columns)]
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        if a[c].dtype.kind == "f":
+            np.testing.assert_allclose(a[c], b[c], atol=1e-12, err_msg=c)
+        else:
+            assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_quality_repetition_matches_oracle(ray_session):
+    got = L.quality_repetition(SF).to_pandas()
+    want = _oracle(L.quality_repetition_oracle_sql())
+    _assert_frames_equal(got, want)
+    # the keep flag must actually split the corpus, not be constant
+    assert 0 < got["keep"].sum() < len(got)
+
+
+def test_repetition_edge_cases(ray_session):
+    scorer = L.RepetitionScore()
+    batch = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "",  # empty
+                "word",  # single word
+                "a a a a a",  # total repetition
+                "a b a b a b",  # bigram repetition
+                "  spaced   out  ",  # whitespace runs
+            ],
+        }
+    )
+    out = scorer(batch).set_index("doc_id")
+    assert out.loc[0, "words"] == 0 and out.loc[0, "dup_word_frac"] == 0.0
+    assert out.loc[1, "words"] == 1 and out.loc[1, "dup_2gram_frac"] == 0.0
+    assert out.loc[2, "dup_word_frac"] == pytest.approx(1 - 1 / 5)
+    assert out.loc[2, "top_word_frac"] == 1.0
+    # "a b a b a b": 5 bigrams, 2 distinct -> 1 - 2/5
+    assert out.loc[3, "dup_2gram_frac"] == pytest.approx(1 - 2 / 5)
+    assert out.loc[4, "words"] == 2
+    assert not out.loc[2, "keep"]
+
+
+def test_redact_pii_matches_oracle(ray_session):
+    got = L.redact_pii(SF).to_pandas()
+    want = _oracle(L.redact_pii_oracle_sql())
+    _assert_frames_equal(got, want)
+    # salted docs really were redacted
+    assert got["n_pii"].sum() > 0
+    assert got["clean_text"].str.contains("<EMAIL>|<IP>|<SECRET>").any()
+    assert not got["clean_text"].str.contains("@mail.example.com").any()
+
+
+def test_redact_pii_kernel_counts():
+    red = L.RedactPII()
+    # doc_id 4 -> %4==0 email salt; 5 -> ip; 6 -> secret; 7 -> none
+    batch = pd.DataFrame(
+        {
+            "doc_id": [4, 5, 6, 7],
+            "text": [
+                "mail me at a.b-c@x.io ok",
+                "plain",
+                "deadbeef" * 4 + " inline secret",
+                "clean doc",
+            ],
+        }
+    )
+    out = red(batch).set_index("doc_id")
+    assert out.loc[4, "n_email"] == 2  # in-text + salt
+    assert out.loc[5, "n_ip"] == 1
+    assert out.loc[6, "n_secret"] == 2  # 32-hex in text + md5 salt
+    assert out.loc[7, "n_pii"] == 0
+    assert "<EMAIL>" in out.loc[4, "clean_text"]
+    assert "a.b-c@x.io" not in out.loc[4, "clean_text"]
+
+
+def test_seq_pack_matches_oracle(ray_session):
+    got = L.seq_pack(SF).to_pandas()
+    want = _oracle(L.seq_pack_oracle_sql())
+    _assert_frames_equal(got, want)
+    # global invariants: starts are the exclusive cumsum in doc_id order
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    assert g.loc[0, "token_start"] == 0
+    np.testing.assert_array_equal(
+        g["token_start"].to_numpy()[1:],
+        (g["token_start"] + g["tokens"]).to_numpy()[:-1],
+    )
+
+
+def test_seq_pack_edges_and_multirange(ray_session, tmp_path):
+    # sparse non-contiguous ids, zero-token docs, one doc spanning many
+    # chunks; ranges=4 forces the multi-range base-offset path
+    rng = np.random.default_rng(7)
+    ids = np.sort(rng.choice(10_000, size=300, replace=False))
+    texts = []
+    for i, d in enumerate(ids):
+        if i % 17 == 0:
+            texts.append("")  # tokens == 0
+        elif i == 150:
+            texts.append("w " * 5000)  # spans ~20 chunks at budget 512
+        else:
+            texts.append("tok " * int(rng.integers(1, 90)))
+    path = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table({"doc_id": ids.astype(np.int64), "text": texts}), path
+    )
+    got = (
+        L.seq_pack(str(tmp_path), budget=512, ranges=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = con.execute(L.seq_pack_oracle_sql(budget=512)).fetchdf()
+    _assert_frames_equal(got, want)
+    zero = got[got["tokens"] == 0]
+    assert (zero["n_chunks"] == 0).all()
+    big = got.loc[got["tokens"].idxmax()]
+    assert big["n_chunks"] >= 9
+    assert big["chunk_last"] - big["chunk_first"] + 1 == big["n_chunks"]
+
+
+def test_max_doc_id_footer_stats():
+    assert L._max_doc_id(os.path.join(SF, "documents.parquet")) == 499
