@@ -217,6 +217,14 @@ def run_bench() -> dict:
     except ImportError:
         pass
     try:
+        from parquet_go_ray.pipelines.llmprep import seq_pack
+
+        t0 = time.time()
+        seq_pack(SF_DIR).count()
+        queries["seq_pack"] = round(time.time() - t0, 3)
+    except ImportError:
+        pass
+    try:
         from parquet_go_ray.functions.windows import tumbling_window_agg
 
         t0 = time.time()

@@ -34,6 +34,9 @@ META_COLS = ["chunk_id", "part", "column", "codec", "outer", "rows", "nulls",
 
 def encode_table(table: pa.Table, cfg: EngineConfig = DEFAULT, part: int = 0) -> pa.Table:
     """Encode every column of `table` as one chunk; returns the chunk table."""
+    from .common import retain_malloc_arena
+
+    retain_malloc_arena()  # idempotent; see common.py (buffer-reuse scaling)
     drop = [c for c in ("__part",) if c in table.column_names]
     if drop:
         part = int(table["__part"][0].as_py())
@@ -159,6 +162,9 @@ class ChunkDecoder:
     grouping/shuffle at all."""
 
     def __init__(self, recompute_sha: bool = True):
+        from .common import retain_malloc_arena
+
+        retain_malloc_arena()
         self.recompute_sha = recompute_sha
 
     def __call__(self, batch: pa.Table) -> pa.Table:
