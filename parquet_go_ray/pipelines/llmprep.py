@@ -374,3 +374,87 @@ def seq_pack_oracle_sql(table: str = "documents", budget: int = PACK_BUDGET) -> 
         f"CASE WHEN tokens = 0 THEN 0 ELSE (token_start + tokens - 1) // {budget} "
         f"- token_start // {budget} + 1 END AS n_chunks FROM p"
     )
+
+
+# --- unigram LM quality scoring (CCNet-style, simplified to unigrams) --------
+
+
+def unigram_model(sf_dir: str) -> tuple[pd.Series, float]:
+    """Corpus unigram model: (word -> ln(count/total)) trained with the
+    distributed word-frequency combiner (the exchange moves vocabularies,
+    never token occurrences — bpe.word_freqs).  The model table is bounded
+    by the distinct vocabulary, so it broadcasts (ray.put once, read per
+    actor), never re-ships per batch."""
+    from .bpe import word_freqs
+
+    freqs = word_freqs(sf_dir).to_pandas()
+    total = float(freqs["n"].sum())
+    logp = pd.Series(
+        np.log(freqs["n"].to_numpy(np.float64) / total),
+        index=freqs["word"],
+    )
+    return logp, total
+
+
+class UnigramScore:
+    """Actor: holds the broadcast unigram log-prob table; per batch one
+    explode + C-level map + bincount.  Words outside the model vocabulary
+    are excluded from both the token count and the sum (mirrors the
+    oracle's inner join); documents with no in-vocab words are dropped."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        logp = (
+            ray.get(model_ref)
+            if isinstance(model_ref, ray.ObjectRef)
+            else model_ref
+        )
+        self.logp = logp  # pd.Series indexed by word
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        lists = batch["text"].str.findall(r"\S+")
+        ex = lists.reset_index(drop=True).explode()
+        ex = ex[ex.notna()]
+        doc_idx = ex.index.to_numpy(np.int64)
+        vals = ex.map(self.logp).to_numpy(np.float64)
+        ok = ~np.isnan(vals)
+        n = len(batch)
+        words = np.bincount(doc_idx[ok], minlength=n).astype(np.int64)
+        lp = np.bincount(doc_idx[ok], weights=vals[ok], minlength=n)
+        keep = words > 0
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[keep],
+                "words": words[keep],
+                "logprob": np.round(lp[keep], 6),
+                "avg_logprob": np.round(lp[keep] / words[keep], 6),
+            }
+        )
+
+
+def unigram_logprob(sf_dir: str) -> rd.Dataset:
+    import ray
+
+    logp, _total = unigram_model(sf_dir)
+    ref = ray.put(logp)
+    ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        UnigramScore,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+
+def unigram_logprob_oracle_sql(table: str = "documents") -> str:
+    return (
+        "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word "
+        f"FROM {table}), "
+        "f AS (SELECT word, count(*) AS n FROM w GROUP BY word), "
+        "tot AS (SELECT sum(n) AS t FROM f), "
+        "s AS (SELECT w.doc_id, count(*) AS words, sum(ln(f.n / tot.t)) AS lp "
+        "FROM w JOIN f USING (word), tot GROUP BY w.doc_id) "
+        "SELECT doc_id, words, ROUND(lp, 6) AS logprob, "
+        "ROUND(lp / words, 6) AS avg_logprob FROM s"
+    )

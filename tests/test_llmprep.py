@@ -156,3 +156,49 @@ def test_seq_pack_edges_and_multirange(ray_session, tmp_path):
 
 def test_max_doc_id_footer_stats():
     assert L._max_doc_id(os.path.join(SF, "documents.parquet")) == 499
+
+
+def test_stratified_sample_matches_oracle_and_nests(ray_session):
+    from parquet_go_ray.functions import sampling as S
+
+    got = S.stratified_sample(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(S.stratified_sample_oracle_sql()).fetchdf()
+    _assert_frames_equal(got, want)
+    # rate 0 drops the group entirely; nested-sample property: the rows a
+    # group keeps at rate r are a subset of what it keeps at rate 2r
+    assert not (got["source"] == "src4").any()
+    lo = set(
+        S.stratified_sample(SF, rates={"src1": 0.3}, default_rate=0.0)
+        .to_pandas()["doc_id"]
+    )
+    hi = set(
+        S.stratified_sample(SF, rates={"src1": 0.6}, default_rate=0.0)
+        .to_pandas()["doc_id"]
+    )
+    assert lo and lo < hi
+
+
+def test_unigram_logprob_matches_oracle(ray_session):
+    got = L.unigram_logprob(SF).to_pandas()
+    want = _oracle(L.unigram_logprob_oracle_sql())
+    _assert_frames_equal(got, want)
+    # unigram log-probs are strictly negative and finite
+    assert (got["logprob"] < 0).all() and np.isfinite(got["logprob"]).all()
+
+
+def test_unigram_oov_excluded():
+    # OOV words drop from both the count and the sum (oracle's inner join)
+    logp = pd.Series({"a": np.log(0.5), "b": np.log(0.5)})
+    scorer = L.UnigramScore(logp)
+    out = scorer(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a zz b", "zz zz"]})
+    )
+    # doc 1 has no in-vocab words -> dropped entirely
+    assert list(out["doc_id"]) == [0]
+    assert out["words"].iloc[0] == 2
+    np.testing.assert_allclose(out["logprob"].iloc[0], 2 * np.log(0.5), atol=1e-6)
