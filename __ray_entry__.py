@@ -592,6 +592,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["seq_pack_chunks"] = seq_pack
     q["unigram_logprob"] = unigram_logprob
 
+    from parquet_go_ray.pipelines.llmprep import pack_expand
+
+    q["pack_expand_chunks"] = pack_expand
+
     from parquet_go_ray.functions.sampling import stratified_sample
 
     q["stratified_sample_mix"] = stratified_sample
@@ -612,7 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # r3 (their operator family keeps another oracled row up front).
     front = [
         # new in round 4's second half: LLM-prep operators
-        "quality_repetition", "redact_pii", "seq_pack_chunks",
+        "quality_repetition", "redact_pii", "pack_expand_chunks",
         "stratified_sample_mix", "unigram_logprob",
         "rt_int96_events", "lang_id",
         "image_ppm_features",
@@ -653,6 +657,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (winnowing has no SQL twin), kernel unchanged since r2
         # and pytest-gated; its slot goes to the oracled unigram_logprob
         "fingerprint",
+        # pack_expand_chunks runs the WHOLE seq_pack pipeline plus the
+        # chunk-row expansion under one oracle — strictly more code checked
+        "seq_pack_chunks",
         # oracled but window-displaced: write-audit-publish (branch staging
         # + fast-forward); its mechanics (commits, scans, history) are all
         # exercised by the in-window table_* rows and pytest WAP cases
@@ -942,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _llmprep.redact_pii_oracle_sql(),
         "seq_pack_chunks": _llmprep.seq_pack_oracle_sql(),
         "unigram_logprob": _llmprep.unigram_logprob_oracle_sql(),
+        "pack_expand_chunks": _llmprep.pack_expand_oracle_sql(),
         "stratified_sample_mix": _sampling.stratified_sample_oracle_sql(),
         "clean_corpus": (
             "WITH q AS (SELECT doc_id, text FROM documents WHERE "

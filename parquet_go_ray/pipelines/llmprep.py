@@ -458,3 +458,53 @@ def unigram_logprob_oracle_sql(table: str = "documents") -> str:
         "SELECT doc_id, words, ROUND(lp, 6) AS logprob, "
         "ROUND(lp / words, 6) AS avg_logprob FROM s"
     )
+
+
+def pack_expand(sf_dir: str, budget: int = PACK_BUDGET) -> rd.Dataset:
+    """The (doc_id, chunk_id) assignment table a dataloader consumes: one
+    row per context-window chunk a document overlaps, with the token count
+    it contributes to that chunk.  Pure vectorized per-batch expansion of
+    seq_pack's spans (np.repeat + per-run offsets) — no extra exchange."""
+    packed = seq_pack(sf_dir, budget=budget)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        tokens = batch.column("tokens").to_numpy()
+        keep = tokens > 0
+        tokens = tokens[keep]
+        start = batch.column("token_start").to_numpy()[keep]
+        first = batch.column("chunk_first").to_numpy()[keep]
+        last = batch.column("chunk_last").to_numpy()[keep]
+        doc = batch.column("doc_id").to_numpy()[keep]
+        nch = last - first + 1
+        total = int(nch.sum())
+        rep = np.repeat(np.arange(len(doc)), nch)
+        run_start = np.concatenate([[0], np.cumsum(nch)[:-1]])
+        off = np.arange(total) - run_start[rep]
+        cid = first[rep] + off
+        lo = np.maximum(start[rep], cid * budget)
+        hi = np.minimum(start[rep] + tokens[rep], (cid + 1) * budget)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[rep], pa.int64()),
+                "chunk_id": pa.array(cid, pa.int64()),
+                "tokens_in_chunk": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    return packed.map_batches(expand, batch_format="pyarrow")
+
+
+def pack_expand_oracle_sql(table: str = "documents", budget: int = PACK_BUDGET) -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS tokens FROM {table}), "
+        "p AS (SELECT doc_id, tokens, CAST(COALESCE(SUM(tokens) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start "
+        "FROM t), "
+        "e AS (SELECT doc_id, tokens, token_start, "
+        f"unnest(generate_series(token_start // {budget}, "
+        f"(token_start + tokens - 1) // {budget})) AS chunk_id "
+        "FROM p WHERE tokens > 0) "
+        "SELECT doc_id, chunk_id, "
+        f"LEAST(token_start + tokens, (chunk_id + 1) * {budget}) "
+        f"- GREATEST(token_start, chunk_id * {budget}) AS tokens_in_chunk FROM e"
+    )

@@ -202,3 +202,22 @@ def test_unigram_oov_excluded():
     assert list(out["doc_id"]) == [0]
     assert out["words"].iloc[0] == 2
     np.testing.assert_allclose(out["logprob"].iloc[0], 2 * np.log(0.5), atol=1e-6)
+
+
+def test_pack_expand_matches_oracle(ray_session):
+    got = L.pack_expand(SF).to_pandas()
+    want = _oracle(L.pack_expand_oracle_sql())
+    a = got.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    b = want.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)].astype(a.dtypes)
+    )
+    # conservation: every doc's chunk contributions sum to its token count
+    per_doc = got.groupby("doc_id")["tokens_in_chunk"].sum()
+    toks = _oracle(
+        "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS t FROM documents"
+    ).set_index("doc_id")["t"]
+    assert (per_doc == toks[per_doc.index]).all()
+    # every chunk except possibly the last is exactly full
+    per_chunk = got.groupby("chunk_id")["tokens_in_chunk"].sum()
+    assert (per_chunk.iloc[:-1] == L.PACK_BUDGET).all()
