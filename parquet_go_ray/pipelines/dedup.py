@@ -39,6 +39,19 @@ import ray.data as rd
 
 from ..sources.io import read_parquet_any as _read_parquet_any
 from ..stages.common import arrow_out as _arrow_out
+from ..stages.common import pandas_to_arrow as _pandas_to_arrow
+
+# arrow int -> pandas NULLABLE int (exact above 2^53 even with nulls)
+_PD_NULLABLE_INT = {
+    pa.int8(): pd.Int8Dtype(),
+    pa.int16(): pd.Int16Dtype(),
+    pa.int32(): pd.Int32Dtype(),
+    pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.UInt8Dtype(),
+    pa.uint16(): pd.UInt16Dtype(),
+    pa.uint32(): pd.UInt32Dtype(),
+    pa.uint64(): pd.UInt64Dtype(),
+}
 
 MERSENNE = (1 << 61) - 1
 K_HASHES = 64
@@ -162,13 +175,19 @@ def _hash_join(
                 df[c] = df[c].astype(bool)
         return df
 
-    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+    def join_part(t: pa.Table) -> pa.Table:
+        # arrow -> pandas through NULLABLE int dtypes: the default conversion
+        # demotes int-with-nulls (the union's padding, and any left-join
+        # misses) to float64, which silently rounds values above 2^53.
+        # Nullable Int* keeps exact integers + NA end to end; pandas_to_arrow
+        # emits them back as int64-with-nulls.
+        g = t.to_pandas(types_mapper=_PD_NULLABLE_INT.get)
         lf = _restore(g[g.__side == 0][["__key"] + l_payload].copy(), l_payload, ltypes)
         rf = _restore(g[g.__side == 1][["__key"] + r_payload].copy(), r_payload, rtypes)
         m = lf.merge(rf, on="__key", how=how)
-        return m.rename(columns={"__key": on})
+        return _pandas_to_arrow(m.rename(columns={"__key": on}))
 
-    return tagged.groupby("__part").map_groups(_arrow_out(join_part), batch_format="pandas")
+    return tagged.groupby("__part").map_groups(join_part, batch_format="pyarrow")
 
 
 def _pack_rows(mat: np.ndarray) -> pa.Array:
@@ -1120,10 +1139,18 @@ def _labels_to_clusters(
     )
 
     def fin(b: pa.Table) -> pa.Table:
-        # pandas left-merge leaves NaN (float) for unmatched labels
-        lab = np.asarray(b["label"], dtype=np.float64) if "label" in b.column_names else np.full(b.num_rows, np.nan)
+        # the left-join leaves int64 NULLS for unmatched labels (the join
+        # promotes through nullable Int64, never float64 — exact above 2^53)
         doc = np.asarray(b["doc_id"], dtype=np.int64)
-        cluster = np.where(np.isnan(lab), doc, lab).astype(np.int64)
+        if "label" in b.column_names:
+            col = b["label"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            null = np.asarray(col.is_null())
+            lab = np.asarray(col.fill_null(0), dtype=np.int64)
+            cluster = np.where(null, doc, lab)
+        else:
+            cluster = doc
         return pa.table({"doc_id": pa.array(doc), "cluster": pa.array(cluster)})
 
     return joined.map_batches(fin, batch_format="pyarrow")
@@ -1282,9 +1309,15 @@ def dedup_minhash(
             def fin_labels(b: pa.Table) -> pa.Table:
                 doc = np.asarray(b["doc_id"], dtype=np.int64)
                 rep = np.asarray(b["rep"], dtype=np.int64)
-                # pandas left-merge leaves NaN in cluster for identity reps
-                cl = b["cluster"].to_pandas().to_numpy(np.float64, na_value=np.nan)
-                lab = np.where(np.isnan(cl), rep, cl).astype(np.int64)
+                # pandas left-merge leaves nulls in cluster for identity
+                # reps; fill from rep WITHOUT a float64 detour (ids above
+                # 2^53 would silently round to the wrong cluster)
+                col = b["cluster"]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                null = np.asarray(col.is_null())
+                cl = np.asarray(col.fill_null(0), dtype=np.int64)
+                lab = np.where(null, rep, cl)
                 keep = lab != doc
                 return pa.table(
                     {"node": pa.array(doc[keep]), "label": pa.array(lab[keep])}

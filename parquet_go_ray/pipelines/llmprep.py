@@ -77,14 +77,16 @@ class RepetitionScore:
             tc = e.groupby(["d", "w"]).size().groupby(level=0).max()
             top_cnt[tc.index.to_numpy()] = tc.to_numpy()
             # adjacent bigrams: shift within the exploded order, mask the
-            # last word of each doc (next row belongs to the next doc)
-            w2 = np.roll(flat, -1)
-            same_doc = np.roll(rep_doc, -1) == rep_doc
+            # last word of each doc (next row belongs to the next doc).
+            # Plain slicing, NOT np.roll: roll wraps the batch's last word
+            # around to its first, fabricating a bigram whenever the first
+            # and last rows belong to the same doc (single-doc batches)
+            same_doc = rep_doc[:-1] == rep_doc[1:]
             bg = pd.DataFrame(
                 {
-                    "d": rep_doc[same_doc],
-                    "b": pd.Series(flat[same_doc]).str.cat(
-                        pd.Series(w2[same_doc]), sep="\n"
+                    "d": rep_doc[:-1][same_doc],
+                    "b": pd.Series(flat[:-1][same_doc]).str.cat(
+                        pd.Series(flat[1:][same_doc]), sep="\n"
                     ),
                 }
             )

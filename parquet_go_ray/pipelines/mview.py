@@ -95,7 +95,10 @@ def _distributed_partials(ds: rd.Dataset, keys: list[str], specs) -> list[pa.Tab
         return _partial(batch, keys, specs)
 
     parts = ds.map_batches(to_partial, batch_format="pyarrow")
-    return [pa.Table.from_pandas(df, preserve_index=False) for df in [parts.to_pandas()]]
+    # collect partials as ARROW (each is group-cardinality-sized): the
+    # previous pandas round-trip copied every partial and perturbed types
+    # (nullable int min/max -> float64 NaN)
+    return list(parts.iter_batches(batch_format="pyarrow"))
 
 
 def refresh_group_agg(
@@ -114,7 +117,14 @@ def refresh_group_agg(
     anything else raises, recompute from scratch)."""
     specs = _normalize_aggs(aggs)
     keys = list(keys)
-    head = to_version if to_version is not None else table_versions(table_dir)[-1]
+    # head = MAIN's head, not versions[-1]: the newest version number can be
+    # a write-audit-publish staging-branch snapshot whose rows main readers
+    # must not see until publish
+    head = (
+        to_version
+        if to_version is not None
+        else load_snapshot(table_dir)["version"]
+    )
     need = keys + [c for _n, _f, c in specs if c is not None]
     need = list(dict.fromkeys(need))
     if state is None:
@@ -130,7 +140,10 @@ def refresh_group_agg(
     if head == frm:
         return state
     for v in range(frm + 1, head + 1):
-        op = load_snapshot(table_dir, v)["op"]
+        s = load_snapshot(table_dir, v)
+        if s.get("branch", "main") != "main":
+            continue  # staged elsewhere; invisible to main until publish
+        op = s["op"]
         if op != "append":
             raise ValueError(
                 f"commit v{v} is {op!r}, not append-only — incremental refresh "

@@ -1179,8 +1179,59 @@ def table_compact(
     ).map_batches(compact_bin, batch_format="pyarrow", batch_size=None)
     rels, summary = _sink_manifest(table_dir, txn, man)
 
+    base = snap  # the snapshot this rewrite was computed against
+    compacted = {e["path"] for e in entries}
+
     def build(parent):
-        return {"manifests": rels, "deletes": [], "summary": summary}
+        # Optimistic-concurrency validation (Iceberg RewriteFiles
+        # semantics): commits that landed between `base` and `parent` must
+        # not be clobbered by publishing only the rewritten state.
+        #   * concurrent APPENDS merge (their manifests carry over);
+        #   * a concurrent rewrite of the files we consumed, an equality
+        #     delete (its sequence gate would exempt our re-written, later-
+        #     sequence files), or a position delete touching a compacted
+        #     file all CONFLICT -> raise; the caller re-runs compaction on
+        #     the new head.
+        if parent is None or parent["version"] == base["version"]:
+            return {"manifests": rels, "deletes": [], "summary": summary}
+        parent_mans = set(parent["manifests"])
+        missing = [m for m in base["manifests"] if m not in parent_mans]
+        if missing:
+            raise RuntimeError(
+                "table_compact conflict: concurrent commit removed manifests "
+                f"this compaction consumed (e.g. {missing[0]!r}); re-run"
+            )
+        base_mans = set(base["manifests"])
+        new_mans = [m for m in parent["manifests"] if m not in base_mans]
+        base_dels = {json.dumps(d, sort_keys=True) for d in base["deletes"]}
+        carried = []
+        for d in parent["deletes"]:
+            if json.dumps(d, sort_keys=True) in base_dels:
+                continue  # folded into the rewrite
+            if d.get("kind", "pos") != "pos":
+                raise RuntimeError(
+                    "table_compact conflict: concurrent equality delete "
+                    "committed during compaction; re-run"
+                )
+            lo, hi = d.get("min_file"), d.get("max_file")
+            if any(
+                (lo is None or lo <= p) and (hi is None or p <= hi)
+                for p in compacted
+            ):
+                raise RuntimeError(
+                    "table_compact conflict: concurrent position delete "
+                    "targets a compacted file; re-run"
+                )
+            carried.append(d)
+        delta = {
+            k: parent["summary"][k] - base["summary"][k]
+            for k in ("files", "rows", "bytes")
+        }
+        return {
+            "manifests": rels + new_mans,
+            "deletes": carried,
+            "summary": {k: summary[k] + delta[k] for k in ("files", "rows", "bytes")},
+        }
 
     return _commit(table_dir, "compact", build)
 
@@ -1282,23 +1333,39 @@ def table_files(table_dir: str, version: int | None = None) -> list[dict]:
     return _live_entries(table_dir, load_snapshot(table_dir, version))
 
 
-def table_vacuum(table_dir: str, keep_last: int | None = None) -> list[str]:
+def table_vacuum(
+    table_dir: str, keep_last: int | None = None, min_age_s: float = 600.0
+) -> list[str]:
     """Physically remove files NO retained snapshot references — failed-txn
     orphans and compacted-away parts plus their manifests.  `keep_last=N`
     first expires all but the newest N snapshots (their exclusive files
     become removable and time travel to them stops); default retains every
-    snapshot, so only true orphans go.  Returns removed rel paths."""
+    snapshot, so only true orphans go.  Returns removed rel paths.
+
+    `min_age_s` is the orphan-retention grace (Iceberg
+    remove_orphan_files' older_than): an IN-FLIGHT transaction's parts are
+    on disk but referenced by no snapshot until its commit lands, so
+    unreferenced files younger than the grace are kept.  Pass 0 only when
+    no writer can be active."""
+    import time as _time
+
+    cutoff = _time.time() - min_age_s
     vs = table_versions(table_dir)
     if not vs:
         return []
     retained = vs if keep_last is None else vs[-keep_last:]
     expired = [v for v in vs if v not in set(retained)]
     referenced: set[str] = set()
-    for v in retained:
+    ever_referenced: set[str] = set()  # incl. expired snapshots: these files
+    # provably belong to COMMITTED txns, so the in-flight grace never applies
+    for v in vs:
         s = load_snapshot(table_dir, v)
-        referenced.update(s["manifests"])
-        referenced.update(d["path"] for d in s["deletes"] if "path" in d)
-        referenced.update(e["path"] for e in _live_entries(table_dir, s))
+        refs: set[str] = set(s["manifests"])
+        refs.update(d["path"] for d in s["deletes"] if "path" in d)
+        refs.update(e["path"] for e in _live_entries(table_dir, s))
+        ever_referenced.update(refs)
+        if v in set(retained):
+            referenced.update(refs)
     removed: list[str] = []
     for sub in (DATA_DIR, DELETE_DIR, MANIFEST_DIR):
         root = os.path.join(table_dir, sub)
@@ -1309,6 +1376,15 @@ def table_vacuum(table_dir: str, keep_last: int | None = None) -> list[str]:
                 p = os.path.join(dirpath, fn)
                 rel = os.path.relpath(p, table_dir)
                 if rel not in referenced:
+                    if rel not in ever_referenced:
+                        # never referenced by ANY snapshot: could be an
+                        # in-flight transaction about to commit — only
+                        # remove past the grace age
+                        try:
+                            if os.path.getmtime(p) > cutoff:
+                                continue
+                        except OSError:
+                            continue
                     os.remove(p)
                     removed.append(rel)
     for v in expired:

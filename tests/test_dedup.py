@@ -344,3 +344,36 @@ def test_minhash_bucket_stats_sampling_columns(planted):
     assert (st.pairs_star >= 0).all() and st.sampled_buckets.sum() > 0
     st0 = minhash_bucket_stats(planted)
     assert st0.sampled_buckets.sum() == 0 and st0.pairs_star.sum() == 0
+
+
+def test_hash_join_left_preserves_int64_above_2_53(ray_session):
+    """Left-join unmatched rows used to demote int payloads to float64,
+    silently rounding ids above 2^53; the join now promotes through
+    nullable Int64 and must round-trip exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.dedup import _hash_join
+
+    big = (1 << 53) + 1  # not representable in float64
+    left = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())}))
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([2], pa.int64()),
+                "label": pa.array([big], pa.int64()),
+            }
+        )
+    )
+    ds = _hash_join(
+        left, right, on="doc_id", parts=2, how="left",
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("label", pa.int64())]),
+    )
+    # collect as ARROW: pandas' own int64+null -> float64 demotion is the
+    # very bug class this guards against
+    rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+    assert ds.schema().types[1] == pa.int64()
+    assert rows[1]["label"] == big  # float64 would give 2^53
+    assert rows[0]["label"] is None and rows[2]["label"] is None

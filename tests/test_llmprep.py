@@ -221,3 +221,14 @@ def test_pack_expand_matches_oracle(ray_session):
     # every chunk except possibly the last is exactly full
     per_chunk = got.groupby("chunk_id")["tokens_in_chunk"].sum()
     assert (per_chunk.iloc[:-1] == L.PACK_BUDGET).all()
+
+
+def test_repetition_single_doc_batch_no_wraparound():
+    # regression: np.roll-based shifting fabricated a (last_word, first_word)
+    # bigram in single-doc batches
+    scorer = L.RepetitionScore()
+    out = scorer(pd.DataFrame({"doc_id": [0], "text": ["x y x y"]}))
+    # bigrams: (x,y) (y,x) (x,y) -> 2 distinct of 3 -> 1 - 2/3
+    assert out["dup_2gram_frac"].iloc[0] == pytest.approx(1 - 2 / 3)
+    out2 = scorer(pd.DataFrame({"doc_id": [5], "text": ["a b c"]}))
+    assert out2["dup_2gram_frac"].iloc[0] == 0.0

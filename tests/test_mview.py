@@ -107,3 +107,24 @@ def test_nulls_in_agg_column(ray_session, tmp_path):
     assert rows["a"] == {"g": "a", "s": 1, "n": 2, "lo": 1, "hi": 1}
     # all-null group: sum/min/max null, count(*) still counts rows
     assert rows["b"]["n"] == 2 and rows["b"]["s"] is None
+
+
+def test_staged_branch_commits_are_invisible(ray_session, tmp_path):
+    """WAP isolation: a staging-branch append must NOT leak into the main
+    materialized aggregate (neither at build nor at refresh), and the
+    version loop must not choke on branch snapshots in between."""
+    d = str(tmp_path / "t")
+    T.table_write(rd.from_arrow(_mk(0, 1000)).repartition(2), d)
+    state = refresh_group_agg(d, ["g"], AGGS)
+    # stage rows on an audit branch (newest version number, unpublished)
+    T.table_write(rd.from_arrow(_mk(1000, 2000)), d, branch="audit")
+    fresh = refresh_group_agg(d, ["g"], AGGS)       # from scratch
+    again = refresh_group_agg(d, ["g"], AGGS, state=state)  # incremental
+    base = refresh_group_agg(d, ["g"], AGGS, to_version=1)
+    assert _sorted(fresh["data"]).equals(_sorted(base["data"]))
+    assert _sorted(again["data"]).equals(_sorted(base["data"]))
+    # a MAIN append after the staged one still folds incrementally
+    T.table_write(rd.from_arrow(_mk(2000, 2500)), d)
+    inc = refresh_group_agg(d, ["g"], AGGS, state=again)
+    full = refresh_group_agg(d, ["g"], AGGS)
+    assert _sorted(inc["data"]).equals(_sorted(full["data"]))

@@ -114,7 +114,11 @@ def test_vacuum_orphans_and_expiry(ray_session, tdir):
     orphan = os.path.join(orphan_dir, "part_junk.parquet")
     with open(orphan, "wb") as f:
         f.write(b"PAR1junkPAR1")
-    removed = T.table_vacuum(tdir)
+    # default grace keeps a FRESH never-referenced file (it could be an
+    # in-flight txn's part); min_age_s=0 asserts no active writers
+    assert T.table_vacuum(tdir) == []
+    assert os.path.exists(orphan)
+    removed = T.table_vacuum(tdir, min_age_s=0)
     assert [os.path.basename(r) for r in removed] == ["part_junk.parquet"]
     assert not os.path.exists(orphan)
     # overwrite, then expire old versions: their exclusive files go
@@ -456,3 +460,46 @@ def test_main_appends_build_on_main_not_branch(ray_session, tdir):
     assert snap["parent"] == 1                  # main head, not the branch
     assert len(_scan_pd(tdir)) == 150
     assert T.table_scan(tdir, branch="b").count() == 300
+
+
+def test_compact_merges_concurrent_append(ray_session, tdir, monkeypatch):
+    """A commit landing between compaction's snapshot read and its publish
+    must survive: appends merge, they are not clobbered by the rewrite."""
+    T.table_write(rd.from_arrow(_mk(0, 500)).repartition(2), tdir)
+    T.table_write(rd.from_arrow(_mk(500, 800)).repartition(2), tdir)
+    real_commit = T._commit
+    state = {"raced": False}
+
+    def racing_commit(table_dir, op, build, branch="main"):
+        if op == "compact" and not state["raced"]:
+            state["raced"] = True
+            T.table_write(rd.from_arrow(_mk(800, 900)), table_dir)
+        return real_commit(table_dir, op, build, branch)
+
+    monkeypatch.setattr(T, "_commit", racing_commit)
+    T.table_compact(tdir, target_bytes=64 << 20)
+    df = _scan_pd(tdir)
+    assert len(df) == 900  # concurrent append's 100 rows survived
+    assert df["k"].tolist() == list(range(900))
+    snap = T.load_snapshot(tdir)
+    assert snap["summary"]["rows"] == 900
+
+
+def test_compact_conflicts_with_concurrent_delete(ray_session, tdir, monkeypatch):
+    """A concurrent delete targeting compacted files cannot merge soundly
+    (positions moved / equality sequence gates break) -> loud conflict."""
+    T.table_write(rd.from_arrow(_mk(0, 500)).repartition(2), tdir)
+    real_commit = T._commit
+    state = {"raced": False}
+
+    def racing_commit(table_dir, op, build, branch="main"):
+        if op == "compact" and not state["raced"]:
+            state["raced"] = True
+            T.table_delete(table_dir, [[("k", "<", 10)]])
+        return real_commit(table_dir, op, build, branch)
+
+    monkeypatch.setattr(T, "_commit", racing_commit)
+    with pytest.raises(RuntimeError, match="conflict"):
+        T.table_compact(tdir, target_bytes=64 << 20)
+    # and the table still honors the delete that won
+    assert len(_scan_pd(tdir)) == 490
