@@ -585,6 +585,21 @@ def validate_par1_dataset(
     ).map_batches(run, batch_format="pyarrow")
 
 
+def from_json_stat(v):
+    """Inverse of the manifest's JSON-safe stat encoding: bytes values
+    travel as ``{"b64": ...}`` (see the ``enc`` closure in
+    ``_file_stats_agg``); lists decode recursively.  THE one decoder —
+    every consumer (manifest admission here, table-layer stats/predicate/
+    bucket-bound decode) must use it so the wire convention can't drift."""
+    import base64
+
+    if isinstance(v, dict) and "b64" in v:
+        return base64.b64decode(v["b64"])
+    if isinstance(v, list):
+        return [from_json_stat(x) for x in v]
+    return v
+
+
 def _manifest_admits_file(stats: dict, branches) -> bool:
     """File-level DNF admission from manifest stats — the same sound
     zone/null logic as chunk pruning, one level up.  Unknown columns or
@@ -622,14 +637,9 @@ _MANIFEST_DISTRIBUTE_THRESHOLD = 20_000  # files; below this, evaluate inline
 
 def _manifest_admit_rows(mtab: pa.Table, branches) -> set[str]:
     """Evaluate the DNF against one manifest slice; return admitted paths."""
-    import base64
     import json
 
-    def dec(v):
-        if isinstance(v, dict) and "b64" in v:
-            return base64.b64decode(v["b64"])
-        return v
-
+    dec = from_json_stat
     admitted: set[str] = set()
     for p, sj in zip(mtab["path"].to_pylist(), mtab["stats"].to_pylist()):
         st = {

@@ -68,6 +68,7 @@ from .native_io import (
     _manifest_admits_file,
     _manifest_table,
     _write_part,
+    from_json_stat,
     read_par1_dataset,
     write_par1_dataset,
 )
@@ -225,12 +226,7 @@ def _live_entries(table_dir: str, snap: dict) -> list[dict]:
 
 def _decode_stats(stats_json: str) -> dict:
     st = json.loads(stats_json)
-
-    def dec(v):
-        if isinstance(v, dict) and "b64" in v:
-            return base64.b64decode(v["b64"])
-        return v
-
+    dec = from_json_stat  # THE shared wire decoder (native_io)
     return {c: {**e, "min": dec(e["min"]), "max": dec(e["max"])} for c, e in st.items()}
 
 
@@ -704,14 +700,7 @@ def _pred_to_json(branches) -> list:
 
 
 def _pred_from_json(obj) -> list[list[tuple[str, str, object]]]:
-    def dec(v):
-        if isinstance(v, dict) and "b64" in v:
-            return base64.b64decode(v["b64"])
-        if isinstance(v, list):
-            return [dec(x) for x in v]
-        return v
-
-    return [[(c, op, dec(v)) for c, op, v in br] for br in obj]
+    return [[(c, op, from_json_stat(v)) for c, op, v in br] for br in obj]
 
 
 def _eq_deletes_for_file(snap: dict, rel: str, stats_json: str | None = None):
@@ -753,10 +742,7 @@ def _eq_deletes_for_file(snap: dict, rel: str, stats_json: str | None = None):
     return out
 
 
-def _json_bound(v):
-    if isinstance(v, dict) and "b64" in v:
-        return base64.b64decode(v["b64"])
-    return v
+_json_bound = from_json_stat  # bucket-bound values use the same wire encoding
 
 
 def _eq_value_sets(table_dir: str, eq_dels: list[dict]) -> list:
@@ -1247,9 +1233,14 @@ def explain_table_scan(
     manifest parquet only."""
     snap = load_snapshot(table_dir, version)
     branches = _normalize_predicate(predicate)
-    live_all = _admitted_paths(table_dir, snap, [])
+    # ONE manifest pass serves both the live count and the admission filter
+    # (this is observability — inline evaluation is fine at any size)
+    entries = _live_entries(table_dir, snap)
+    live_all = [e["path"] for e in entries]
     admitted = (
-        _admitted_paths(table_dir, snap, branches) if branches else list(live_all)
+        [e["path"] for e in entries if _entry_admits(e, branches)]
+        if branches
+        else list(live_all)
     )
     clean, dirty = _split_clean_dirty(table_dir, snap, admitted)
     kinds = {"pos": 0, "eq": 0, "eqfile": 0}
