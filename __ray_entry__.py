@@ -592,9 +592,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["seq_pack_chunks"] = seq_pack
     q["unigram_logprob"] = unigram_logprob
 
-    from parquet_go_ray.pipelines.llmprep import pack_expand
+    from parquet_go_ray.pipelines.llmprep import decontaminate, pack_expand
 
     q["pack_expand_chunks"] = pack_expand
+    q["decontaminate_docs"] = decontaminate
 
     from parquet_go_ray.functions.sampling import stratified_sample
 
@@ -617,7 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # new in round 4's second half: LLM-prep operators
         "quality_repetition", "redact_pii", "pack_expand_chunks",
-        "stratified_sample_mix", "unigram_logprob",
+        "stratified_sample_mix", "unigram_logprob", "decontaminate_docs",
         "rt_int96_events", "lang_id",
         "image_ppm_features",
         "audio_frames_docs", "knn_ivf_full_probe",
@@ -660,6 +661,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pack_expand_chunks runs the WHOLE seq_pack pipeline plus the
         # chunk-row expansion under one oracle — strictly more code checked
         "seq_pack_chunks",
+        # null-op pruning kept via native_dnf_scan (same DNF ladder) plus
+        # the test_read_par1_pruned null-op/property pytest variants
+        "native_null_scan",
         # oracled but window-displaced: write-audit-publish (branch staging
         # + fast-forward); its mechanics (commits, scans, history) are all
         # exercised by the in-window table_* rows and pytest WAP cases
@@ -950,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack_chunks": _llmprep.seq_pack_oracle_sql(),
         "unigram_logprob": _llmprep.unigram_logprob_oracle_sql(),
         "pack_expand_chunks": _llmprep.pack_expand_oracle_sql(),
+        "decontaminate_docs": _llmprep.decontaminate_oracle_sql(),
         "stratified_sample_mix": _sampling.stratified_sample_oracle_sql(),
         "clean_corpus": (
             "WITH q AS (SELECT doc_id, text FROM documents WHERE "

@@ -510,3 +510,127 @@ def pack_expand_oracle_sql(table: str = "documents", budget: int = PACK_BUDGET) 
         f"LEAST(token_start + tokens, (chunk_id + 1) * {budget}) "
         f"- GREATEST(token_start, chunk_id * {budget}) AS tokens_in_chunk FROM e"
     )
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+DECON_K = 16  # char shingle width (~3 words in this corpus)
+DECON_MOD = 97  # benchmark set = docs with doc_id % DECON_MOD == 0
+
+
+def _shingle_bytes(texts: pa.Array, k: int = DECON_K):
+    """All char k-gram windows of each doc as raw bytes: one vectorized
+    gather over the concatenated buffer (dedup._shingle_hashes' layout,
+    materializing the window BYTES instead of hashes so membership is
+    exact-string — byte==char for this ASCII corpus, matching SQL substr).
+    Docs shorter than k contribute no windows (mirrors generate_series).
+    Returns (windows as np 'S<k>' array, doc index per window)."""
+    from ..codecs.base import binary_parts
+
+    lengths, data = binary_parts(texts)
+    n = len(lengths)
+    n_sh = np.maximum(lengths - k + 1, 0).astype(np.int64)
+    total = int(n_sh.sum())
+    if total == 0:
+        return np.empty(0, dtype=f"S{k}"), np.empty(0, np.int64)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_sh[:-1]))), n_sh
+    )
+    pos = np.repeat(starts[n_sh > 0], n_sh[n_sh > 0]) + within
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_sh)
+    gather = data[pos[:, None] + np.arange(k, dtype=np.int64)]
+    return np.ascontiguousarray(gather).view(f"S{k}").ravel(), doc_idx
+
+
+def benchmark_shingles(sf_dir: str, k: int = DECON_K, mod: int = DECON_MOD):
+    """The benchmark set's distinct shingles.  Test sets are tiny (KBs-MBs
+    against a 100 TB corpus — in production they'd live in their own small
+    file); here the benchmark rows are carved from the corpus by a
+    distributed filter scan and only the MATCHING rows' shingle sets come
+    back to the driver for the ray.put broadcast."""
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        t = batch.filter(pa.array(d % mod == 0)).column("text")
+        sh, _ = _shingle_bytes(t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t, k)
+        uniq = np.unique(sh)
+        return pa.table({"s": pa.array(uniq.tolist(), pa.binary())})
+
+    ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    parts = ds.map_batches(bench_rows, batch_format="pyarrow").take_all()
+    return {r["s"] for r in parts}
+
+
+class Decontaminate:
+    """Actor: holds the broadcast benchmark shingle set; per batch one
+    vectorized window gather + C-level hash-set membership (Series.isin)."""
+
+    def __init__(self, bench_ref, k: int = DECON_K, mod: int = DECON_MOD):
+        import ray
+
+        self.bench = (
+            ray.get(bench_ref)
+            if isinstance(bench_ref, ray.ObjectRef)
+            else bench_ref
+        )
+        self.k = k
+        self.mod = mod
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy(np.int64)
+        keep = doc_ids % self.mod != 0  # benchmark rows are not scored
+        texts = pa.array(batch["text"].to_numpy(dtype=object)[keep], pa.string())
+        sh, doc_idx = _shingle_bytes(texts, self.k)
+        n = int(keep.sum())
+        n_hits = np.zeros(n, dtype=np.int64)
+        if len(sh):
+            ser = pd.Series(sh)
+            hit = ser.isin(self.bench).to_numpy()
+            if hit.any():
+                hf = pd.DataFrame({"d": doc_idx[hit], "s": ser[hit]})
+                nh = hf.groupby("d")["s"].nunique()
+                n_hits[nh.index.to_numpy()] = nh.to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids[keep],
+                "n_hits": n_hits,
+                "contaminated": n_hits >= 1,
+            }
+        )
+
+
+def decontaminate(sf_dir: str, k: int = DECON_K, mod: int = DECON_MOD) -> rd.Dataset:
+    """Test-set decontamination: flag corpus documents sharing any char
+    k-gram with the benchmark set (n_hits = DISTINCT shared shingles).
+    The benchmark shingle set broadcasts once (ray.put -> actor __init__);
+    the corpus streams through an embarrassingly parallel actor stage."""
+    import ray
+
+    ref = ray.put(benchmark_shingles(sf_dir, k, mod))
+    ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        Decontaminate,
+        fn_constructor_args=(ref, k, mod),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+
+def decontaminate_oracle_sql(
+    table: str = "documents", k: int = DECON_K, mod: int = DECON_MOD
+) -> str:
+    return (
+        f"WITH b AS (SELECT text FROM {table} WHERE doc_id % {mod} = 0), "
+        f"bs AS (SELECT DISTINCT substr(b.text, CAST(i AS INT), {k}) AS s "
+        f"FROM b, LATERAL (SELECT unnest(range(1, length(text) - {k - 1} + 1)) AS i) g), "
+        f"d AS (SELECT doc_id, text FROM {table} WHERE doc_id % {mod} <> 0), "
+        f"ds AS (SELECT doc_id, substr(text, CAST(i AS INT), {k}) AS s "
+        f"FROM d, LATERAL (SELECT unnest(range(1, length(text) - {k - 1} + 1)) AS i) g), "
+        "hits AS (SELECT doc_id, count(DISTINCT ds.s) AS n_hits "
+        "FROM ds JOIN bs USING (s) GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits, "
+        "COALESCE(h.n_hits, 0) >= 1 AS contaminated "
+        "FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+    )

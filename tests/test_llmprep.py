@@ -232,3 +232,23 @@ def test_repetition_single_doc_batch_no_wraparound():
     assert out["dup_2gram_frac"].iloc[0] == pytest.approx(1 - 2 / 3)
     out2 = scorer(pd.DataFrame({"doc_id": [5], "text": ["a b c"]}))
     assert out2["dup_2gram_frac"].iloc[0] == 0.0
+
+
+def test_decontaminate_matches_oracle(ray_session):
+    got = L.decontaminate(SF).to_pandas()
+    want = _oracle(L.decontaminate_oracle_sql())
+    _assert_frames_equal(got, want)
+    # benchmark rows themselves are not scored; flag splits the corpus
+    assert (got["doc_id"] % L.DECON_MOD != 0).all()
+    assert 0 < got["contaminated"].sum() < len(got)
+
+
+def test_shingle_bytes_short_and_boundaries():
+    t = pa.array(["abcdefghijklmnopq", "tiny", "", "x" * L.DECON_K])
+    sh, idx = L._shingle_bytes(t)
+    # doc0: 17 chars -> 2 windows; doc1/2 shorter than k -> none; doc3 -> 1
+    assert list(idx) == [0, 0, 3]
+    assert sh[0] == b"abcdefghijklmnop" and sh[1] == b"bcdefghijklmnopq"
+    assert sh[2] == b"x" * L.DECON_K
+    # windows never cross doc boundaries
+    assert b"q" + b"tiny"[:15] not in sh.tolist()
