@@ -38,38 +38,12 @@ END = "</w>"  # end-of-word marker, merged like any symbol (Sennrich setup)
 
 
 def word_freqs(sf_dir: str, parts: int = 16) -> rd.Dataset:
-    """(word, n) over documents.text — per-batch Arrow value_counts, one
-    vocabulary-sized exchange (see textstats.vocab_topk for the pattern)."""
-    import pyarrow.compute as pc
+    """(word, n) over documents.text — delegates to textstats.token_counts,
+    THE shared per-batch value_counts combiner (the exchange moves
+    vocabularies, never token occurrences)."""
+    from .textstats import token_counts
 
-    from ..stages.common import arrow_out as _arrow_out
-    from ..stages.common import polars_mod as _pm
-
-    ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["text"])
-
-    def local_counts(batch: pa.Table) -> pa.Table:
-        col = batch["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = pc.list_flatten(pc.split_pattern_regex(col, r"\s+"))
-        toks = toks.filter(pc.not_equal(toks, ""))
-        vc = toks.value_counts()
-        word, n = vc.field("values"), vc.field("counts")
-        pl = _pm()
-        h = pl.from_arrow(pa.table({"t": word}))["t"].hash(seed=13).to_numpy()
-        part = (h.astype(np.uint64) % np.uint64(parts)).astype(np.int64)
-        return pa.table(
-            {"word": word, "n": n.cast(pa.int64()), "__part": pa.array(part)}
-        )
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("word", sort=False, as_index=False)["n"].sum()
-
-    return (
-        ds.map_batches(local_counts, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(_arrow_out(fold), batch_format="pandas")
-    )
+    return token_counts(sf_dir, parts, col="word")
 
 
 # --- flat symbol-array representation ----------------------------------------
@@ -109,7 +83,6 @@ def _merge_pass(
         return syms, wid
     # run parity: index within each run of consecutive matches
     starts = m & ~np.concatenate([[False], m[:-1]])
-    run_id = np.cumsum(starts)
     pos_in_run = np.arange(len(m)) - np.maximum.accumulate(
         np.where(starts, np.arange(len(m)), -1)
     )
@@ -157,8 +130,12 @@ def train_bpe_from_freqs(
         # the naive reference in tests does the same, matching Sennrich's
         # published reference implementation
         best_n = counts.max()
-        best = min(k for k, v in counts.items() if v == best_n)
-        left, right = best.split("\n")
+        # tie-break on the (left, right) TUPLE like the reference: min over
+        # the joined key string inverts the order when a tied left symbol is
+        # a prefix of another and the next char sorts below '\n' (\x01-\x09
+        # are valid word chars)
+        tied = (k for k, v in counts.items() if v == best_n)
+        left, right = min((k.split("\n", 1) for k in tied), key=tuple)
         merged = left + right
         out.append((rank, left, right, merged, int(best_n)))
         syms, wid = _merge_pass(syms, wid, left, right, merged)
@@ -193,7 +170,10 @@ class BPETokenize:
         import re
 
         doc_ids = batch["doc_id"].to_numpy(np.int64)
-        word_lists = batch["text"].str.findall(re.compile(r"\S+"))
+        # RE2-parity word class (see llmprep._WORD_RE): tokenization must
+        # match word_freqs' Arrow/RE2 \s+ split or merges get applied to
+        # words that never existed in the training frequencies
+        word_lists = batch["text"].str.findall(re.compile(r"[^ \t\n\f\r]+"))
         n_words = word_lists.str.len().to_numpy(np.int64)
         flat_words = word_lists.explode().dropna().tolist()
         doc_of_word = np.repeat(np.arange(len(batch)), n_words)

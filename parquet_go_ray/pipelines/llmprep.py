@@ -34,7 +34,13 @@ from ..sources.io import read_parquet_any as _read_parquet_any
 from ..stages.common import arrow_out as _arrow_out
 from ..stages.common import pandas_to_arrow as _pandas_to_arrow
 
-_WORD_RE = r"\S+"
+# RE2's \S is exactly [^\t\n\f\r ] (no \x0b, \x85, \xa0 — unlike Python
+# re's Unicode \S complement, and even re.ASCII still treats \x0b as
+# whitespace).  The explicit class makes the Python kernels tokenize
+# byte-for-byte like the DuckDB/Arrow RE2 oracles and like the RE2
+# \s+-splits in textstats/bpe word counting; a mismatch here doesn't just
+# perturb one row — in seq_pack it shifts token_start for every later doc.
+_WORD_RE = r"[^ \t\n\f\r]+"
 
 # keep-thresholds for the repetition filter (Gopher-style rules adapted to
 # word level: the synthetic corpus is single-line word soup, so line-based
@@ -100,9 +106,12 @@ class RepetitionScore:
         dup_2g = np.where(
             words >= 2, 1.0 - distinct_bg / np.maximum(w - 1, 1), 0.0
         )
-        dup_word = np.round(dup_word, 9)
-        top_word = np.round(top_word, 9)
-        dup_2g = np.round(dup_2g, 9)
+        # half-AWAY-from-zero like DuckDB's ROUND (np.round is half-to-even:
+        # an exactly-dyadic tie like 1/1024 at 9 digits flips the last digit
+        # between the two); all three fractions are non-negative
+        dup_word = np.floor(dup_word * 1e9 + 0.5) / 1e9
+        top_word = np.floor(top_word * 1e9 + 0.5) / 1e9
+        dup_2g = np.floor(dup_2g * 1e9 + 0.5) / 1e9
         keep = (
             (words >= _KEEP_MIN_WORDS)
             & (dup_word <= _KEEP_MAX_DUP_WORD)
@@ -167,8 +176,10 @@ _PII_HEX = r"\b[0-9a-f]{32,}\b"
 def _pii_salt(doc_ids: np.ndarray) -> pd.Series:
     """Deterministic synthetic PII appended per doc so the redaction oracle
     is meaningful on a corpus that contains none (mirrored exactly in SQL).
-    doc_id % 4: 0 -> email, 1 -> ipv4, 2 -> md5-hex secret, 3 -> nothing."""
-    m = doc_ids % 4
+    doc_id % 4: 0 -> email, 1 -> ipv4, 2 -> md5-hex secret, 3 -> nothing.
+    np.fmod (sign of dividend) mirrors DuckDB's %: a negative doc_id
+    matches no CASE branch on either side."""
+    m = np.fmod(doc_ids, 4)
     ids = doc_ids.astype(str).astype(object)
     email = " contact user" + ids + "@mail.example.com now"
     ip = (
@@ -198,9 +209,12 @@ class RedactPII:
     chain so intermediate counts agree."""
 
     def __init__(self):
-        self.email = re.compile(_PII_EMAIL)
-        self.ipv4 = re.compile(_PII_IPV4)
-        self.hexsec = re.compile(_PII_HEX)
+        # re.ASCII pins \d and \b to ASCII like RE2's defaults (Python's
+        # Unicode \d also matches e.g. Arabic-Indic digits, and Unicode \b
+        # moves around non-ASCII letters)
+        self.email = re.compile(_PII_EMAIL, re.ASCII)
+        self.ipv4 = re.compile(_PII_IPV4, re.ASCII)
+        self.hexsec = re.compile(_PII_HEX, re.ASCII)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         doc_ids = batch["doc_id"].to_numpy(np.int64)
@@ -312,12 +326,28 @@ def seq_pack(
 
     maxid = _max_doc_id(path)
     if maxid is None:
-        maxid = int(tok.max("doc_id"))
+        maxid = tok.max("doc_id")  # None on an empty table
+        if maxid is None:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        c: pa.array([], pa.int64())
+                        for c in (
+                            "doc_id", "tokens", "token_start",
+                            "chunk_first", "chunk_last", "n_chunks",
+                        )
+                    }
+                )
+            )
     width = max(1, (int(maxid) + ranges) // ranges)
 
     def _partials(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy()
         t = batch.column("tokens").to_numpy()
+        if len(d) and d.min() < 0:
+            raise ValueError(
+                "seq_pack requires non-negative doc_id (range bucketing)"
+            )
         rid = d // width
         sums = np.bincount(rid, weights=t, minlength=ranges)
         nz = np.nonzero(sums)[0]
@@ -415,7 +445,7 @@ class UnigramScore:
         self.logp = logp  # pd.Series indexed by word
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        lists = batch["text"].str.findall(r"\S+")
+        lists = batch["text"].str.findall(_WORD_RE)  # RE2-parity class
         ex = lists.reset_index(drop=True).explode()
         ex = ex[ex.notna()]
         doc_idx = ex.index.to_numpy(np.int64)
@@ -570,11 +600,14 @@ class Decontaminate:
     def __init__(self, bench_ref, k: int = DECON_K, mod: int = DECON_MOD):
         import ray
 
-        self.bench = (
+        bench = (
             ray.get(bench_ref)
             if isinstance(bench_ref, ray.ObjectRef)
             else bench_ref
         )
+        # sorted fixed-width array ONCE per actor: Series.isin(set) would
+        # rebuild an object array + hash table from the set on every batch
+        self.bench = np.sort(np.array(sorted(bench), dtype=f"S{k}"))
         self.k = k
         self.mod = mod
 
@@ -586,10 +619,16 @@ class Decontaminate:
         n = int(keep.sum())
         n_hits = np.zeros(n, dtype=np.int64)
         if len(sh):
-            ser = pd.Series(sh)
-            hit = ser.isin(self.bench).to_numpy()
+            # binary-search membership against the pre-sorted bench array
+            pos = np.searchsorted(self.bench, sh)
+            pos = np.minimum(pos, len(self.bench) - 1) if len(self.bench) else pos
+            hit = (
+                self.bench[pos] == sh
+                if len(self.bench)
+                else np.zeros(len(sh), dtype=bool)
+            )
             if hit.any():
-                hf = pd.DataFrame({"d": doc_idx[hit], "s": ser[hit]})
+                hf = pd.DataFrame({"d": doc_idx[hit], "s": sh[hit]})
                 nh = hf.groupby("d")["s"].nunique()
                 n_hits[nh.index.to_numpy()] = nh.to_numpy()
         return pd.DataFrame(

@@ -207,25 +207,23 @@ def fingerprint(sf_dir: str, k: int = 7, window: int = 4) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def vocab_topk(sf_dir: str, k: int = 100, parts: int = 16) -> rd.Dataset:
-    """Corpus vocabulary: whitespace tokens -> counts -> top-k.
-
-    The combiner pattern a 100 TB corpus demands: each batch pre-aggregates
-    its tokens (pc.split_pattern_regex -> list_flatten -> value_counts, all
-    Arrow kernels), so the groupby exchange moves per-batch VOCABULARIES
-    (bounded by distinct tokens, not token occurrences).  Per-partition fold
-    is one vectorized pandas groupby-sum; the final top-k sorts the
-    vocabulary-sized result in one task.  Tiebreak (count desc, token asc)
-    is total, so the result is deterministic and SQL-oracle-able."""
+def token_counts(sf_dir: str, parts: int = 16, col: str = "token") -> rd.Dataset:
+    """Distributed (token, n) counts over documents.text — THE shared
+    combiner (vocab_topk, bpe.word_freqs, llmprep.unigram_model all build on
+    it): each batch pre-aggregates its tokens (pc.split_pattern_regex ->
+    list_flatten -> value_counts, all Arrow/RE2 kernels), so the groupby
+    exchange moves per-batch VOCABULARIES (bounded by distinct tokens, not
+    token occurrences); the per-partition fold is one vectorized pandas
+    groupby-sum.  `col` names the output token column."""
     import pyarrow.compute as pc
 
     ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def local_counts(batch: pa.Table) -> pa.Table:
-        col = batch["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = pc.list_flatten(pc.split_pattern_regex(col, r"\s+"))
+        c = batch["text"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        toks = pc.list_flatten(pc.split_pattern_regex(c, r"\s+"))
         toks = toks.filter(pc.not_equal(toks, ""))
         vc = toks.value_counts()
         token, n = vc.field("values"), vc.field("counts")
@@ -235,18 +233,25 @@ def vocab_topk(sf_dir: str, k: int = 100, parts: int = 16) -> rd.Dataset:
 
         h = pl.from_arrow(pa.table({"t": token}))["t"].hash(seed=13).to_numpy()
         part = (h.astype(np.uint64) % np.uint64(parts)).astype(np.int64)
-        return pa.table({"token": token, "n": n.cast(pa.int64()), "__part": pa.array(part)})
+        return pa.table({col: token, "n": n.cast(pa.int64()), "__part": pa.array(part)})
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("token", sort=False, as_index=False)["n"].sum()
+        return g.groupby(col, sort=False, as_index=False)["n"].sum()
 
     from ..stages.common import arrow_out as _arrow_out
 
-    counts = (
+    return (
         ds.map_batches(local_counts, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(_arrow_out(fold), batch_format="pandas")
     )
+
+
+def vocab_topk(sf_dir: str, k: int = 100, parts: int = 16) -> rd.Dataset:
+    """Corpus vocabulary: whitespace tokens -> counts -> top-k (one final
+    vocabulary-sized sort task).  Tiebreak (count desc, token asc) is total,
+    so the result is deterministic and SQL-oracle-able."""
+    counts = token_counts(sf_dir, parts)
 
     def topk(batch: pa.Table) -> pa.Table:
         import pandas as _pd

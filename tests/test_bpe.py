@@ -100,3 +100,14 @@ def test_bpe_end_to_end_corpus(ray_session):
     want = [s for w in row["text"].split() for s in B.naive_tokenize(w, mg)]
     got = toks.set_index("doc_id").loc[row["doc_id"], "subwords"]
     assert list(got) == want
+
+
+def test_tie_break_with_control_char_symbols():
+    # tied pair counts where one left symbol is a prefix of another and the
+    # continuation char sorts below '\n': the joined-string min inverted the
+    # tuple order (regression)
+    words = {"b\x01z": 5, "b\x01q": 5, "bw": 5}
+    freqs = pd.DataFrame({"word": list(words), "n": list(words.values())})
+    got = B.train_bpe_from_freqs(freqs, n_merges=2)
+    want = B.naive_train(words, 2)
+    assert [(r.left, r.right) for r in got.itertuples()] == want
