@@ -217,11 +217,14 @@ def run_bench() -> dict:
     except ImportError:
         pass
     try:
-        from parquet_go_ray.pipelines.llmprep import seq_pack
+        from parquet_go_ray.pipelines.llmprep import decontaminate, seq_pack
 
         t0 = time.time()
         seq_pack(SF_DIR).count()
         queries["seq_pack"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        decontaminate(SF_DIR).count()
+        queries["decontaminate"] = round(time.time() - t0, 3)
     except ImportError:
         pass
     try:
