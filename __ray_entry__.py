@@ -24,9 +24,19 @@ queries() keys map to SURVEY.md §2 operators:
   hash_sample_* / vocab_* / grouped_topk_* — consistent sampling, vocabulary
                     combiner, ROW_NUMBER()<=n per group
   asof_* / range_join_* — as-of + interval joins (merge_asof per partition)
+  table_* / bucket_join_* — snapshot/transaction layer (time travel, MoR
+                    deletes, MERGE, CDC, compaction+vacuum, WAP, bucketed
+                    shuffle-free joins, incremental materialized aggregates)
+  quality_repetition / redact_pii / pack_expand_chunks / seq_pack_chunks /
+  unigram_logprob / decontaminate_docs / stratified_sample_mix / bpe_* —
+                    LLM-data-prep family (repetition filters, PII redaction,
+                    sequence packing via sort-free global prefix-sum,
+                    unigram LM scores, test-set decontamination, domain
+                    mixing, BPE train/apply)
 Rows-only (no_oracle) queries are exactly the inherently-approximate or
 non-SQL ops: LSH-recall-dependent pair sets, IVF, HLL, winnowing digests,
-engine-internal size accounting.
+engine-internal size accounting, iterative BPE training.  The FIRST 50
+entries of queries() — the driver's checked window — are all oracled.
 """
 
 from __future__ import annotations
