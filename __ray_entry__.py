@@ -602,9 +602,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["seq_pack_chunks"] = seq_pack
     q["unigram_logprob"] = unigram_logprob
 
-    from parquet_go_ray.pipelines.llmprep import decontaminate, pack_expand
+    from parquet_go_ray.pipelines.llmprep import (
+        decontaminate,
+        pack_expand,
+        pack_texts,
+    )
 
     q["pack_expand_chunks"] = pack_expand
+    q["pack_texts_chunks"] = pack_texts
     q["decontaminate_docs"] = decontaminate
 
     from parquet_go_ray.functions.sampling import stratified_sample
@@ -629,9 +634,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 4's second half: LLM-prep operators
         "quality_repetition", "redact_pii", "pack_expand_chunks",
         "stratified_sample_mix", "unigram_logprob", "decontaminate_docs",
+        "pack_texts_chunks",
         "rt_int96_events", "lang_id",
         "image_ppm_features",
-        "audio_frames_docs", "knn_ivf_full_probe",
+        "knn_ivf_full_probe",
         "transcode_native_nested", "transcode_native_v2", "scan_native_pruned",
         "read_native_pruned_multi",
         "native_bloom_scan",
@@ -640,7 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_zorder_scan", "native_table_lifecycle",
         # snapshot/transaction layer (new this round's extension)
         "table_time_travel", "table_mor_delete", "table_compact_vacuum",
-        "table_upsert_scan", "table_changes_scan", "native_bitpacked_scan",
+        "table_upsert_scan", "table_changes_scan",
         # equality deletes / streaming MERGE / bucketed co-partitioned join /
         # incremental materialized aggregates (newest table-layer work)
         "table_eq_delete_scan", "table_merge_eq_scan",
@@ -674,6 +680,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # null-op pruning kept via native_dnf_scan (same DNF ladder) plus
         # the test_read_par1_pruned null-op/property pytest variants
         "native_null_scan",
+        # stub-decode audio variant: multimodal family keeps the REAL-decode
+        # image_ppm_features oracled in-window; code unchanged since r2
+        "audio_frames_docs",
+        # deprecated MSB BIT_PACKED levels: pytest interop gates
+        # (test_par1 bitpacked cases) + the native scan family's many
+        # in-window rows; slot goes to pack_texts_chunks
+        "native_bitpacked_scan",
         # oracled but window-displaced: write-audit-publish (branch staging
         # + fast-forward); its mechanics (commits, scans, history) are all
         # exercised by the in-window table_* rows and pytest WAP cases
@@ -965,6 +978,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _llmprep.unigram_logprob_oracle_sql(),
         "pack_expand_chunks": _llmprep.pack_expand_oracle_sql(),
         "decontaminate_docs": _llmprep.decontaminate_oracle_sql(),
+        "pack_texts_chunks": _llmprep.pack_texts_oracle_sql(),
         "stratified_sample_mix": _sampling.stratified_sample_oracle_sql(),
         "clean_corpus": (
             "WITH q AS (SELECT doc_id, text FROM documents WHERE "

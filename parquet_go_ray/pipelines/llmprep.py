@@ -673,3 +673,107 @@ def decontaminate_oracle_sql(
         "COALESCE(h.n_hits, 0) >= 1 AS contaminated "
         "FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id"
     )
+
+
+def pack_texts(
+    sf_dir: str, budget: int = PACK_BUDGET, ranges: int = PACK_RANGES,
+    parts: int = 16,
+) -> rd.Dataset:
+    """MATERIALIZE the packed training chunks: one row per context window
+    (chunk_id, tokens, text) with the chunk's tokens space-joined in global
+    doc_id order — the step that actually writes an LLM's training shards.
+
+    Shape: seq_pack's sort-free prefix sum gives each doc its token_start;
+    one hash join attaches it to the text (the corpus moves ONCE); each
+    batch then explodes to (chunk_id, order=min gidx, fragment) rows —
+    fragments are per-(batch, chunk) strings pre-joined in gidx order, so
+    the exchange moves ~text-size, never token-count rows — and a final
+    groupby(chunk_id) concatenates the few fragments per chunk by order.
+    Fragment blocks are disjoint gidx intervals, so batch-local pre-joining
+    commutes with the final ordered join."""
+    from .dedup import _hash_join
+
+    packed = seq_pack(sf_dir, budget=budget, ranges=ranges)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "token_start"])
+
+    docs = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    joined = _hash_join(
+        docs,
+        packed.map_batches(narrow, batch_format="pyarrow"),
+        on="doc_id",
+        parts=parts,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("token_start", pa.int64())]),
+    )
+
+    word_re = re.compile(_WORD_RE)
+
+    def frags(batch: pd.DataFrame) -> pa.Table:
+        lists = batch["text"].str.findall(word_re)
+        nw = lists.str.len().to_numpy(np.int64)
+        s = batch["token_start"].to_numpy(np.int64)
+        ex = lists.reset_index(drop=True).explode()
+        ex = ex[ex.notna()]
+        if not len(ex):
+            return pa.table(
+                {
+                    "chunk_id": pa.array([], pa.int64()),
+                    "o": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "frag": pa.array([], pa.string()),
+                }
+            )
+        within = np.concatenate([np.arange(k) for k in nw if k > 0])
+        gidx = np.repeat(s, nw) + within
+        dpos = np.repeat(np.arange(len(batch)), nw)
+        # fragment per (chunk, DOC): a batch's docs need not be adjacent in
+        # gidx, so merging a whole chunk's batch-local tokens would join
+        # non-contiguous intervals out of order; per-doc fragments are
+        # contiguous by construction and the fold's min-gidx sort is sound
+        df = pd.DataFrame(
+            {
+                "c": gidx // budget,
+                "d": dpos,
+                "o": gidx,
+                "t": ex.to_numpy(dtype=object),
+            }
+        )
+        fr = (
+            df.sort_values("o")
+            .groupby(["c", "d"], sort=False)
+            .agg(o=("o", "min"), n=("t", "size"), frag=("t", " ".join))
+            .reset_index()
+        )
+        return _pandas_to_arrow(
+            fr.rename(columns={"c": "chunk_id"})[["chunk_id", "o", "n", "frag"]]
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o")
+        return pd.DataFrame(
+            {
+                "chunk_id": [np.int64(g["chunk_id"].iloc[0])],
+                "tokens": [np.int64(g["n"].sum())],
+                "text": [" ".join(g["frag"])],
+            }
+        )
+
+    return (
+        joined.map_batches(frags, batch_format="pandas")
+        .groupby("chunk_id")
+        .map_groups(_arrow_out(fold), batch_format="pandas")
+    )
+
+
+def pack_texts_oracle_sql(table: str = "documents", budget: int = PACK_BUDGET) -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM {table}), "
+        "p AS (SELECT doc_id, l, CAST(COALESCE(SUM(len(l)) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start FROM t), "
+        "e AS (SELECT start, unnest(l) AS tok, unnest(range(1, len(l)+1)) AS j FROM p), "
+        "g AS (SELECT start + j - 1 AS gidx, tok FROM e) "
+        f"SELECT gidx // {budget} AS chunk_id, count(*) AS tokens, "
+        "string_agg(tok, ' ' ORDER BY gidx) AS text FROM g GROUP BY 1"
+    )

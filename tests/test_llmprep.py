@@ -296,3 +296,27 @@ def test_seq_pack_empty_table(ray_session, tmp_path):
     assert ds.schema().names == [
         "doc_id", "tokens", "token_start", "chunk_first", "chunk_last", "n_chunks",
     ]
+
+
+def test_pack_texts_matches_oracle(ray_session):
+    got = (
+        L.pack_texts(SF)
+        .to_pandas()
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(L.pack_texts_oracle_sql())
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["chunk_id", "tokens", "text"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # every chunk but the last is exactly budget-full, and re-splitting the
+    # packed text reproduces the token counts
+    assert (got["tokens"].iloc[:-1] == L.PACK_BUDGET).all()
+    assert (
+        got["text"].str.split(" ").str.len().to_numpy()
+        == got["tokens"].to_numpy()
+    ).all()
