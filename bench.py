@@ -225,6 +225,11 @@ def run_bench() -> dict:
         t0 = time.time()
         decontaminate(SF_DIR).count()
         queries["decontaminate"] = round(time.time() - t0, 3)
+        from parquet_go_ray.pipelines.llmprep import pack_texts
+
+        t0 = time.time()
+        pack_texts(SF_DIR).count()
+        queries["pack_texts"] = round(time.time() - t0, 3)
     except ImportError:
         pass
     try:

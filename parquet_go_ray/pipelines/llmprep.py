@@ -684,13 +684,14 @@ def pack_texts(
     doc_id order — the step that actually writes an LLM's training shards.
 
     Shape: seq_pack's sort-free prefix sum gives each doc its token_start;
-    one hash join attaches it to the text (the corpus moves ONCE); each
-    batch then explodes to (chunk_id, order=min gidx, fragment) rows —
-    fragments are per-(batch, chunk) strings pre-joined in gidx order, so
-    the exchange moves ~text-size, never token-count rows — and a final
-    groupby(chunk_id) concatenates the few fragments per chunk by order.
-    Fragment blocks are disjoint gidx intervals, so batch-local pre-joining
-    commutes with the final ordered join."""
+    one hash join attaches it to the text, and each batch then emits
+    per-(chunk, DOC) contiguous fragments pre-joined in gidx order; a final
+    groupby(chunk_id) concatenates the few fragments per chunk by their min
+    gidx.  Fragments are disjoint gidx intervals (per doc, never merged
+    across docs batch-locally), so the pre-join commutes with the final
+    ordered join.  Cost honesty: repacking by token position inherently
+    moves the text through TWO exchanges (the join and the chunk merge) —
+    both move ~text-size fragment strings, never token-count rows."""
     from .dedup import _hash_join
 
     packed = seq_pack(sf_dir, budget=budget, ranges=ranges)
