@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..pipelines.dedup import _hash_join as _impl_hash_join
+from ..stages.common import hash_part as _hash_part
 
 DEFAULT_PARTS = 16
 
@@ -53,6 +54,9 @@ def broadcast_join(
     keys must be UNIQUE (dimension-table lookup semantics)."""
     import ray
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join: how={how!r} (inner or left)")
+
     key = small[on].to_numpy()
     order = np.argsort(key, kind="stable")
     payload_cols = [c for c in small.columns if c != on]
@@ -75,8 +79,16 @@ def broadcast_join(
                 for c, arr in self.cols.items():
                     out[c] = pa.array(arr[idx[sel]])
                 return pa.table(out)
-            # left join: misses become nulls
+            # left join: misses become nulls (empty small side: all-null
+            # payload columns — arr[idx] would IndexError on length 0)
             for c, arr in self.cols.items():
+                if len(self.keys) == 0:
+                    try:
+                        t = pa.from_numpy_dtype(arr.dtype)
+                    except (pa.ArrowNotImplementedError, ValueError):
+                        t = pa.string()  # object-dtype payload
+                    cols[c] = pa.nulls(len(k), t)
+                    continue
                 vals = pa.array(arr[idx])
                 mask = pa.array(~hit)
                 import pyarrow.compute as pc
@@ -117,9 +129,7 @@ def asof_join_events(
         et = batch["event_type"]
         keep = pa.compute.is_in(et, value_set=pa.array([left_type, right_type]))
         b = batch.filter(keep)
-        u = np.asarray(b["user_id"], dtype=np.int64)
-        with np.errstate(over="ignore"):
-            part = ((u.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(parts)
+        part = _hash_part(np.asarray(b["user_id"], dtype=np.int64), parts)
         side = pa.compute.equal(b["event_type"], right_type).cast(pa.int8())
         return pa.table(
             {

@@ -18,6 +18,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..sources.io import read_parquet_any as _read_parquet_any
+from ..stages.common import hash_part as _hash_part
 
 FOLD_PARTS = 16
 
@@ -28,7 +29,14 @@ def top_k(sf_dir: str, table: str, column: str, k: int = 100) -> pa.Table:
     shuffles the table."""
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        v = batch[column].to_numpy(zero_copy_only=False)
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # drop nulls FIRST: they convert to NaN, and argpartition(-v) ranks
+        # NaN largest — a nullable column would return k NaNs where SQL's
+        # ORDER BY ... DESC (NULLS LAST) returns real values.  If fewer than
+        # k non-null values exist overall, the result holds just those.
+        v = col.drop_null().to_numpy(zero_copy_only=False)
         if len(v) > k:
             v = v[np.argpartition(-v, kth=k - 1)[:k]]
         return pa.table({column: pa.array(np.sort(v)[::-1])})
@@ -116,10 +124,8 @@ def grouped_topk(
         keep = _topn_per_group(g, v, t, n)
         keep.sort()
         sub = batch.take(pa.array(keep, pa.int64()))
-        gk = g[keep]
-        with np.errstate(over="ignore"):
-            part = ((gk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(parts)
-        return sub.append_column("__part", pa.array(part.astype(np.int64)))
+        part = _hash_part(g[keep], parts)
+        return sub.append_column("__part", pa.array(part))
 
     def fold(batch: pa.Table) -> pa.Table:
         out_schema = pa.schema(

@@ -113,6 +113,13 @@ def approx_distinct(
     )
 
     def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty input: no registers at all
+            return pa.table(
+                {
+                    "column": pa.array([column], pa.string()),
+                    "approx_distinct": pa.array([0], pa.int64()),
+                }
+            )
         regs = np.frombuffer(batch["regs"][0].as_py(), dtype=np.uint8)
         return pa.table(
             {
@@ -139,7 +146,8 @@ def distinct_count(
             col = col.combine_chunks()
         import pyarrow.compute as pc
 
-        u = pc.unique(col)
+        # SQL COUNT(DISTINCT) never counts NULL — drop it before hashing
+        u = pc.unique(col).drop_null()
         h = _hash64(u)
         part = (h % np.uint64(parts)).astype(np.int64)
         return pa.table({column: u, "__part": pa.array(part)})

@@ -18,6 +18,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..sources.io import read_parquet_any as _read_parquet_any
+from ..stages.common import hash_part as _hash_part
 
 FOLD_PARTS = 16
 
@@ -53,15 +54,20 @@ def _window_partial(w: np.ndarray, event_type, value) -> pa.Table:
     on the string column; round-3 verdict #9).  __part comes from a Knuth
     multiplicative hash of the window id: window count >> FOLD_PARTS, so
     partitions balance without hashing strings."""
+    import pyarrow.compute as pc
+
     t = pa.table({"w": pa.array(w), "event_type": event_type, "value": value})
+    # count mode="all" == SQL COUNT(*): plain "count" skips nulls, which
+    # would undercount n (and drop all-null groups) on a nullable value
+    # column while the oracle counts every row
     agg = t.group_by(["w", "event_type"]).aggregate(
-        [("value", "count"), ("value", "min"), ("value", "max")]
+        [
+            ("value", "count", pc.CountOptions(mode="all")),
+            ("value", "min"),
+            ("value", "max"),
+        ]
     )
-    wv = agg["w"].to_numpy()
-    with np.errstate(over="ignore"):
-        part = (
-            (wv.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        ) % np.uint64(FOLD_PARTS)
+    part = _hash_part(agg["w"].to_numpy(), FOLD_PARTS)
     return pa.table(
         {
             "w": agg["w"],
@@ -69,7 +75,7 @@ def _window_partial(w: np.ndarray, event_type, value) -> pa.Table:
             "n": agg["value_count"],
             "min_v": agg["value_min"],
             "max_v": agg["value_max"],
-            "__part": pa.array(part.astype(np.int64)),
+            "__part": pa.array(part),
         }
     ).cast(_PART_SCHEMA)
 
@@ -118,13 +124,21 @@ def session_windows(sf_dir: str, gap_sec: int = 1800) -> rd.Dataset:
 
     def add_part(batch: pa.Table) -> pa.Table:
         uid = np.asarray(batch["user_id"], dtype=np.int64)
-        with np.errstate(over="ignore"):
-            part = (uid.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        part = _hash_part(uid, FOLD_PARTS)
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            # cast to int64 MICROSECONDS in Arrow, exactly like
+            # streaming.py's guard: a pandas path that coerces temporal
+            # columns to ns would make astype('int64') yield nanoseconds
+            # and split sessions at gap/1000
+            ts = ts.cast(pa.timestamp("us")).cast(pa.int64())
         return pa.table(
             {
                 "user_id": batch["user_id"],
-                "ts": batch["ts"],
-                "__part": pa.array((part % np.uint64(FOLD_PARTS)).astype(np.int64)),
+                "ts": ts,
+                "__part": pa.array(part),
             }
         )
 
@@ -233,8 +247,6 @@ def range_join_events(
     per partition), then keep rows whose ts is inside that interval's END.
     For overlapping intervals this would need an interval tree; session
     windows are disjoint by construction, so as-of + end-filter is exact."""
-    import numpy as np
-
     from ..stages.common import arrow_out as _arrow_out
 
     sessions = session_windows(sf_dir, gap_sec).filter(expr=f"n_events >= {min_events}")
@@ -243,11 +255,7 @@ def range_join_events(
     )
 
     def _part_of(u: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            return (
-                (u.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-                >> np.uint64(33)
-            ) % np.uint64(parts)
+        return _hash_part(u, parts)
 
     def tag_events(b: pa.Table) -> pa.Table:
         u = np.asarray(b["user_id"], dtype=np.int64)

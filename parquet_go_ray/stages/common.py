@@ -98,3 +98,18 @@ def polars_mod():
         import polars as pl  # noqa: F811
 
         return pl
+
+
+def hash_part(keys, parts: int):
+    """Knuth multiplicative-hash partitioner for int64 keys -> int64 part
+    ids in [0, parts).  THE shared co-partitioning contract: every
+    producer/consumer pair that must land matching keys in the same
+    partition (window folds, session groups, as-of/range joins, grouped
+    top-k, the hash-join prep) calls this one function — a constant or
+    shift tweak applied anywhere else would silently break co-partitioning."""
+    import numpy as np
+
+    k = np.asarray(keys, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        h = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return (h % np.uint64(parts)).astype(np.int64)

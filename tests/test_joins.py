@@ -176,3 +176,20 @@ def test_grouped_topk_matches_duckdb(ray_session):
     assert len(got) == len(want)
     assert (got.o_orderkey.values == want.o_orderkey.values).all()
     assert (got.o_totalprice.values == want.o_totalprice.values).all()
+
+
+def test_broadcast_join_empty_small_and_bad_how(ray_session):
+    import pandas as pd
+    import pytest
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parquet_go_ray.functions.joins import broadcast_join
+
+    big = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64"), "v": pd.Series(dtype="float64")})
+    out = broadcast_join(big, empty, on="k", how="left").to_pandas()
+    assert len(out) == 2 and out["v"].isna().all()
+    assert broadcast_join(big, empty, on="k", how="inner").count() == 0
+    with pytest.raises(ValueError, match="how"):
+        broadcast_join(big, empty, on="k", how="right")

@@ -85,3 +85,23 @@ def test_vocab_topk_matches_duckdb(ray_session):
     want = duckdb.sql(sql).df()
     assert list(got.token) == list(want.token)
     assert list(got.n) == list(want.n)
+
+
+def test_distinct_count_excludes_null_and_empty_hll(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.functions.sketches import approx_distinct, distinct_count
+
+    pq.write_table(
+        pa.table({"x": pa.array([1, 1, 2, None, None], pa.int64())}),
+        tmp_path / "t.parquet",
+    )
+    got = distinct_count(str(tmp_path), table="t", column="x").to_pandas()
+    assert int(got["distinct_count"].iloc[0]) == 2  # NULL never counts
+    # empty input: HLL finishes with 0 instead of IndexError
+    pq.write_table(pa.table({"x": pa.array([], pa.int64())}), tmp_path / "e.parquet")
+    out = approx_distinct(str(tmp_path), table="e", column="x").to_pandas()
+    # empty input: either no batches reach finish (empty result) or the
+    # 0-row-batch guard emits approx_distinct=0 — never an IndexError
+    assert len(out) == 0 or int(out["approx_distinct"].iloc[0]) == 0

@@ -176,3 +176,29 @@ def test_range_join_matches_duckdb(ray_session):
     # genuinely partial: some events fall outside every qualifying session
     total = con.sql("SELECT COUNT(*) FROM events").fetchone()[0]
     assert 0 < len(got) < total
+
+
+def test_tumbling_counts_null_values_like_count_star(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.functions.windows import tumbling_window_agg
+
+    ts = pa.array(
+        np.arange(10) * 1_000_000, pa.timestamp("us")
+    )  # all in window 0 at 900s
+    pq.write_table(
+        pa.table(
+            {
+                "ts": ts,
+                "event_type": pa.array(["a"] * 5 + ["b"] * 5),
+                "value": pa.array([1.0, None, 3.0, None, 5.0] + [None] * 5),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    out = tumbling_window_agg(str(tmp_path)).to_pandas().set_index("event_type")
+    # COUNT(*) semantics: nulls count; the all-null group still appears
+    assert out.loc["a", "n"] == 5 and out.loc["b", "n"] == 5
+    assert np.isnan(out.loc["b", "min_v"]) or out.loc["b", "min_v"] is None
