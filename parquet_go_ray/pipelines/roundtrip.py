@@ -28,7 +28,11 @@ def roundtrip_table(
     """read_parquet -> chunk-encode -> decode -> original columns."""
     cfg = cfg or EngineConfig()
     if codec_map:
-        cfg.per_column_codec = dict(codec_map)
+        import dataclasses
+
+        # never mutate the CALLER's cfg: a shared EngineConfig reused for a
+        # later call would silently inherit this run's per-column codecs
+        cfg = dataclasses.replace(cfg, per_column_codec=dict(codec_map))
     ds = _read_parquet_any(f"{sf_dir}/{table}.parquet", columns=columns)
     chunks = encode_dataset(ds, cfg)
     # no shuffle: encode emits all of a chunk's column rows in one block, so

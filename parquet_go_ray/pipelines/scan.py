@@ -50,7 +50,14 @@ def _chunk_may_match(meta: dict, op: str, value) -> bool:
     if meta.get("max_trunc") and op in (">", ">=", "==", "in", "!="):
         return True  # truncated max cannot safely prune upper-bound/equality
     if isinstance(mn, str):
-        # non-numeric column: stats carry the str() encoding; compare likewise
+        # stats carry the str() encoding.  Lexicographic compare is only
+        # sound when the PROBE is itself a string (a true string column);
+        # for str()-encoded non-string types (Decimal, date, ...) string
+        # order diverges from value order ('7' > '30.00') and pruning
+        # would silently drop matching chunks — decode instead.
+        probes = value if op == "in" else [value]
+        if not all(isinstance(p, str) for p in probes):
+            return True
         conv = str
     else:
         # numeric stats are native JSON numbers; Python int/float comparison
@@ -177,7 +184,10 @@ def scan_column(
                 {
                     "chunk_id": pa.array([], pa.string()),
                     "row_idx": pa.array([], pa.int64()),
-                    column: pa.array([], val_type or pa.int64()),
+                    # null type when NO same-column blob was in the block:
+                    # it promotes to any concrete type at unification,
+                    # where a guessed int64 vs a string column would not
+                    column: pa.array([], val_type or pa.null()),
                 }
             )
         vals = pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in out_vals])
@@ -193,10 +203,14 @@ def scan_column(
 
 
 def count_pruned(chunks: rd.Dataset, column: str, predicate) -> dict:
-    """Report how many chunks the predicate pruned vs decoded (driver-side)."""
+    """Report how many chunks the predicate pruned vs decoded.  Counting
+    happens INSIDE map_batches (only two ints per block reach the driver)
+    — iter_batches would pull every compressed blob through the object
+    store to the driver just to parse its few-hundred-byte header."""
     branches = _normalize_scan_predicate(predicate)
-    pruned = decoded = 0
-    for batch in chunks.iter_batches(batch_format="pyarrow"):
+
+    def part(batch: pa.Table) -> pa.Table:
+        pruned = decoded = 0
         for i in range(batch.num_rows):
             if batch["column"][i].as_py() != column:
                 continue
@@ -205,7 +219,13 @@ def count_pruned(chunks: rd.Dataset, column: str, predicate) -> dict:
                 decoded += 1
             else:
                 pruned += 1
-    return {"pruned": pruned, "decoded": decoded}
+        return pa.table(
+            {"pruned": pa.array([pruned], pa.int64()),
+             "decoded": pa.array([decoded], pa.int64())}
+        )
+
+    pdf = chunks.map_batches(part, batch_format="pyarrow").to_pandas()
+    return {"pruned": int(pdf["pruned"].sum()), "decoded": int(pdf["decoded"].sum())}
 
 
 def skip_read(
@@ -232,6 +252,11 @@ def skip_read(
     ctx.execution_options.preserve_order = True
     ds_ctx.execution_options.preserve_order = True
     try:
+        # materialize ONCE: `chunks` is usually a lazy encode pipeline, and
+        # without this both the metadata pass and the decode pass would
+        # re-run the entire upstream encode — the object store holds (and
+        # spills) the compressed chunk table instead
+        chunks = chunks.materialize()
         meta_pdf = (
             chunks.select_columns(["chunk_id", "column", "rows"])
             .filter(expr=f"column == '{column}'")

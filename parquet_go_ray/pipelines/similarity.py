@@ -27,6 +27,9 @@ def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     col = batch["embedding"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:
+        # reshape(0, -1) is invalid numpy; an empty block must not kill the job
+        return ids, np.empty((0, 1), dtype=np.float64)
     # zero-copy flatten + reshape (uniform dim), no per-row object conversion
     emb = np.asarray(col.flatten()).reshape(len(col), -1).astype(np.float64)
     return ids, emb
@@ -47,10 +50,17 @@ class _BatchTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, emb = _emb_matrix(batch)
+        if len(ids) == 0:  # empty block: typed empty result, not kth=-1
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         cos = _normalize(emb) @ self.Qn.T  # (n_batch, n_queries)
         k = min(self.k + 1, len(ids))  # +1 to survive dropping self-matches
         top = np.argpartition(-cos, kth=k - 1, axis=0)[:k]  # (k, n_queries)
-        rows = {"query_id": [], "vec_id": [], "cosine": []}
         nq = cos.shape[1]
         qi = np.repeat(self.qids, k)
         vi = ids[top.T.reshape(-1)]

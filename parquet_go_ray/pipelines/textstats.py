@@ -99,7 +99,6 @@ class QualityScore:
         words = text.str.strip().str.split(self.ws).str.len().astype(np.int64)
         words = words.where(text.str.strip().str.len() > 0, 0)
         punct = text.str.count(self.punct).astype(np.int64)
-        avg_word_len = np.where(words > 0, (chars - (words - 1).clip(lower=0)) / np.maximum(words, 1), 0.0)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],

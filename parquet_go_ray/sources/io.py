@@ -97,10 +97,20 @@ def read_parquet_any(paths, columns: list[str] | None = None, **kwargs) -> rd.Da
             ds = rd.read_parquet(plain, columns=columns, **kwargs)
         return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
     resolved = [resolve_filesystem(p) for p in paths]
-    fss = {id(r[0]) for r in resolved}
-    if len(fss) > 1:
-        raise ValueError("mixed filesystems in one read")
+
+    def _fs_eq(a, b):
+        # VALUE equality, not id(): every resolve builds a fresh instance,
+        # so id() rejected any multi-URI read of the same filesystem
+        if a is None or b is None:
+            return a is b
+        try:
+            return a.equals(b)
+        except AttributeError:
+            return a == b
+
     fs = resolved[0][0]
+    if any(not _fs_eq(fs, r[0]) for r in resolved[1:]):
+        raise ValueError("mixed filesystems in one read")
     plain = [r[1] for r in resolved]
     if "schema" not in kwargs:
         sch = _clean_read_schema(plain[0], fs, columns)

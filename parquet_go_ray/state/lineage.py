@@ -32,6 +32,13 @@ def _is_uri(path: str) -> bool:
     return "://" in path and not path.startswith("file://")
 
 
+def _norm(path: str) -> str:
+    """file:// URIs become plain local paths — the local branch would
+    otherwise os.makedirs a LITERAL './file:/...' directory that no
+    file://-resolving reader (pyarrow, resolve_filesystem) ever finds."""
+    return path[len("file://") :] if path.startswith("file://") else path
+
+
 def _fs(path):
     import fsspec
 
@@ -39,12 +46,14 @@ def _fs(path):
 
 
 def part_dir(out_dir: str, part: int) -> str:
+    out_dir = _norm(out_dir)
     if _is_uri(out_dir):
         return out_dir.rstrip("/") + f"/part={part:05d}"
     return os.path.join(out_dir, f"part={part:05d}")
 
 
 def is_done(out_dir: str, part: int) -> bool:
+    out_dir = _norm(out_dir)
     if _is_uri(out_dir):
         fs, root = _fs(part_dir(out_dir, part))
         return fs.exists(root + "/lineage.json")
@@ -52,6 +61,7 @@ def is_done(out_dir: str, part: int) -> bool:
 
 
 def done_parts(out_dir: str) -> set[int]:
+    out_dir = _norm(out_dir)
     if _is_uri(out_dir):
         fs, root = _fs(out_dir)
         if not fs.exists(root):
@@ -77,6 +87,7 @@ def write_partition(out_dir: str, part: int, chunk_table, lineage: dict) -> str:
     """Atomically write one partition's chunks + lineage record."""
     import pyarrow.parquet as pq
 
+    out_dir = _norm(out_dir)
     final = part_dir(out_dir, part)
     if _is_uri(out_dir):
         fs, froot = _fs(final)
@@ -107,6 +118,7 @@ def write_partition(out_dir: str, part: int, chunk_table, lineage: dict) -> str:
 
 
 def read_lineage(out_dir: str, part: int) -> dict:
+    out_dir = _norm(out_dir)
     if _is_uri(out_dir):
         fs, root = _fs(part_dir(out_dir, part))
         with fs.open(root + "/lineage.json", "r") as f:

@@ -57,3 +57,32 @@ def test_resolve_filesystem_local_passthrough():
     assert fs is None and p == "/tmp/x.parquet"
     fs, p = resolve_filesystem("memory://bucket/key.parquet")
     assert fs is not None
+
+
+def test_lineage_file_uri_normalizes(tmp_path):
+    import os
+
+    import pyarrow as pa
+
+    from parquet_go_ray.state import lineage as L
+
+    uri = f"file://{tmp_path}/ckpt"
+    t = pa.table({"x": pa.array([1, 2], pa.int64())})
+    L.write_partition(uri, 3, t, {"rows": 2})
+    # the checkpoint must land at the REAL local path, not ./file:/...
+    assert os.path.exists(tmp_path / "ckpt" / "part=00003" / "lineage.json")
+    assert L.is_done(uri, 3) and L.is_done(str(tmp_path / "ckpt"), 3)
+    assert L.done_parts(uri) == {3}
+    assert L.read_lineage(uri, 3)["rows"] == 2
+
+
+def test_multi_uri_read_same_filesystem(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.sources.io import read_parquet_any
+
+    for n in ("a", "b"):
+        pq.write_table(pa.table({"x": pa.array([1], pa.int64())}), tmp_path / f"{n}.parquet")
+    uris = [f"file://{tmp_path}/a.parquet", f"file://{tmp_path}/b.parquet"]
+    assert read_parquet_any(uris).count() == 2

@@ -210,3 +210,19 @@ def test_scan_column_dnf_and_new_ops(ray_session):
     st_ne = count_pruned(cchunks, "v", ("!=", 7))
     assert st_ne["decoded"] == 0
     assert scan_column(cchunks, "v", predicate=("!=", 7)).count() == 0
+
+
+def test_str_stats_never_prune_non_string_probe():
+    """str()-encoded stats (e.g. a Decimal column) order differently from
+    their values ('7' > '30.00'); pruning must decode, not skip."""
+    from parquet_go_ray.pipelines.scan import _chunk_may_match
+
+    meta = {"min": "10.00", "max": "30.00"}  # str()-encoded decimal stats
+    from decimal import Decimal
+
+    # non-string probe on str stats: cannot prune (must return True)
+    assert _chunk_may_match(meta, "==", Decimal("25.00"))
+    assert _chunk_may_match(meta, ">=", 7)
+    # genuine string column with string probe still prunes
+    assert not _chunk_may_match({"min": "a", "max": "c"}, "==", "x")
+    assert _chunk_may_match({"min": "a", "max": "c"}, "==", "b")
