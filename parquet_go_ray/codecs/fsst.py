@@ -267,7 +267,12 @@ def fsst_encode_buffer(
             j = int(np.searchsorted(ends, target))
             vj = min(j + 1, nv)
             seg_end = int(ends[vj - 1])
-            if seg_end <= seg_start:  # single giant value: split mid-value
+            # a giant value would otherwise become one unbounded segment
+            # (searchsorted guarantees seg_end >= target, so the old
+            # `seg_end <= seg_start` guard could never fire): cap the
+            # segment at 2x the target and split MID-VALUE, which bounds
+            # the parse scratch at ~2*SEGMENT_BYTES as documented
+            if seg_end - seg_start > 2 * SEGMENT_BYTES:
                 seg_end, vj = min(target, n), vi + 1
         seg = buf[seg_start:seg_end]
         # per-value lengths inside the segment; a mid-split giant value is
@@ -384,7 +389,13 @@ def train(buf: np.ndarray, value_lens: np.ndarray, seed: int = 0) -> SymbolTable
             b = id_bytes(int(i))
             gains[b] = gains.get(b, 0) + int(cnt[i]) * ((len(b) - 1) * 8 + 7)
         if len(ids) > 1:
-            pid = ids[:-1] * 512 + ids[1:]
+            # count ONLY pairs inside one value: the encoder clips matches
+            # at value boundaries, so a cross-boundary concatenation symbol
+            # can never match — promoting one wastes a slot of the 255
+            ends_v = np.cumsum(s_lens)
+            vid = np.searchsorted(ends_v, starts, side="right")
+            same_val = vid[:-1] == vid[1:]
+            pid = ids[:-1][same_val] * 512 + ids[1:][same_val]
             upair, pcnt = np.unique(pid, return_counts=True)
             id_len = np.array(
                 [len(s) for s in table.symbols]

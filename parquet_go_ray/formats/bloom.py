@@ -106,6 +106,80 @@ def xxh64_u64(vals: np.ndarray) -> np.ndarray:
         return h
 
 
+def _vround(acc: np.ndarray, lane: np.ndarray) -> np.ndarray:
+    return _vrotl(acc + lane * _u64(_P2), 31) * _u64(_P1)
+
+
+def _xxh64_same_len(m: np.ndarray) -> np.ndarray:
+    """Vectorized XXH64 (seed 0) of n equal-length byte rows (n, L) uint8 —
+    vectorizes ACROSS values; the per-stripe loop is ceil(L/32)+tail steps.
+    Bit-identical to the scalar reference (property-tested)."""
+    n, L = m.shape
+    with np.errstate(over="ignore"):
+        pos = 0
+        if L >= 32:
+            v1 = np.full(n, _u64((_P1 + _P2) & _M), np.uint64)
+            v2 = np.full(n, _u64(_P2), np.uint64)
+            v3 = np.zeros(n, np.uint64)
+            v4 = np.full(n, _u64((-_P1) & _M), np.uint64)
+            while pos + 32 <= L:
+                lanes = np.ascontiguousarray(m[:, pos : pos + 32]).view("<u8")
+                v1 = _vround(v1, lanes[:, 0])
+                v2 = _vround(v2, lanes[:, 1])
+                v3 = _vround(v3, lanes[:, 2])
+                v4 = _vround(v4, lanes[:, 3])
+                pos += 32
+            h = (
+                _vrotl(v1, 1) + _vrotl(v2, 7) + _vrotl(v3, 12) + _vrotl(v4, 18)
+            )
+            for v in (v1, v2, v3, v4):
+                h = (h ^ _vround(np.zeros(n, np.uint64), v)) * _u64(_P1) + _u64(_P4)
+        else:
+            h = np.full(n, _u64(_P5 & _M), np.uint64)
+        h = h + _u64(L)
+        while pos + 8 <= L:
+            lane = np.ascontiguousarray(m[:, pos : pos + 8]).view("<u8")[:, 0]
+            h = _vrotl(h ^ _vround(np.zeros(n, np.uint64), lane), 27) * _u64(_P1) + _u64(_P4)
+            pos += 8
+        if pos + 4 <= L:
+            lane = np.ascontiguousarray(m[:, pos : pos + 4]).view("<u4")[:, 0].astype(np.uint64)
+            h = _vrotl(h ^ (lane * _u64(_P1)), 23) * _u64(_P2) + _u64(_P3)
+            pos += 4
+        while pos < L:
+            h = _vrotl(h ^ (m[:, pos].astype(np.uint64) * _u64(_P5)), 11) * _u64(_P1)
+            pos += 1
+        h ^= h >> _u64(33)
+        h *= _u64(_P2)
+        h ^= h >> _u64(29)
+        h *= _u64(_P3)
+        h ^= h >> _u64(32)
+        return h
+
+
+def xxh64_bytes(arr) -> np.ndarray:
+    """Vectorized XXH64 over a null-free variable-length binary/string Arrow
+    array: values are LENGTH-GROUPED and each group hashes via the
+    equal-length kernel — replaces the per-value pure-Python loop that
+    dominated bloom build on high-cardinality string columns."""
+    from ..codecs.base import binary_parts
+
+    lengths, data = binary_parts(arr)
+    n = len(lengths)
+    out = np.empty(n, np.uint64)
+    if n == 0:
+        return out
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    for L in np.unique(lengths):
+        sel = lengths == L
+        if L == 0:
+            out[sel] = np.uint64(xxh64(b""))
+            continue
+        m = data[starts[sel][:, None] + np.arange(int(L), dtype=np.int64)]
+        out[sel] = _xxh64_same_len(m)
+    return out
+
+
 def xxh64_u32(vals: np.ndarray) -> np.ndarray:
     """Vectorized XXH64 of 4-byte little-endian inputs (seed 0): int32 /
     float columns reinterpreted as uint32."""
@@ -197,11 +271,26 @@ def hash_arrow_values(arr: pa.Array, pt: int) -> np.ndarray | None:
         return np.empty(0, dtype=np.uint64)
     if pt in (PT_INT64, PT_DOUBLE):
         np_arr = arr.to_numpy(zero_copy_only=False)
+        if np_arr.dtype.kind == "f":
+            np_arr = np_arr + 0.0  # -0.0 -> +0.0: see hash_plain_scalar
         return xxh64_u64(np.ascontiguousarray(np_arr))
     if pt in (PT_INT32, PT_FLOAT):
         np_arr = arr.to_numpy(zero_copy_only=False)
+        if np_arr.dtype.kind == "f":
+            np_arr = np_arr + 0.0
         return xxh64_u32(np.ascontiguousarray(np_arr))
     if pt in (PT_BYTE_ARRAY, PT_FLBA):
+        import pyarrow as pa
+
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type) \
+                or pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+            return xxh64_bytes(arr)
+        if pa.types.is_fixed_size_binary(arr.type):
+            w = arr.type.byte_width
+            m = np.frombuffer(arr.buffers()[1], dtype=np.uint8)[
+                arr.offset * w : (arr.offset + len(arr)) * w
+            ].reshape(len(arr), w)
+            return _xxh64_same_len(m)
         vals = arr.to_pylist()
         return np.array(
             [xxh64(v if isinstance(v, bytes) else str(v).encode()) for v in vals],
@@ -222,9 +311,12 @@ def hash_plain_scalar(value, pt: int) -> int | None:
     if pt == PT_INT32:
         return xxh64(struct.pack("<i", int(value)))
     if pt == PT_DOUBLE:
-        return xxh64(struct.pack("<d", float(value)))
+        # normalize signed zero on BOTH insert and probe: -0.0 and +0.0 are
+        # distinct bit patterns, and a bloom false NEGATIVE silently prunes
+        # row groups containing matching rows (-0.0 == 0.0 in SQL)
+        return xxh64(struct.pack("<d", float(value) + 0.0))
     if pt == PT_FLOAT:
-        return xxh64(struct.pack("<f", float(value)))
+        return xxh64(struct.pack("<f", float(value) + 0.0))
     if pt in (PT_BYTE_ARRAY, PT_FLBA):
         return xxh64(value if isinstance(value, bytes) else str(value).encode())
     return None

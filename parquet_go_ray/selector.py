@@ -23,8 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import codecs
-from .chunk import _outer_compress, _physical
-from .codecs import rle as rle_mod
+from .chunk import _outer_compress
 from .config import DEFAULT, EngineConfig
 
 REFERENCE_POLICY = (("plain", "snappy"), ("dict_rle", "snappy"))
@@ -56,7 +55,9 @@ def logical_nbytes(arr: pa.Array) -> int:
 def _sample(values: pa.Array, k: int, max_bytes: int | None = None) -> pa.Array:
     n = len(values)
     if n > k:
-        step = n // k
+        # ceil-divide: floor made step==1 for k < n < 2k, degrading the
+        # "strided sample" to a prefix slice of a possibly-clustered chunk
+        step = -(n // -k)
         idx = np.arange(0, n, step, dtype=np.int64)[:k]
         values = values.take(pa.array(idx))
     if max_bytes is not None and len(values) > 8:
@@ -244,6 +245,12 @@ def select_codec(
         ratios[f"{codec}+{outer}"] = round(ratio, 4)
         times[f"{codec}+{outer}"] = round(cost * 1e9, 2)  # ns/byte
         results.append((ratio, cost, codec, outer))
+    if not results:
+        raise TypeError(
+            f"select_codec: no candidate codec can encode arrow type "
+            f"{values.type} (every trial raised); add a codec or cast the "
+            "column upstream"
+        )
     best_ratio = min(r[0] for r in results)
     # cost-weighted pick: score = ratio + speed_weight * slowdown.
     #   static (default): slowdown from the calibrated constant table above —

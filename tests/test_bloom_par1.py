@@ -194,3 +194,26 @@ def test_write_par1_bloom_engine_roundtrip_full(tmp_path):
                bloom=["a", "b"])
     back = read_par1(p, verify_crc=True)
     assert back.to_pydict() == t.to_pydict()
+
+
+def test_bloom_signed_zero_and_vectorized_bytes():
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_ray.formats.bloom import (
+        SplitBlockBloom, hash_arrow_values, hash_plain_scalar, xxh64,
+        xxh64_bytes,
+    )
+    from parquet_go_ray.formats.parquet_meta import PT_DOUBLE
+
+    # -0.0 inserted, +0.0 probed: must NOT false-negative (SQL -0.0 == 0.0)
+    sb = SplitBlockBloom(64)
+    sb.insert(hash_arrow_values(pa.array([-0.0, 1.5], pa.float64()), PT_DOUBLE))
+    assert sb.check(np.array([hash_plain_scalar(0.0, PT_DOUBLE)], dtype=np.uint64))[0]
+    # vectorized variable-length path is bit-identical to the scalar spec
+    rng = np.random.default_rng(11)
+    vals = [rng.integers(0, 256, size=int(n)).astype(np.uint8).tobytes()
+            for n in rng.integers(0, 90, size=300)]
+    got = xxh64_bytes(pa.array(vals, pa.binary()))
+    want = np.array([xxh64(v) for v in vals], dtype=np.uint64)
+    assert (got == want).all()

@@ -67,3 +67,27 @@ def test_random_bytes_roundtrip():
     rng = np.random.default_rng(3)
     vals = [bytes(rng.integers(0, 256, rng.integers(0, 200), dtype=np.uint8)) for _ in range(500)]
     rt(pa.array(vals, type=pa.binary()))
+
+
+def test_giant_value_segments_bounded():
+    import numpy as np
+
+    from parquet_go_ray.codecs import fsst as F
+
+    # one value far larger than SEGMENT_BYTES must round-trip AND be parsed
+    # in bounded segments (the old guard was unreachable -> one huge parse)
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    # scale SEGMENT_BYTES down for the test so a "giant" value stays cheap
+    old = F.SEGMENT_BYTES
+    F.SEGMENT_BYTES = 1 << 12
+    try:
+        big = bytes(rng.integers(97, 105, size=3 * F.SEGMENT_BYTES).astype(np.uint8))
+        vals = [big, b"small", b"", b"tail" * 50]
+        arr = pa.array(vals, pa.binary())
+        payload, meta = F.encode_fsst(arr)
+        out = F.decode_fsst(payload, meta, pa.binary())
+        assert out.to_pylist() == vals
+    finally:
+        F.SEGMENT_BYTES = old
