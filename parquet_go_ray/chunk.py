@@ -101,7 +101,9 @@ def _bloom_supported(t: pa.DataType) -> bool:
 # finalizer) instead of polars Series.hash, whose output is documented as
 # unstable across versions.  Probing a bloom whose ``hv`` tag mismatches
 # degrades to "may contain" (no pruning) rather than silent false negatives.
-_BLOOM_HV = 1
+_BLOOM_HV = 2  # v2: trailing-empty-string reduceat fix + uint64>=2^63 wrap —
+# v1 blooms in old checkpoints degrade to "may contain" instead of probing
+# with a mismatched hash (which could false-negative)
 _POLY_P = np.uint64(1099511628211)  # FNV-1a 64-bit prime as the polynomial base
 
 
@@ -141,11 +143,17 @@ def _poly_hash_bytes(values: pa.Array) -> np.ndarray:
             gidx = np.arange(base, int(offs[-1]), dtype=np.int64)
             pos_from_end = ends[owner] - 1 - gidx
             contrib = data[base : base + total].astype(np.uint64) * pows[pos_from_end]
-            # reduceat: an empty segment yields a garbage single element — mask
-            # those back to 0 afterwards; clamp indices to stay in bounds
-            seg = np.minimum(starts - base, total - 1)
-            h = np.add.reduceat(contrib, seg)
-            h[lens == 0] = 0
+            # reduceat over NON-EMPTY segments only, scattered back: the old
+            # clamp (min(start, total-1)) split the LAST non-empty value's
+            # byte range whenever trailing empty strings followed it, so its
+            # hash lost its final byte -> bloom FALSE NEGATIVES that pruned
+            # chunks containing the probe value
+            nonempty = lens > 0
+            h = np.zeros(len(b), np.uint64)
+            if nonempty.any():
+                h[nonempty] = np.add.reduceat(
+                    contrib, (starts - base)[nonempty]
+                )
         return h * _POLY_P + lens.astype(np.uint64)
 
 
@@ -156,10 +164,12 @@ def _bloom_hashes(values: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         values = values.combine_chunks()
     t = values.type
     if pa.types.is_integer(t):
+        # numpy astype wraps uint64 >= 2^63 deterministically where the
+        # safe Arrow cast(pa.int64()) raised ArrowInvalid (build AND probe
+        # take this same path, so the wrap is consistent)
         base = (
-            values.cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
+            values.to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
             .view(np.uint64)
         )
     else:
@@ -435,6 +445,8 @@ def encode_any_chunk(arr, cfg: EngineConfig = DEFAULT, outer: str = "none") -> d
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.dictionary_decode()  # see encode_column_chunk's note
     t = arr.type
     if pa.types.is_map(t):
         return encode_map_chunk(arr, cfg, outer)
@@ -599,6 +611,12 @@ def encode_column_chunk(
     pages for EVERY codec, not just PLAIN fixed-width."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        # decode BEFORE capturing orig_type: a 'dictionary<...>' meta type
+        # has no _str_to_type alias, so the blob would encode fine but be
+        # permanently undecodable.  The engine applies its own dictionary
+        # encoding downstream when it wins.
+        arr = arr.dictionary_decode()
     orig_type = str(arr.type)
     phys, logical = _physical(arr)
     n = len(phys)
@@ -852,9 +870,12 @@ def paged_skip_stats(blob: bytes, row_offset: int, row_count: int) -> dict:
     n, nulls = meta["n"], meta["nulls"]
     nv = n - nulls
     if nulls:
-        # conservative: without decoding levels the value range is unknown;
-        # assume rows == values (an upper bound on pages touched)
-        v0, v1 = row_offset, min(row_offset + row_count, nv)
+        # SOUND upper bound without decoding levels: the true value start is
+        # cumsum(validity)[row_offset-1], which is AT MOST `nulls` below
+        # row_offset — starting the claimed window at row_offset alone could
+        # UNDER-report pages the real decode touches
+        v0 = max(0, row_offset - nulls)
+        v1 = min(row_offset + row_count, nv)
     else:
         v0, v1 = row_offset, row_offset + row_count
     first, last = _paged_page_range(meta, v0, min(v1, nv))

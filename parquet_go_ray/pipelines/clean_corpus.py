@@ -28,9 +28,16 @@ from ..stages.common import arrow_out as _arrow_out
 
 
 def _stage_done(path: str) -> bool:
-    return os.path.isdir(path) and bool(
-        [f for f in os.listdir(path) if f.endswith(".parquet")]
-    )
+    """A stage counts as done only when its _SUCCESS marker exists — Ray's
+    write_parquet lands part files incrementally, so "any .parquet present"
+    would resume past a crash-truncated stage and silently lose rows (the
+    same marker-last rule as state/lineage.py)."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _mark_done(path: str) -> None:
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        f.write("ok")
 
 
 def clean_corpus(
@@ -68,12 +75,14 @@ def clean_corpus(
 
         shutil.rmtree(s1, ignore_errors=True)
         docs.map_batches(_arrow_out(keep_quality), batch_format="pandas").write_parquet(s1)
+        _mark_done(s1)
     report["after_quality"] = _read_parquet_any(f"{s1}").count()
 
     # -- stage 2: exact dedup --
     if not _stage_done(s2):
         shutil.rmtree(s2, ignore_errors=True)
         dedup_exact(s1).write_parquet(s2)
+        _mark_done(s1)
     report["after_exact"] = _read_parquet_any(f"{s2}").count()
 
     # -- stage 3: near-dup dedup (keep each cluster's min doc_id) --
@@ -106,6 +115,7 @@ def clean_corpus(
         )
         shutil.rmtree(s3, ignore_errors=True)
         cleaned.write_parquet(s3)
+        _mark_done(s3)
     report["after_near"] = _read_parquet_any(f"{s3}").count()
     report["workdir"] = workdir
     return report

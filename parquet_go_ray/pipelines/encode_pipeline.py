@@ -64,6 +64,8 @@ def _plan_codecs(ds: rd.Dataset, cfg: EngineConfig) -> EngineConfig:
         ds_ctx.execution_options.preserve_order = True
     try:
         sample = ds.take_batch(cfg.plan_sample_rows, batch_format="pyarrow")
+    except ValueError:  # empty dataset: nothing to plan, per-chunk selection
+        return cfg
     finally:
         if ds_ctx is not None:
             ds_ctx.execution_options.preserve_order = prev_order
@@ -367,10 +369,23 @@ def encode_partitioned(
             by_size = int(total_bytes // cfg.target_chunk_bytes)
             by_cpu = min(2 * ncpu, int(total_bytes // (8 << 20)))
             num_parts = max(1, by_size, by_cpu)
+    salt_planned = cfg.salt_buckets if cfg.salt_buckets is not None else num_parts
+    if out_dir is not None:
+        # the row -> part mapping must be IDENTICAL across resume attempts:
+        # num_parts/salt derive from live cluster CPUs + size estimates, so
+        # a resume on different hardware would remap rows and silently skip
+        # those whose new part id collides with an already-done checkpoint.
+        # The plan persists before any partition encodes; resumes reuse it.
+        existing = lin.read_plan(out_dir)
+        if existing is not None:
+            num_parts = int(existing["num_parts"])
+            salt_planned = int(existing["salt"])
+        else:
+            lin.write_plan(out_dir, {"num_parts": num_parts, "salt": salt_planned})
     _budget_hash_shuffle(dc, ncpu, num_parts)
     if cfg.plan_codecs_globally and not cfg.per_column_codec:
         cfg = _plan_codecs(ds, cfg)
-    salt = cfg.salt_buckets if cfg.salt_buckets is not None else num_parts
+    salt = salt_planned
     if cfg.pack_shuffle:
         ds = ds.map_batches(
             pack_cells(num_parts, salt, cfg.pack_codec), batch_format="pyarrow"
@@ -404,7 +419,14 @@ def encode_partitioned(
                 mask = ~np.isin(np.asarray(batch["__part"]), done_arr)
                 return batch.filter(pa.array(mask))
 
-            ds = ds.map_batches(drop_done, batch_format="pyarrow")
+            # resume-only: materialize the REMAINING rows (bounded by the
+            # unfinished work set) so the emptiness check is free — a
+            # not-done partition can still hold zero rows (sparse key
+            # space), and a zero-block hash-shuffle exchange dies on a
+            # fabricated schema-less empty block
+            ds = ds.map_batches(drop_done, batch_format="pyarrow").materialize()
+            if ds.count() == 0:
+                return rd.from_arrow(_METRICS_SCHEMA.empty_table())
     import functools
 
     # map_groups == repartition(keys, sort) + map_batches(batch_size=None),

@@ -71,18 +71,20 @@ class ImageFeatureStage:
 
     DIM = 8
 
-    def __init__(self, target: tuple[int, int] = (224, 224)):
+    def __init__(self, target: tuple[int, int] = (224, 224), use_real: bool = False):
         self.target = target
-        try:
-            from PIL import Image  # noqa: F401
-
-            self.real = True
-        except ImportError:
-            self.real = False
+        # OPT-IN, never probed: auto-detecting PIL used to flip self.real on
+        # any machine with pillow installed — and then crash every batch,
+        # because _decode_real is an honest stub.  The deterministic
+        # sha-derived fake is the supported path; a deployment with real
+        # decode passes use_real=True together with its own _decode_real.
+        self.real = use_real
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
         raise NotImplementedError(
-            "real image decode requires PIL; this container runs the stub"
+            "real image decode is deliberately stubbed (no image library in "
+            "this container); subclass and override _decode_real, then "
+            "construct with use_real=True"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -96,8 +98,8 @@ class ImageFeatureStage:
         import pyarrow.compute as pc
 
         is_img = np.asarray(pc.starts_with(mime.cast(pa.string()), "image/"))
-        if self.real:  # pragma: no cover — no PIL in this container
-            raise NotImplementedError
+        if self.real:  # pragma: no cover — opt-in subclass path
+            self._decode_real(b"")  # informative NotImplementedError
         # sha256 per payload (C kernel), parsed into features in one
         # vectorized pass over the concatenated digest buffer
         digests = b"".join(

@@ -150,3 +150,40 @@ def collect_manifest(out_dir: str) -> dict:
         "ref_bytes": sum(r.get("ref_bytes", 0) for r in recs),
         "parts": parts,
     }
+
+
+def read_plan(out_dir: str) -> dict | None:
+    """The run's partitioning plan (_plan.json), or None if absent."""
+    out_dir = _norm(out_dir)
+    if _is_uri(out_dir):
+        fs, root = _fs(out_dir)
+        p = root.rstrip("/") + "/_plan.json"
+        if not fs.exists(p):
+            return None
+        with fs.open(p, "r") as f:
+            return json.load(f)
+    p = os.path.join(out_dir, "_plan.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_plan(out_dir: str, plan: dict) -> None:
+    """Persist the partitioning plan FIRST (before any partition encodes):
+    resume must reuse the original num_parts/salt — they derive from live
+    cluster CPUs and size estimates, so a resume on different hardware
+    would remap rows to different part ids and silently skip rows whose
+    NEW id collides with an already-done part."""
+    out_dir = _norm(out_dir)
+    if _is_uri(out_dir):
+        fs, root = _fs(out_dir)
+        fs.makedirs(root, exist_ok=True)
+        with fs.open(root.rstrip("/") + "/_plan.json", "w") as f:
+            f.write(json.dumps(plan))
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f".plan.{os.getpid()}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(plan, f)
+    os.replace(tmp, os.path.join(out_dir, "_plan.json"))

@@ -62,26 +62,47 @@ def chunk_cat(out_dir: str, column: str, limit: int = 10, skip: int = 0) -> list
     out = []
     remaining_skip, remaining = skip, limit
     for part in sorted(lin.done_parts(out_dir)):
-        t = pq.read_table(
-            f"{lin.part_dir(out_dir, part)}/chunks.parquet",
-            columns=["column", "rows", "blob"],
-        )
-        for i in range(t.num_rows):
-            if t["column"][i].as_py() != column:
+        path = f"{lin.part_dir(out_dir, part)}/chunks.parquet"
+        # metadata-only first pass: pick the FEW chunk rows the window
+        # touches, then fetch ONLY those rows' blobs (a blanket blob-column
+        # read would load every payload in the part — including wholly
+        # skipped chunks — just to cat a handful of rows)
+        meta = pq.read_table(path, columns=["column", "rows"])
+        need: list[tuple[int, int, int]] = []  # (row index, offset, count)
+        rs, rm = remaining_skip, remaining
+        for i in range(meta.num_rows):
+            if meta["column"][i].as_py() != column:
                 continue
-            n = t["rows"][i].as_py()
-            if remaining_skip >= n:
-                remaining_skip -= n  # skipped: blob never decompressed
+            n = meta["rows"][i].as_py()
+            if rs >= n:
+                rs -= n  # skipped: blob never read at all
                 continue
-            take = min(n - remaining_skip, remaining)
-            arr = decode_column_chunk(
-                t["blob"][i].as_py(), row_offset=remaining_skip, row_count=take
-            )
-            out.extend(arr.to_pylist())
-            remaining_skip = 0
-            remaining -= take
-            if remaining <= 0:
-                return out
+            take = min(n - rs, rm)
+            need.append((i, rs, take))
+            rs = 0
+            rm -= take
+            if rm <= 0:
+                break
+        if need:
+            pf = pq.ParquetFile(path)
+            rows_seen = 0
+            want = {i: (off, cnt) for i, off, cnt in need}
+            max_row = max(want) + 1
+            for b in pf.iter_batches(columns=["blob"]):
+                for j in range(b.num_rows):
+                    ridx = rows_seen + j
+                    if ridx in want:
+                        off, cnt = want[ridx]
+                        arr = decode_column_chunk(
+                            b["blob"][j].as_py(), row_offset=off, row_count=cnt
+                        )
+                        out.extend(arr.to_pylist())
+                rows_seen += b.num_rows
+                if rows_seen >= max_row:
+                    break  # later blobs never leave disk
+        remaining_skip, remaining = rs, rm
+        if remaining <= 0:
+            return out
     return out
 
 

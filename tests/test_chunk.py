@@ -164,3 +164,37 @@ def test_codec_selection_deterministic():
         first = select_codec(arr, cfg)[:2]
         for _ in range(3):
             assert select_codec(arr, cfg)[:2] == first, name
+
+
+def test_bloom_trailing_empty_and_uint64():
+    """Regression: a trailing empty string corrupted the LAST non-empty
+    value's hash (reduceat clamp split its byte range) -> false-negative
+    pruning; uint64 >= 2^63 crashed the safe int64 cast."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_ray.chunk import _bloom_build, bloom_may_contain
+
+    bloom = _bloom_build(pa.array(["ab", ""]), 10)
+    assert bloom_may_contain(bloom, "ab", pa.string())
+    bloom2 = _bloom_build(pa.array(["hello", "x", "", ""]), 10)
+    assert bloom_may_contain(bloom2, "hello", pa.string())
+    big = 2**63 + 5
+    bloom3 = _bloom_build(pa.array([big, 7], pa.uint64()), 10)
+    assert bloom_may_contain(bloom3, big, pa.uint64())
+
+
+def test_dictionary_typed_input_roundtrips():
+    """Dictionary-typed arrays decode at entry: the old path recorded meta
+    type 'dictionary<...>' which had no alias, leaving blobs unreadable."""
+    import pyarrow as pa
+
+    from parquet_go_ray.chunk import (
+        decode_column_chunk, encode_any_chunk, encode_column_chunk,
+    )
+
+    arr = pa.array(["a", "b", "a", "c", None]).dictionary_encode()
+    for row in (encode_any_chunk(arr), encode_column_chunk(arr, "plain")):
+        out = decode_column_chunk(row["blob"])
+        assert out.to_pylist() == ["a", "b", "a", "c", None]
+        assert out.type == pa.string()

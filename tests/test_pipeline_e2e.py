@@ -1080,3 +1080,37 @@ def test_review_fixes_fsck_temporal_and_trunc(tmp_path, ray_session):
     write_par1(t, str(dd / "p.parquet"), codec="snappy", page_rows=500)
     res = validate_par1_dataset(str(dd)).to_pandas()
     assert res.ok.all(), res[~res.ok][["path", "error"]].to_string()
+
+
+def test_resume_reuses_persisted_plan(ray_session, tmp_path):
+    """The row->part mapping must be identical across resume attempts even
+    if num_parts would be derived differently (different CPUs / size
+    estimate): the plan persists first and resumes reuse it."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parquet_go_ray.config import EngineConfig
+    from parquet_go_ray.pipelines.encode_pipeline import encode_partitioned
+    from parquet_go_ray.state import lineage as lin
+
+    out = str(tmp_path / "ckpt")
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i % 7}" for i in range(400)]),
+            "content": pa.array([f"line {i}" * 4 for i in range(400)]),
+        }
+    )
+    cfg = EngineConfig(partitions=4, plan_codecs_globally=False, verify_sha256=False)
+    encode_partitioned(rd.from_arrow(t), out, cfg).materialize()
+    plan = lin.read_plan(out)
+    assert plan == {"num_parts": 4, "salt": 4}
+    # a "resume" with a DIFFERENT requested partitioning must stick to the
+    # recorded plan (4), not remap rows into 2 parts
+    cfg2 = EngineConfig(partitions=2, plan_codecs_globally=False, verify_sha256=False)
+    m = encode_partitioned(rd.from_arrow(t), out, cfg2).materialize()
+    # all rows were checkpointed under plan=4 (7 repos can leave a part
+    # legitimately empty, which also exercises the empty-remainder resume
+    # guard); under a remapped plan=2 they would instead re-encode
+    assert m.count() == 0
+    assert len(lin.done_parts(out)) >= 3
+    assert lin.read_plan(out) == {"num_parts": 4, "salt": 4}
