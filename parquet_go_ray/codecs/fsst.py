@@ -273,7 +273,20 @@ def fsst_encode_buffer(
             # segment at 2x the target and split MID-VALUE, which bounds
             # the parse scratch at ~2*SEGMENT_BYTES as documented
             if seg_end - seg_start > 2 * SEGMENT_BYTES:
-                seg_end, vj = min(target, n), vi + 1
+                if j > vi and int(ends[j - 1]) > seg_start:
+                    # smaller values precede the giant inside this window:
+                    # cut at the last whole-value boundary before the giant
+                    # so seg_lens covers exactly the bytes in seg (the
+                    # mid-value split below is only valid when the segment
+                    # starts at/inside the giant value itself)
+                    vj, seg_end = j, int(ends[j - 1])
+                else:
+                    # segment starts at/inside the giant (possibly after
+                    # zero-length values whose boundaries equal seg_start):
+                    # split mid-value; vj = j + 1 so seg_lens spans every
+                    # value intersecting [seg_start, seg_end) and the
+                    # min() clamp below truncates the giant's length
+                    seg_end, vj = min(target, n), j + 1
         seg = buf[seg_start:seg_end]
         # per-value lengths inside the segment; a mid-split giant value is
         # treated as two values (slight ratio loss, no correctness impact)

@@ -82,7 +82,7 @@ def clean_corpus(
     if not _stage_done(s2):
         shutil.rmtree(s2, ignore_errors=True)
         dedup_exact(s1).write_parquet(s2)
-        _mark_done(s1)
+        _mark_done(s2)
     report["after_exact"] = _read_parquet_any(f"{s2}").count()
 
     # -- stage 3: near-dup dedup (keep each cluster's min doc_id) --

@@ -48,6 +48,11 @@ def test_clean_corpus_stages_and_resume(ray_session, tmp_path):
     assert rep["after_quality"] == 16  # short + junk filtered
     assert rep["after_exact"] == 13  # 4 exact dups -> 1
     assert rep["after_near"] == 12  # near-dup pair collapses
+    # every stage must carry its own _SUCCESS marker, else resume recomputes it
+    import os
+
+    for stage in ("stage1_quality", "stage2_exact", "stage3_near"):
+        assert os.path.exists(os.path.join(wd, stage, "_SUCCESS")), stage
     # resume: stage outputs exist -> second run recomputes nothing, same report
     rep2 = clean_corpus(sf, wd, near_threshold=0.8, resume=True)
     assert {k: rep2[k] for k in ("after_quality", "after_exact", "after_near")} == {

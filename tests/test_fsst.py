@@ -91,3 +91,37 @@ def test_giant_value_segments_bounded():
         assert out.to_pylist() == vals
     finally:
         F.SEGMENT_BYTES = old
+
+
+def test_giant_value_preceded_by_small_values():
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_ray.codecs import fsst as F
+
+    # a giant value preceded by smaller values inside the same segment window
+    # must not corrupt the stream (the capped branch must cut at the last
+    # whole-value boundary, not pretend the window holds a single value)
+    old = F.SEGMENT_BYTES
+    F.SEGMENT_BYTES = 1 << 12
+    try:
+        rng = np.random.default_rng(7)
+        big = bytes(rng.integers(97, 105, size=3 * F.SEGMENT_BYTES).astype(np.uint8))
+        for prefix in (
+            [b"x" * 300],
+            [b"x" * 300, b"", b"y" * 10],
+            [b"a", b"b" * 100, b"c" * 4000],
+        ):
+            vals = prefix + [big, b"small", big + b"!", b"tail" * 50]
+            arr = pa.array(vals, pa.binary())
+            payload, meta = F.encode_fsst(arr)
+            out = F.decode_fsst(payload, meta, pa.binary())
+            assert out.to_pylist() == vals
+        # zero-length values right before the giant (boundary == seg_start)
+        vals = [b"", b"", big, b"z"]
+        arr = pa.array(vals, pa.binary())
+        payload, meta = F.encode_fsst(arr)
+        out = F.decode_fsst(payload, meta, pa.binary())
+        assert out.to_pylist() == vals
+    finally:
+        F.SEGMENT_BYTES = old
