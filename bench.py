@@ -192,9 +192,22 @@ def run_bench() -> dict:
         t0 = time.time()
         dedup_exact(SF_DIR).count()
         queries["dedup_exact"] = round(time.time() - t0, 3)
+        # forced distributed anti-join (the >2M-loser scale path): standing
+        # number so regressions in the 100-TB shape are visible at sf0.1
+        t0 = time.time()
+        dedup_exact(SF_DIR, loser_broadcast_limit=0).count()
+        queries["dedup_exact_antijoin"] = round(time.time() - t0, 3)
         t0 = time.time()
         dedup_minhash(SF_DIR).count()
         queries["dedup_minhash"] = round(time.time() - t0, 3)
+    except ImportError:
+        pass
+    try:
+        from parquet_go_ray.pipelines.llmprep import unigram_logprob
+
+        t0 = time.time()
+        unigram_logprob(SF_DIR).count()
+        queries["unigram_logprob"] = round(time.time() - t0, 3)
     except ImportError:
         pass
     try:

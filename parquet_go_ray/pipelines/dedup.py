@@ -34,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -416,9 +417,8 @@ def dedup_exact(
     )
 
     def keep_unmatched(b: pa.Table) -> pa.Table:
-        # pandas left-merge leaves NaN/None in __dup for non-losers
-        mask = b["__dup"].to_pandas().isna().to_numpy()
-        return b.filter(pa.array(mask)).drop_columns(["__dup"])
+        # left-merge leaves null in __dup for non-losers; stay Arrow-native
+        return b.filter(pc.is_null(b["__dup"])).drop_columns(["__dup"])
 
     return joined.map_batches(keep_unmatched, batch_format="pyarrow")
 

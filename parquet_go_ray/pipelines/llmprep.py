@@ -27,6 +27,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -430,9 +431,10 @@ def unigram_model(sf_dir: str) -> tuple[pd.Series, float]:
 
 class UnigramScore:
     """Actor: holds the broadcast unigram log-prob table; per batch one
-    explode + C-level map + bincount.  Words outside the model vocabulary
-    are excluded from both the token count and the sum (mirrors the
-    oracle's inner join); documents with no in-vocab words are dropped."""
+    explode + ONE Arrow hash-table probe (pc.index_in) + bincount.  Words
+    outside the model vocabulary are excluded from both the token count and
+    the sum (mirrors the oracle's inner join); documents with no in-vocab
+    words are dropped."""
 
     def __init__(self, model_ref):
         import ray
@@ -442,18 +444,27 @@ class UnigramScore:
             if isinstance(model_ref, ray.ObjectRef)
             else model_ref
         )
-        self.logp = logp  # pd.Series indexed by word
+        # vocab as an Arrow string array once per actor: pc.index_in probes
+        # it with a single C-level hash-table pass per batch (the old
+        # Series.map re-dispatched through pandas machinery per batch and
+        # was the stage's inner loop at scale)
+        self.vocab = pa.array(logp.index.to_numpy(dtype=object), pa.string())
+        self.vals = logp.to_numpy(np.float64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         lists = batch["text"].str.findall(_WORD_RE)  # RE2-parity class
         ex = lists.reset_index(drop=True).explode()
         ex = ex[ex.notna()]
         doc_idx = ex.index.to_numpy(np.int64)
-        vals = ex.map(self.logp).to_numpy(np.float64)
-        ok = ~np.isnan(vals)
+        toks = pa.array(ex.to_numpy(dtype=object), pa.string())
+        idx = pc.index_in(toks, value_set=self.vocab).to_numpy(
+            zero_copy_only=False
+        )  # float64 with NaN for out-of-vocab
+        ok = ~np.isnan(idx)
+        vals = self.vals[idx[ok].astype(np.int64)]
         n = len(batch)
         words = np.bincount(doc_idx[ok], minlength=n).astype(np.int64)
-        lp = np.bincount(doc_idx[ok], weights=vals[ok], minlength=n)
+        lp = np.bincount(doc_idx[ok], weights=vals, minlength=n)
         keep = words > 0
         return pd.DataFrame(
             {
