@@ -280,6 +280,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["native_bitpacked_scan"] = native_bitpacked_scan
     q["native_dnf_scan"] = native_dnf_scan
+    from parquet_go_ray.pipelines.native_io import native_legacy_list_scan
+
+    q["native_legacy_list_scan"] = native_legacy_list_scan
     q["native_null_scan"] = native_null_scan
     q["native_evolved_scan"] = native_evolved_scan
     q["native_zorder_scan"] = native_zorder_scan
@@ -894,6 +897,13 @@ def oracle_sql() -> dict[str, str]:
             "MAX(o_totalprice) AS max_price FROM orders GROUP BY 1"
         ),
         "table_wap_publish": "SELECT * FROM documents",
+        "native_legacy_list_scan": (
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 4 + 1 END AS BIGINT) AS n_elems, "
+            "CAST(CASE WHEN doc_id % 5 = 0 THEN 0 "
+            "ELSE (doc_id % 4 + 1) * doc_id + ((doc_id % 4 + 1) * (doc_id % 4)) // 2 "
+            "END AS BIGINT) AS total FROM documents"
+        ),
         "native_null_scan": (
             "SELECT doc_id, lang_n FROM (SELECT doc_id, "
             "CASE WHEN (doc_id // 100) % 4 = 0 THEN NULL ELSE lang END AS lang_n "

@@ -84,8 +84,14 @@ def node_from_arrow(name: str, t: pa.DataType, opt: bool = True) -> Node:
 
 
 def leaf_specs(node: Node, prefix: list[str] | None = None, cur_rep: int = 0, cur_def: int = 0):
-    """DFS list of (path, leaf_node, max_rep, max_def) under `node`."""
-    prefix = (prefix or []) + [node.name]
+    """DFS list of (path, leaf_node, max_rep, max_def) under `node`.
+
+    Empty names contribute NO path segment: legacy 2-level lists (parquet
+    LogicalTypes.md backward-compat rules) model the repeated field as a
+    list node with mid_name="" whose element node is unnamed (unannotated
+    `repeated T f` -> path [f]) or carries the repeated field's own name
+    (`group (LIST) { repeated T array }` -> path [.., array])."""
+    prefix = (prefix or []) + ([node.name] if node.name else [])
     d = cur_def + (1 if node.opt else 0)
     if node.kind == "leaf":
         return [(prefix, node, cur_rep, d)]
@@ -96,8 +102,9 @@ def leaf_specs(node: Node, prefix: list[str] | None = None, cur_rep: int = 0, cu
         return out
     # list / map: the repeated group adds +1 rep and +1 def
     out = []
+    mid = [node.mid_name] if node.mid_name else []
     for c in node.children:
-        out += leaf_specs(c, prefix + [node.mid_name], cur_rep + 1, d + 1)
+        out += leaf_specs(c, prefix + mid, cur_rep + 1, d + 1)
     return out
 
 
@@ -163,7 +170,7 @@ def _shred(node, rep, defs, alive, dense, cur_rep, cur_def, path, out):
     """rep/defs/alive are per-SLOT; dense holds the alive slots' values (in
     slot order).  Dead slots (null/empty ancestors) ride along so every leaf
     stream has one entry per slot path, as Dremel requires."""
-    path = path + [node.name]
+    path = path + ([node.name] if node.name else [])
     if node.kind == "map":
         node, dense = _map_as_list(node, dense)
     if node.kind == "leaf":

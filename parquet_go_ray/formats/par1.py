@@ -17,8 +17,11 @@ STRUCT subtrees, with true Dremel repetition/definition levels (shredding/
 assembly in formats/dremel.py, mirroring marshal/marshal.go:227-343 +
 schema/schemahandler.go:297-386 + marshal/unmarshal.go:31-264 semantics);
 leaf types bool/int32/int64/float/double/string/binary/date32/timestamp;
-v1 and v2 data pages on read, v1 on write.  Legacy 2-level (unannotated
-repeated) lists are out of scope and raise.
+v1 and v2 data pages on read, v1 on write.  Legacy 2-level lists (unannotated
+repeated fields and pre-standard LIST shapes, LogicalTypes.md backward-compat
+rules) decode on read as non-null lists of non-null elements, matching the
+reference's generic RL/DL assembly; write_par1_legacy_list emulates those
+old writers so the path stays testable.
 """
 
 from __future__ import annotations
@@ -996,6 +999,166 @@ def write_par1(
     return fmd
 
 
+def _legacy_list_streams(
+    name: str, col: pa.Array, style: str
+) -> tuple[list[dict], list[LeafStream]]:
+    """Shred one list column into legacy 2-level leaf streams + schema elems.
+
+    style "repeated": bare unannotated `repeated T name` (or `repeated group
+    name {..}` for list<struct>) — null lists are unrepresentable and raise.
+    style "array": `optional group name (LIST) { repeated T array }` — null
+    lists allowed.  Elements must be non-null in both styles."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = col.is_valid().to_numpy(zero_copy_only=False)
+    if style == "repeated" and not valid.all():
+        raise ValueError("legacy unannotated repeated fields cannot hold null lists")
+    n = len(col)
+    lens = np.zeros(n, np.int64)
+    lens[valid] = pc.list_value_length(col.drop_null()).to_numpy(zero_copy_only=False)
+    counts = np.maximum(lens, 1)
+    slot_def = np.where(lens > 0, 2 if style == "array" else 1, 0)
+    if style == "array":
+        slot_def[valid & (lens == 0)] = 1  # empty (non-null) list
+    max_def = 2 if style == "array" else 1
+    total = int(counts.sum())
+    defs = np.repeat(slot_def, counts).astype(np.int32)
+    rep = np.ones(total, np.int32)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    rep[starts] = 0
+    flat = col.drop_null().flatten()
+    if flat.null_count:
+        raise ValueError("legacy 2-level lists cannot hold null elements")
+    et = col.type.value_type
+    if pa.types.is_struct(et):
+        if style == "array":
+            raise ValueError("style 'array' supports primitive elements only")
+        kids = [
+            Node("leaf", et.field(i).name, et.field(i).type, et.field(i).nullable)
+            for i in range(et.num_fields)
+        ]
+        elems: list[dict] = [
+            {"repetition_type": REP_REPEATED, "name": name, "num_children": len(kids)}
+        ]
+        streams: list[LeafStream] = []
+        for i, k in enumerate(kids):
+            _emit_schema(k, elems)
+            f = flat.field(i)
+            d = defs.copy()
+            md = max_def
+            vals = f
+            if k.opt:
+                md = max_def + 1
+                fv = np.zeros(total, bool)
+                fv[defs == max_def] = f.is_valid().to_numpy(zero_copy_only=False)
+                d = np.where(fv, max_def + 1, d).astype(np.int32)
+                vals = f.drop_null()
+            streams.append(
+                LeafStream([name, k.name], Node("leaf", "", k.type, False), 1, md, rep, d, vals)
+            )
+        return elems, streams
+    pt, conv, lt, _storage = _physical(et)
+    leaf_elem = {
+        "type": pt,
+        "repetition_type": REP_REPEATED,
+        "name": name if style == "repeated" else "array",
+        "converted_type": conv,
+        "logicalType": lt,
+    }
+    if pt == PT_FLBA:
+        leaf_elem["type_length"] = _storage.byte_width
+    if style == "array":
+        elems = [
+            {
+                "repetition_type": REP_OPTIONAL,
+                "name": name,
+                "num_children": 1,
+                "converted_type": CONV_LIST,
+                "logicalType": {"LIST": {}},
+            },
+            leaf_elem,
+        ]
+        path = [name, "array"]
+    else:
+        elems = [leaf_elem]
+        path = [name]
+    return elems, [
+        LeafStream(path, Node("leaf", "", et, False), 1, max_def, rep, defs, flat)
+    ]
+
+
+def write_par1_legacy_list(
+    table: pa.Table,
+    path: str,
+    codec: str = "none",
+    style: str | dict[str, str] = "repeated",
+    page_rows: int = 65536,
+) -> dict:
+    """Write `table`'s list columns in the PRE-STANDARD 2-level layout —
+    interop/test scaffolding emulating old Hive/Avro writers so read_par1's
+    backward-compat path (LogicalTypes.md rules; reference reads any footer
+    generically, marshal/unmarshal.go:31-264) has real files to decode.  The
+    engine's own write_par1 always emits the standard 3-level shape.
+
+    `style`: "repeated" (bare unannotated repeated field) or "array"
+    (`optional group (LIST) { repeated T array }`), one name for all list
+    columns or {column: style}.  Non-list columns write flat as usual.
+    Returns the footer dict."""
+    comp = _COMP_NAME[codec]
+    styles = style if isinstance(style, dict) else {n: style for n in table.column_names}
+    schema_elems: list[dict] = [{"name": "schema", "num_children": table.num_columns}]
+    per_col: list[list[LeafStream]] = []
+    for name in table.column_names:
+        col = table[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            elems, streams = _legacy_list_streams(name, col, styles.get(name, "repeated"))
+            schema_elems += elems
+            per_col.append(streams)
+        else:
+            node = node_from_arrow(name, col.type)
+            _emit_schema(node, schema_elems)
+            per_col.append(shred(node, col))
+    chunks_meta = []
+    rg_unc = rg_comp = 0
+    with open(path, "wb") as out:
+        out.write(MAGIC)
+        for streams in per_col:
+            for st in streams:
+                cm = _write_leaf_chunk(out, comp, st, "plain", page_rows)
+                # legacy-era writers carried no page indexes or blooms
+                cm.pop("_column_index", None)
+                cm.pop("_offset_index", None)
+                cm.pop("_bloom", None)
+                chunks_meta.append(cm)
+                rg_unc += cm["meta_data"]["total_uncompressed_size"]
+                rg_comp += cm["meta_data"]["total_compressed_size"]
+        fmd = {
+            "version": 1,
+            "schema": schema_elems,
+            "num_rows": table.num_rows,
+            "row_groups": [
+                {
+                    "columns": chunks_meta,
+                    "total_byte_size": rg_unc,
+                    "num_rows": table.num_rows,
+                    "file_offset": chunks_meta[0]["file_offset"] if chunks_meta else 4,
+                    "total_compressed_size": rg_comp,
+                }
+            ],
+            "created_by": "parquet_go_ray legacy-emulation",
+            "column_orders": [{"TYPE_ORDER": {}}] * len(chunks_meta),
+        }
+        w = CompactWriter(SPECS)
+        w.write_struct("FileMetaData", fmd)
+        out.write(bytes(w.out))
+        out.write(len(w.out).to_bytes(4, "little"))
+        out.write(MAGIC)
+    return fmd
+
+
 # -- reader -------------------------------------------------------------------
 
 
@@ -1208,7 +1371,9 @@ def read_par1_chunk(
 def _schema_tree(fmd: dict) -> list[Node]:
     """Parse the flat SchemaElement list into top-level column Nodes.
     LIST/MAP recognized by converted_type/logicalType on the 3-level shape;
-    unannotated repeated fields (legacy 2-level lists) raise."""
+    legacy 2-level lists (unannotated repeated fields, and LIST groups whose
+    repeated child is its own element per the LogicalTypes.md backward-compat
+    rules) decode as non-null lists of non-null elements."""
     schema = fmd["schema"]
 
     def sub(i: int) -> tuple[dict, int]:
@@ -1227,9 +1392,19 @@ def _schema_tree(fmd: dict) -> list[Node]:
         name = elem["name"]
         if not kids:
             if rep_t == REP_REPEATED:
-                raise NotImplementedError(
-                    "PAR1 reader: legacy 2-level repeated field (unannotated list)"
-                )
+                # legacy 2-level: unannotated `repeated T f` is a non-null
+                # list of non-null T; the field IS its own element
+                # (LogicalTypes.md backward-compat rule 1; the reference
+                # reads any footer generically through RL/DL,
+                # marshal/unmarshal.go:31-264).  The element node is
+                # UNNAMED so the leaf path stays [.., f], and the
+                # repeated field supplies the +1 rep / +1 def through the
+                # list node (mid_name="" adds no level of its own in
+                # leaf_specs, the child hop does).
+                phys = PT_INT96 if elem.get("type") == PT_INT96 else None
+                leaf = Node("leaf", "", _logical_type(elem), False, phys=phys)
+                at = pa.list_(pa.field("element", leaf.type, nullable=False))
+                return Node("list", name, at, False, [leaf], mid_name="")
             phys = PT_INT96 if elem.get("type") == PT_INT96 else None
             return Node("leaf", name, _logical_type(elem), opt, phys=phys)
         conv = elem.get("converted_type")
@@ -1239,11 +1414,26 @@ def _schema_tree(fmd: dict) -> list[Node]:
             (conv == CONV_LIST or "LIST" in lt)
             and len(kids) == 1
             and mid.get("repetition_type") == REP_REPEATED
-            and (mid.get("num_children") or 0) == 1
         ):
-            elem_node = to_node(kids[0]["kids"][0])
-            at = pa.list_(pa.field(elem_node.name, elem_node.type, nullable=elem_node.opt))
-            return Node("list", name, at, opt, [elem_node], mid_name=mid["name"])
+            mname = mid.get("name", "")
+            if (
+                (mid.get("num_children") or 0) == 1
+                and mname != "array"
+                and not mname.endswith("_tuple")
+            ):
+                # standard 3-level LIST expansion
+                elem_node = to_node(kids[0]["kids"][0])
+                at = pa.list_(pa.field(elem_node.name, elem_node.type, nullable=elem_node.opt))
+                return Node("list", name, at, opt, [elem_node], mid_name=mid["name"])
+            # legacy 2-level inside a LIST annotation (old Hive/Avro
+            # writers; LogicalTypes.md backward-compat rules 2-4): the
+            # repeated field itself is the element — primitive, or a
+            # group named "array"/"*_tuple", or a multi-field group
+            elem_node = to_node(
+                {"elem": {**mid, "repetition_type": REP_REQUIRED}, "kids": t["kids"][0]["kids"]}
+            )
+            at = pa.list_(pa.field(elem_node.name or "element", elem_node.type, nullable=False))
+            return Node("list", name, at, opt, [elem_node], mid_name="")
         if (
             (conv in (CONV_MAP, CONV_MAP_KEY_VALUE) or "MAP" in lt)
             and len(kids) == 1
@@ -1254,7 +1444,14 @@ def _schema_tree(fmd: dict) -> list[Node]:
             val = to_node(kids[0]["kids"][1])
             return Node("map", name, pa.map_(key.type, val.type), opt, [key, val], mid_name=mid["name"])
         if rep_t == REP_REPEATED:
-            raise NotImplementedError("PAR1 reader: unannotated repeated group")
+            # legacy 2-level: unannotated `repeated group f {..}` is a
+            # non-null list of non-null struct; the group is its own
+            # element and supplies the leaf paths' [f, child] segments
+            children = [to_node(k) for k in kids]
+            st = pa.struct([pa.field(c.name, c.type, nullable=c.opt) for c in children])
+            inner = Node("struct", "", st, False, children)
+            at = pa.list_(pa.field("element", st, nullable=False))
+            return Node("list", name, at, False, [inner], mid_name="")
         children = [to_node(k) for k in kids]
         at = pa.struct([pa.field(c.name, c.type, nullable=c.opt) for c in children])
         return Node("struct", name, at, opt, children)

@@ -1317,6 +1317,75 @@ def native_bitpacked_scan(sf_dir: str) -> rd.Dataset:
     )
 
 
+def native_legacy_list_scan(sf_dir: str) -> rd.Dataset:
+    """Legacy 2-level list read (the last §2.4 read-path gap): each Ray task
+    derives a deterministic repeated-int64 column from its documents block,
+    writes it as a PRE-STANDARD 2-level parquet file (unannotated
+    ``repeated int64 nums`` — the shape old Hive/Avro writers emit;
+    write_par1_legacy_list), and a second stage decodes the files through
+    the engine's backward-compat schema rules (par1.py _schema_tree;
+    reference reads any footer generically, marshal/unmarshal.go:31-264)
+    and flattens each list to SQL-comparable (count, sum) columns."""
+    import numpy as np
+
+    from ..formats.par1 import write_par1_legacy_list
+
+    out_dir = f"/tmp/pgr_native_legacy_{uuid.uuid4().hex[:8]}"
+    os.makedirs(out_dir, exist_ok=True)
+    docs = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id"]).repartition(4)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # nums = [doc_id, doc_id+1, ...], empty every 5th doc
+        lens = np.where(ids % 5 == 0, 0, ids % 4 + 1)
+        offs = np.zeros(len(ids) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        within = np.arange(offs[-1], dtype=np.int64) - np.repeat(offs[:-1], lens)
+        flat = np.repeat(ids, lens) + within
+        nums = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(flat, pa.int64())
+        )
+        tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "nums": nums})
+        path = os.path.join(out_dir, f"part_{uuid.uuid4().hex}.parquet")
+        write_par1_legacy_list(tbl, path, codec="snappy")
+        return pa.table({"path": pa.array([path])})
+
+    files = docs.map_batches(write_block, batch_format="pyarrow", batch_size=None)
+
+    def read_block(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        outs = []
+        for p in batch["path"].to_pylist():
+            t = read_par1(p)
+            col = t["nums"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = np.asarray(col.flatten(), np.int64)
+            csum = np.concatenate(([0], np.cumsum(flat)))
+            ends = np.cumsum(lens)
+            sums = csum[ends] - csum[ends - lens]
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": t["doc_id"],
+                        "n_elems": pa.array(lens, pa.int64()),
+                        "total": pa.array(sums, pa.int64()),
+                    }
+                )
+            )
+        if not outs:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("n_elems", pa.int64()), ("total", pa.int64())]
+            ).empty_table()
+        return pa.concat_tables(outs)
+
+    return files.map_batches(read_block, batch_format="pyarrow", batch_size=None)
+
+
 def native_evolved_scan(sf_dir: str) -> rd.Dataset:
     """Schema-evolution scan (union_by_name): two 'generations' of the
     documents corpus land in one directory — older parts carry only

@@ -1,6 +1,9 @@
 """Text analysis operators over the documents table: language ID, quality
 scoring, token counting, document fingerprinting.  All per-batch work is
-vectorized (pandas .str / numpy); regexes compile once per actor.
+vectorized; the counting stages run entirely on Arrow RE2 kernels
+(pc.count_substring_regex) over zero-copy pyarrow batches — no Arrow->pandas
+object-array conversion in the hot path, and the SAME regex engine family as
+the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -10,6 +13,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
