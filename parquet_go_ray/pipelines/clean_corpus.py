@@ -68,13 +68,15 @@ def clean_corpus(
     if not _stage_done(s1):
         qs = QualityScore()
 
-        def keep_quality(batch: pd.DataFrame) -> pd.DataFrame:
+        def keep_quality(batch: pa.Table) -> pa.Table:
             m = qs(batch)
-            keep = (m["words"] >= min_words) & (m["punct_ratio"] <= max_punct_ratio)
-            return batch[keep.to_numpy()]
+            keep = (m["words"].to_numpy() >= min_words) & (
+                m["punct_ratio"].to_numpy() <= max_punct_ratio
+            )
+            return batch.filter(pa.array(keep))
 
         shutil.rmtree(s1, ignore_errors=True)
-        docs.map_batches(_arrow_out(keep_quality), batch_format="pandas").write_parquet(s1)
+        docs.map_batches(keep_quality, batch_format="pyarrow").write_parquet(s1)
         _mark_done(s1)
     report["after_quality"] = _read_parquet_any(f"{s1}").count()
 

@@ -30,34 +30,39 @@ LANG_MARKERS = {
 
 
 class LangId:
-    """Actor stage: one compiled marker regex per language, applied with the
-    vectorized pandas .str.count kernel — no per-row Python.  Scores are
-    whole-word marker occurrences; prediction is the first language with the
-    max score (langs order breaks ties), confidence = score / word count.
-    Semantics are deliberately SQL-expressible (regexp_extract_all lengths)
-    so the driver can oracle this query."""
+    """Actor stage: one marker regex per language, applied with the Arrow
+    RE2 count kernel over zero-copy pyarrow batches — no per-row Python and
+    no object-array conversion.  Scores are whole-word marker occurrences;
+    prediction is the first language with the max score (langs order breaks
+    ties), confidence = score / word count.  Semantics are deliberately
+    SQL-expressible (regexp_extract_all lengths) so the driver can oracle
+    this query — same RE2 engine family on both sides."""
 
     def __init__(self):
-        self.word_re = re.compile(r"[a-zA-Z]+")
         self.langs = list(LANG_MARKERS)
-        self.marker_res = [
-            re.compile(r"\b(?:" + "|".join(sorted(LANG_MARKERS[l])) + r")\b")
-            for l in self.langs
+        self.lang_arr = np.array(self.langs)
+        self.patterns = [
+            r"\b(?:" + "|".join(sorted(LANG_MARKERS[l])) + r")\b" for l in self.langs
         ]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        low = batch["text"].str.lower()
-        scores = np.zeros((len(batch), len(self.langs)))
-        for j, mk_re in enumerate(self.marker_res):
-            scores[:, j] = low.str.count(mk_re).to_numpy()
-        words = batch["text"].str.count(self.word_re).to_numpy()
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        low = pc.utf8_lower(text)
+        scores = np.zeros((batch.num_rows, len(self.langs)), np.int64)
+        for j, pat in enumerate(self.patterns):
+            scores[:, j] = pc.count_substring_regex(low, pat).to_numpy(
+                zero_copy_only=False
+            )
+        words = pc.count_substring_regex(text, "[a-zA-Z]+").to_numpy(
+            zero_copy_only=False
+        )
         best = scores.argmax(axis=1)
         conf = scores.max(axis=1) / np.maximum(words, 1)
-        return pd.DataFrame(
+        return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "lang_pred": [self.langs[b] for b in best],
-                "lang_conf": np.round(conf, 6),
+                "lang_pred": pa.array(self.lang_arr[best]),
+                "lang_conf": pa.array(np.round(conf, 6)),
             }
         )
 
@@ -86,65 +91,61 @@ def lang_id_oracle_sql() -> str:
 
 def lang_id(sf_dir: str) -> rd.Dataset:
     ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
 
 
 class QualityScore:
-    """Quality metrics chosen to be SQL-expressible for the oracle:
-    chars, whitespace words, punctuation count, plus a composite score."""
+    """Quality metrics chosen to be SQL-expressible for the oracle: chars,
+    whitespace words, punctuation count, plus a composite score.  Arrow RE2
+    kernels end to end; words = count of \\S+ runs (== the oracle's
+    len(regexp_split_to_array(TRIM(text))) with the empty-text case)."""
 
-    def __init__(self):
-        self.ws = re.compile(r"\s+")
-        self.punct = re.compile(r"[.!?,;:]")
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch["text"]
-        chars = text.str.len().astype(np.int64)
-        words = text.str.strip().str.split(self.ws).str.len().astype(np.int64)
-        words = words.where(text.str.strip().str.len() > 0, 0)
-        punct = text.str.count(self.punct).astype(np.int64)
-        return pd.DataFrame(
+        chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        words = pc.count_substring_regex(text, r"\S+").to_numpy(zero_copy_only=False)
+        punct = pc.count_substring_regex(text, r"[.!?,;:]").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "chars": chars,
-                "words": words,
-                "punct": punct,
-                "punct_ratio": np.round(punct / np.maximum(chars, 1), 9),
+                "chars": pa.array(chars),
+                "words": pa.array(words.astype(np.int64)),
+                "punct": pa.array(punct.astype(np.int64)),
+                "punct_ratio": pa.array(np.round(punct / np.maximum(chars, 1), 9)),
             }
         )
 
 
 def text_quality(sf_dir: str) -> rd.Dataset:
     ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(QualityScore, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 4))
 
 
 class TokenCount:
     """Whitespace tokens + a BPE-ish regex token count (\\w+ runs and single
-    non-space symbols, the usual pre-tokenizer shape)."""
+    non-space symbols, the usual pre-tokenizer shape), both as single Arrow
+    RE2 count kernels."""
 
-    def __init__(self):
-        self.ws = re.compile(r"\s+")
-        self.bpe = re.compile(r"\w+|[^\w\s]")
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch["text"]
-        stripped = text.str.strip()
-        ws_tokens = stripped.str.split(self.ws).str.len().astype(np.int64)
-        ws_tokens = ws_tokens.where(stripped.str.len() > 0, 0)
-        bpe_tokens = text.str.findall(self.bpe).str.len().astype(np.int64)
-        return pd.DataFrame(
+        ws = pc.count_substring_regex(text, r"\S+").to_numpy(zero_copy_only=False)
+        bpe = pc.count_substring_regex(text, r"\w+|[^\w\s]").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "ws_tokens": ws_tokens,
-                "bpe_tokens": bpe_tokens,
+                "ws_tokens": pa.array(ws.astype(np.int64)),
+                "bpe_tokens": pa.array(bpe.astype(np.int64)),
             }
         )
 
 
 def token_count(sf_dir: str) -> rd.Dataset:
     ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(TokenCount, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(TokenCount, batch_format="pyarrow", concurrency=(1, 4))
 
 
 def fingerprint(sf_dir: str, k: int = 7, window: int = 4) -> rd.Dataset:

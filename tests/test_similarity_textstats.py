@@ -69,13 +69,15 @@ def test_text_quality_and_tokens(ray_session):
 def test_lang_id_stage_direct():
     from parquet_go_ray.pipelines.textstats import LangId
 
+    import pyarrow as pa
+
     stage = LangId()
     out = stage(
-        pd.DataFrame(
+        pa.table(
             {"doc_id": [1, 2], "text": ["the value of the table is a row", "der und die das ist nicht"]}
         )
     )
-    assert list(out.lang_pred) == ["en", "de"]
+    assert out["lang_pred"].to_pylist() == ["en", "de"]
 
 
 def test_fingerprint_deterministic(ray_session):
