@@ -33,3 +33,23 @@ def _install_ray_log_filter() -> None:
 
 
 _install_ray_log_filter()
+
+
+def _register_mock_object_store() -> None:
+    """Register the `mocks3://` S3-semantics test backend (lazy: the class
+    path string defers the module import to first use).  Runs in every
+    process that imports any engine module — including Ray workers — so
+    URIs resolve on both sides of a task boundary."""
+    try:
+        import fsspec
+
+        fsspec.register_implementation(
+            "mocks3",
+            "parquet_go_ray.sources.objectstore.LocalObjectStoreFS",
+            clobber=True,
+        )
+    except ImportError:
+        pass
+
+
+_register_mock_object_store()

@@ -99,6 +99,22 @@ from .thrift_compact import CompactReader, CompactWriter
 
 MAGIC = b"PAR1"
 
+
+def _fs_open(path: str, mode: str):
+    """Open a local path or any fsspec URI (s3://, gs://, memory://, ...) —
+    the reference's swappable ParquetFile backends (source/source.go:9-16)
+    behind one call.  Object stores publish atomically on CLOSE (S3 PUT /
+    multipart-complete; fsspec memory commits at close), so remote writers
+    target the final name directly — rename-based atomic publish is a
+    local-filesystem idiom only."""
+    if "://" in path and not path.startswith("file://"):
+        import fsspec
+
+        return fsspec.open(path, mode).open()
+    if path.startswith("file://"):
+        path = path[len("file://") :]
+    return open(path, mode)
+
 _COMP_NAME = {
     "none": COMP_UNCOMPRESSED,
     "snappy": COMP_SNAPPY,
@@ -889,7 +905,7 @@ def write_par1(
         per_row = max(table.nbytes / table.num_rows, 1.0)
         rg_rows = max(1024, min(int(row_group_bytes / per_row), table.num_rows))
     row_groups = []
-    with open(path, "wb") as out:
+    with _fs_open(path, "wb") as out:
         out.write(MAGIC)
         for lo in range(0, table.num_rows, rg_rows) if table.num_rows else []:
             rg = table.slice(lo, rg_rows)
@@ -1123,7 +1139,7 @@ def write_par1_legacy_list(
             per_col.append(shred(node, col))
     chunks_meta = []
     rg_unc = rg_comp = 0
-    with open(path, "wb") as out:
+    with _fs_open(path, "wb") as out:
         out.write(MAGIC)
         for streams in per_col:
             for st in streams:
@@ -1163,7 +1179,7 @@ def write_par1_legacy_list(
 
 
 def read_par1_meta(path: str) -> dict:
-    with open(path, "rb") as f:
+    with _fs_open(path, "rb") as f:
         f.seek(0, 2)
         size = f.tell()
         f.seek(size - 8)
@@ -1184,7 +1200,7 @@ def read_par1_page_index(path: str) -> list[list[dict]]:
     (and page-pruning scans) can use the structures without parquet-cpp."""
     fmd = read_par1_meta(path)
     out: list[list[dict]] = []
-    with open(path, "rb") as f:
+    with _fs_open(path, "rb") as f:
         for rg in fmd.get("row_groups", []):
             row = []
             for ch in rg.get("columns", []):
@@ -1486,7 +1502,7 @@ def read_par1(
     if row_groups is not None:
         groups = [groups[i] for i in row_groups]
     cols: dict[str, list[pa.Array]] = {n.name: [] for n in want}
-    with open(path, "rb") as f:
+    with _fs_open(path, "rb") as f:
         for rg in groups:
             chunk_by_path = {
                 tuple(c["meta_data"]["path_in_schema"]): c for c in rg["columns"]
@@ -1763,7 +1779,7 @@ def scan_par1_column(
         op = val = None
     arrays: list[pa.Array] = []
     pages_total = pages_decoded = 0
-    with open(path, "rb") as f:
+    with _fs_open(path, "rb") as f:
         for rg_i, rg in enumerate(fmd["row_groups"]):
             col_i, chunk = next(
                 (i, c)
@@ -1886,7 +1902,7 @@ def read_par1_bloom(path: str, rg_index: int, column: str):
     for ch in fmd["row_groups"][rg_index]["columns"]:
         md = ch["meta_data"]
         if ".".join(md["path_in_schema"]) == column:
-            with open(path, "rb") as f:
+            with _fs_open(path, "rb") as f:
                 return _load_bloom_md(f, md)
     return None
 
@@ -1993,7 +2009,7 @@ def read_par1_pruned(
             oi = idx[rg_i][pos_map[nm]]["offset_index"]
             stats["pages_total"] += len(oi["page_locations"]) if oi else 1
     out_tables: list[pa.Table] = []
-    with open(path, "rb") as f:
+    with _fs_open(path, "rb") as f:
         for rg_i, rg in enumerate(fmd["row_groups"]):
             if rg_sel is not None and rg_i not in rg_sel:
                 continue

@@ -285,6 +285,77 @@ def scan_native_pruned(sf_dir: str, lo: int = 12000) -> rd.Dataset:
 MANIFEST_NAME = "_manifest.parquet"
 
 
+def _fs_of(path: str):
+    """(fsspec_fs | None, plain_path, scheme_prefix) — None fs means local.
+    scheme_prefix re-qualifies fs-relative paths back into URIs so every
+    downstream open routes through the same backend."""
+    if "://" in path and not path.startswith("file://"):
+        import fsspec
+
+        fs, plain = fsspec.core.url_to_fs(path)
+        return fs, plain, path[: path.index("://") + 3]
+    return None, path[len("file://") :] if path.startswith("file://") else path, ""
+
+
+def _ls_parquet(dir_path: str) -> list[str]:
+    """Recursive *.parquet listing (manifest excluded), URIs preserved —
+    object-store listings come from the backend's own glob."""
+    fs, plain, scheme = _fs_of(dir_path)
+    if fs is None:
+        import glob as _glob
+
+        found = _glob.glob(os.path.join(plain, "**", "*.parquet"), recursive=True)
+    else:
+        found = [scheme + p.lstrip("/") for p in fs.glob(plain.rstrip("/") + "/**/*.parquet")]
+        # object stores have no directories: a single-level key layout also
+        # matches one level deep
+        found += [
+            scheme + p.lstrip("/")
+            for p in fs.glob(plain.rstrip("/") + "/*.parquet")
+            if scheme + p.lstrip("/") not in set(found)
+        ]
+    return sorted(p for p in found if os.path.basename(p) != MANIFEST_NAME)
+
+
+def _fs_exists(path: str) -> bool:
+    fs, plain, _ = _fs_of(path)
+    return os.path.exists(plain) if fs is None else fs.exists(plain)
+
+
+def _fs_size(path: str) -> int:
+    fs, plain, _ = _fs_of(path)
+    return os.path.getsize(plain) if fs is None else fs.size(plain)
+
+
+def _fs_isdir(path: str) -> bool:
+    fs, plain, _ = _fs_of(path)
+    return os.path.isdir(plain) if fs is None else fs.isdir(plain)
+
+
+def _rel_subdir(path: str, base: str) -> str:
+    """Partition subpath of `path`'s parent under dataset root `base`
+    ('' for a part directly in the root).  Plain string arithmetic so URIs
+    and local paths behave identically."""
+    _, p, _ = _fs_of(path)
+    _, b, _ = _fs_of(base)
+    rel = os.path.relpath(os.path.dirname(p), b)
+    return "" if rel == "." else rel
+
+
+def _publish_par1(table: "pa.Table", path: str, **write_kwargs) -> None:
+    """Write a small control file (manifest, lineage) atomically: local
+    filesystems stage to tmp + rename; object stores PUT the final key
+    directly — the object appears only on close, which IS the atomic
+    publish on stores without rename."""
+    fs, plain, _ = _fs_of(path)
+    if fs is None:
+        tmp = f"{plain}.tmp.{os.getpid()}"
+        write_par1(table, tmp, **write_kwargs)
+        os.replace(tmp, plain)
+    else:
+        write_par1(table, path, **write_kwargs)
+
+
 def build_par1_manifest(dir_path: str) -> str:
     """Build (or rebuild) a directory-level manifest for a PAR1 dataset:
     one row per part file with its row/byte counts and per-column min/max/
@@ -296,28 +367,21 @@ def build_par1_manifest(dir_path: str) -> str:
     single task — the listing-level pruning a 10^6-file corpus needs, the
     same role as Iceberg/Delta manifest files.  Returns the manifest
     path."""
-    import glob as _glob
-
-    paths = sorted(
-        p
-        for p in _glob.glob(os.path.join(dir_path, "**", "*.parquet"), recursive=True)
-        if os.path.basename(p) != MANIFEST_NAME
-    )
+    paths = _ls_parquet(dir_path)
     if not paths:
         raise ValueError(f"build_par1_manifest: no parts under {dir_path}")
 
     def footer_stats(batch: pa.Table) -> pa.Table:
         rows = []
         for p in batch["path"].to_pylist():
-            rel = os.path.relpath(os.path.dirname(p), dir_path)
             rows.append(
                 {
                     "path": p,
-                    "partition": "" if rel == "." else rel,
+                    "partition": _rel_subdir(p, dir_path),
                     "rows": sum(
                         rg["num_rows"] for rg in read_par1_meta(p)["row_groups"]
                     ),
-                    "bytes": os.path.getsize(p),
+                    "bytes": _fs_size(p),
                     "skipped": False,
                     "stats": _part_stats_json(p),
                 }
@@ -332,12 +396,12 @@ def build_par1_manifest(dir_path: str) -> str:
         .map_batches(footer_stats, batch_format="pyarrow")
         .take_all()
     )
-    mpath = os.path.join(dir_path, MANIFEST_NAME)
-    tmp = f"{mpath}.tmp.{os.getpid()}"
+    mpath = dir_path.rstrip("/") + "/" + MANIFEST_NAME
     # row-grouped so huge manifests admit distributed evaluation
     # (_manifest_prune fans out one task per row group past its threshold)
-    write_par1(_manifest_table(rows), tmp, codec="zstd", row_group_rows=16384)
-    os.replace(tmp, mpath)
+    _publish_par1(
+        _manifest_table(rows), mpath, codec="zstd", row_group_rows=16384
+    )
     return mpath
 
 
@@ -387,20 +451,14 @@ def explain_par1_scan(
     row_groups_read, pages_total, pages_decoded, rows_out}.  One Ray task
     slice per file; the decode still happens for surviving pages (rows_out
     is exact), so use small predicates for pure exploration."""
-    import glob as _glob
-
     from ..formats.par1 import _normalize_predicate, _schema_tree, read_par1_pruned
 
-    paths = sorted(
-        p
-        for p in _glob.glob(os.path.join(dir_path, "**", "*.parquet"), recursive=True)
-        if os.path.basename(p) != MANIFEST_NAME
-    )
+    paths = _ls_parquet(dir_path)
     files_total = len(paths)
     if not paths:
         raise ValueError(f"explain_par1_scan: no parts under {dir_path}")
-    mpath = os.path.join(dir_path, MANIFEST_NAME)
-    if predicate is not None and os.path.exists(mpath):
+    mpath = dir_path.rstrip("/") + "/" + MANIFEST_NAME
+    if predicate is not None and _fs_exists(mpath):
         paths = _manifest_prune(paths, mpath, _normalize_predicate(predicate))
     out = {
         "files_total": files_total,
@@ -482,25 +540,30 @@ def validate_par1_dataset(
     counts match the file.  Returns {path, ok, error} (error='' when ok);
     the maintenance sweep a 100 TB archive runs after transfers/bitrot
     windows.  Also flags stray `*.tmp.*` leftovers from crashed writers."""
-    import glob as _glob
-
     import pyarrow.compute as pc
 
     from ..formats.par1 import _schema_tree, _stat_min_max, _stat_py, read_par1
 
-    paths = sorted(
-        p
-        for p in _glob.glob(os.path.join(dir_path, "**", "*.parquet"), recursive=True)
-        if os.path.basename(p) != MANIFEST_NAME
-    )
+    paths = _ls_parquet(dir_path)
     if not paths:
         raise ValueError(f"validate_par1_dataset: no parts under {dir_path}")
-    stray = sorted(
-        _glob.glob(os.path.join(dir_path, "**", "*.tmp.*"), recursive=True)
-    )
-    mpath = os.path.join(dir_path, MANIFEST_NAME)
+    fs, plain, scheme = _fs_of(dir_path)
+    if fs is None:
+        import glob as _glob
+
+        stray = sorted(
+            _glob.glob(os.path.join(plain, "**", "*.tmp.*"), recursive=True)
+        )
+    else:
+        # remote writers never stage tmp files (close IS the publish), but a
+        # crashed LOCAL writer's leftovers may have been mirrored up
+        stray = sorted(
+            scheme + p.lstrip("/")
+            for p in fs.glob(plain.rstrip("/") + "/**/*.tmp.*")
+        )
+    mpath = dir_path.rstrip("/") + "/" + MANIFEST_NAME
     man: dict[str, dict] = {}
-    if check_manifest and os.path.exists(mpath):
+    if check_manifest and _fs_exists(mpath):
         mtab = read_par1(mpath, columns=["path", "rows", "bytes"])
         man = {
             p: {"rows": r, "bytes": b}
@@ -554,8 +617,8 @@ def validate_par1_dataset(
         if ent is not None:
             if ent["rows"] != total_rows:
                 return f"manifest rows {ent['rows']} != file rows {total_rows}"
-            if ent["bytes"] != os.path.getsize(p):
-                return f"manifest bytes {ent['bytes']} != file size {os.path.getsize(p)}"
+            if ent["bytes"] != _fs_size(p):
+                return f"manifest bytes {ent['bytes']} != file size {_fs_size(p)}"
         return ""
 
     def run(batch: pa.Table) -> pa.Table:
@@ -780,34 +843,26 @@ def read_par1_dataset(
     file materialize as typed nulls, and predicate clauses on absent
     columns evaluate with all-null semantics per file (is_null -> true,
     anything else -> that branch is false there)."""
-    import glob as _glob
-
     from ..formats.par1 import _normalize_predicate, _schema_tree, read_par1_pruned
 
     src_dir = None
     if isinstance(paths, str):
-        if os.path.isdir(paths):
+        if _fs_isdir(paths):
             src_dir = paths
-            paths = sorted(
-                p
-                for p in _glob.glob(
-                    os.path.join(paths, "**", "*.parquet"), recursive=True
-                )
-                if os.path.basename(p) != MANIFEST_NAME
-            )
+            paths = _ls_parquet(paths)
         else:
             paths = [paths]
     if partitions:
         # hive-style directory pruning: drop whole partitions from the
-        # listing before a single footer is read
+        # listing before a single footer is read (URIs always use '/')
         want = {f"{k}={v}" for k, v in partitions.items()}
-        paths = [p for p in paths if want <= set(p.split(os.sep))]
+        paths = [p for p in paths if want <= set(p.replace(os.sep, "/").split("/"))]
     if not paths:
         raise ValueError("read_par1_dataset: no input files")
     all_paths = list(paths)
     if src_dir is not None and predicate is not None and use_manifest:
-        mpath = os.path.join(src_dir, MANIFEST_NAME)
-        if os.path.exists(mpath):
+        mpath = src_dir.rstrip("/") + "/" + MANIFEST_NAME
+        if _fs_exists(mpath):
             paths = _manifest_prune(
                 paths, mpath, _normalize_predicate(predicate)
             )
@@ -1026,18 +1081,34 @@ def _part_stats_json(path: str) -> str:
 
 
 def _write_part(batch: "pa.Table", part_dir: str, partition: str, write_kwargs: dict) -> dict:
-    """One block -> one content-named PAR1 file (atomic, skip-existing)."""
+    """One block -> one content-named PAR1 file (atomic, skip-existing).
+
+    Local filesystems publish via tmp + rename; object stores (any fsspec
+    URI) have NO atomic rename, so the write targets the final content-named
+    key directly — the object appears only on close (S3 PUT semantics), and
+    the content-derived name makes concurrent duplicate writers converge on
+    identical bytes, so last-writer-wins is also exactly-once."""
     tag = _ipc_content_tag(batch)
-    os.makedirs(part_dir, exist_ok=True)
-    path = os.path.join(part_dir, f"part_{tag}.parquet")
-    skipped = os.path.exists(path)
-    if not skipped:
-        tmp = f"{path}.tmp.{os.getpid()}"
-        write_par1(batch, tmp, **write_kwargs)
-        os.replace(tmp, path)
+    fs, plain, scheme = _fs_of(part_dir)
+    if fs is None:
+        os.makedirs(plain, exist_ok=True)
+        path = os.path.join(plain, f"part_{tag}.parquet")
+        skipped = os.path.exists(path)
+        if not skipped:
+            tmp = f"{path}.tmp.{os.getpid()}"
+            write_par1(batch, tmp, **write_kwargs)
+            os.replace(tmp, path)
+        size = os.path.getsize(path)
+    else:
+        key = plain.rstrip("/") + f"/part_{tag}.parquet"
+        path = scheme + key.lstrip("/")
+        skipped = fs.exists(key)
+        if not skipped:
+            write_par1(batch, path, **write_kwargs)
+        size = fs.size(key)
     return {
         "path": path, "partition": partition, "rows": batch.num_rows,
-        "bytes": os.path.getsize(path), "skipped": skipped,
+        "bytes": size, "skipped": skipped,
         "stats": _part_stats_json(path),
     }
 
@@ -1081,30 +1152,24 @@ def compact_par1_dataset(
     layouts) compact partition-locally: files never merge across
     `col=value` directories and each output bin lands under its own
     partition dir, so directory pruning keeps working on the output."""
-    import glob as _glob
-
     import pyarrow.compute as pc
 
-    paths = sorted(
-        p
-        for p in _glob.glob(os.path.join(in_dir, "**", "*.parquet"), recursive=True)
-        if os.path.basename(p) != MANIFEST_NAME
-    )
+    paths = _ls_parquet(in_dir)
     if not paths:
         raise ValueError("compact_par1_dataset: no input files")
-    os.makedirs(out_dir, exist_ok=True)
+    if _fs_of(out_dir)[0] is None:
+        os.makedirs(out_dir, exist_ok=True)
     # greedy first-fit bins over the driver-side listing (path+size only),
     # grouped by the file's partition subpath ("" for a flat layout)
     by_part: dict[str, list[str]] = {}
     for p in paths:
-        rel = os.path.dirname(os.path.relpath(p, in_dir))
-        by_part.setdefault(rel, []).append(p)
+        by_part.setdefault(_rel_subdir(p, in_dir), []).append(p)
     bins: list[tuple[str, list[str]]] = []
     for rel in sorted(by_part):
         cur: list[str] = []
         cur_b = 0
         for p in by_part[rel]:
-            sz = os.path.getsize(p)
+            sz = _fs_size(p)
             if cur and cur_b + sz > target_bytes:
                 bins.append((rel, cur))
                 cur, cur_b = [], 0
@@ -1542,7 +1607,8 @@ def write_par1_dataset(
     read_par1_dataset."""
     import pyarrow.compute as pc
 
-    os.makedirs(out_dir, exist_ok=True)
+    if _fs_of(out_dir)[0] is None:
+        os.makedirs(out_dir, exist_ok=True)
     if sort_by and cluster_by:
         raise ValueError("sort_by and cluster_by are mutually exclusive")
     sort_keys = [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
@@ -1574,11 +1640,11 @@ def write_par1_dataset(
                     col = col.combine_chunks()
                 for v in pc.unique(col).to_pylist():
                     pname = f"{partition_by}={v}"
-                    if os.sep in pname or v is None:
+                    if os.sep in pname or "/" in pname or v is None:
                         raise ValueError(f"unsafe partition value {v!r}")
                     sub = batch.filter(pc.equal(col, v))
                     out_rows.append(
-                        _write_part(sub, os.path.join(out_dir, pname), pname, wkw)
+                        _write_part(sub, out_dir.rstrip("/") + "/" + pname, pname, wkw)
                     )
         return _manifest_table(out_rows)
 
