@@ -42,6 +42,7 @@ from ..stages.common import pandas_to_arrow as _pandas_to_arrow
 # \s+-splits in textstats/bpe word counting; a mismatch here doesn't just
 # perturb one row — in seq_pack it shifts token_start for every later doc.
 _WORD_RE = r"[^ \t\n\f\r]+"
+_WS_RE = r"[ \t\n\f\r]+"  # complement: the separator form of _WORD_RE
 
 # keep-thresholds for the repetition filter (Gopher-style rules adapted to
 # word level: the synthetic corpus is single-line word soup, so line-based
@@ -207,40 +208,44 @@ def _pii_salt(doc_ids: np.ndarray) -> pd.Series:
 class RedactPII:
     """Sequential vectorized redaction: count-then-replace each pattern on
     the current text (email -> ip -> hex secret), same order as the SQL CTE
-    chain so intermediate counts agree."""
+    chain so intermediate counts agree.  Runs on Arrow's RE2 kernels
+    (count_substring_regex / replace_substring_regex) — the same regex
+    engine DuckDB uses, zero-copy from the object store, no pandas
+    object-array hop for the text column."""
 
-    def __init__(self):
-        # re.ASCII pins \d and \b to ASCII like RE2's defaults (Python's
-        # Unicode \d also matches e.g. Arabic-Indic digits, and Unicode \b
-        # moves around non-ASCII letters)
-        self.email = re.compile(_PII_EMAIL, re.ASCII)
-        self.ipv4 = re.compile(_PII_IPV4, re.ASCII)
-        self.hexsec = re.compile(_PII_HEX, re.ASCII)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids = batch["doc_id"].to_numpy(np.int64)
-        text = batch["text"].reset_index(drop=True) + _pii_salt(doc_ids)
-        n_email = text.str.count(self.email).astype(np.int64)
-        t1 = text.str.replace(self.email, "<EMAIL>", regex=True)
-        n_ip = t1.str.count(self.ipv4).astype(np.int64)
-        t2 = t1.str.replace(self.ipv4, "<IP>", regex=True)
-        n_hex = t2.str.count(self.hexsec).astype(np.int64)
-        t3 = t2.str.replace(self.hexsec, "<SECRET>", regex=True)
-        return pd.DataFrame(
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").combine_chunks()
+        ids_np = doc_ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = pa.array(_pii_salt(ids_np), type=pa.large_string())
+        text = pc.binary_join_element_wise(
+            pc.cast(batch.column("text").combine_chunks(), pa.large_string()),
+            salt,
+            pa.scalar("", type=pa.large_string()),
+        )
+        n_email = pc.count_substring_regex(text, _PII_EMAIL)
+        t1 = pc.replace_substring_regex(text, _PII_EMAIL, "<EMAIL>")
+        n_ip = pc.count_substring_regex(t1, _PII_IPV4)
+        t2 = pc.replace_substring_regex(t1, _PII_IPV4, "<IP>")
+        n_hex = pc.count_substring_regex(t2, _PII_HEX)
+        t3 = pc.replace_substring_regex(t2, _PII_HEX, "<SECRET>")
+        n_email = pc.cast(n_email, pa.int64())
+        n_ip = pc.cast(n_ip, pa.int64())
+        n_hex = pc.cast(n_hex, pa.int64())
+        return pa.table(
             {
                 "doc_id": doc_ids,
                 "clean_text": t3,
                 "n_email": n_email,
                 "n_ip": n_ip,
                 "n_secret": n_hex,
-                "n_pii": n_email + n_ip + n_hex,
+                "n_pii": pc.add(pc.add(n_email, n_ip), n_hex),
             }
         )
 
 
 def redact_pii(sf_dir: str) -> rd.Dataset:
     ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(RedactPII, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(RedactPII, batch_format="pyarrow", concurrency=(1, 4))
 
 
 def redact_pii_oracle_sql(table: str = "documents") -> str:
@@ -271,17 +276,18 @@ PACK_RANGES = 256  # doc_id range buckets for the two-level prefix sum
 
 
 class _TokCount:
-    def __init__(self):
-        self.word_re = re.compile(_WORD_RE)
-
-    def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        toks = batch["text"].str.count(self.word_re).astype(np.int64)
-        # metadata-free arrow out: this feeds the groupby shuffle (see
-        # stages.common.pandas_to_arrow on schema-hash fallback)
-        return _pandas_to_arrow(
-            pd.DataFrame(
-                {"doc_id": batch["doc_id"].to_numpy(np.int64), "tokens": toks}
-            )
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # Arrow RE2 count of the same ASCII whitespace-token pattern; a
+        # fresh pa.table keeps the output metadata-free for the groupby
+        # shuffle (see stages.common.pandas_to_arrow on schema-hash fallback)
+        toks = pc.cast(
+            pc.count_substring_regex(
+                pc.cast(batch.column("text"), pa.large_string()), _WORD_RE
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"doc_id": pc.cast(batch.column("doc_id"), pa.int64()), "tokens": toks}
         )
 
 
@@ -322,7 +328,7 @@ def seq_pack(
     path = f"{sf_dir}/documents.parquet"
     ds = _read_parquet_any(path, columns=["doc_id", "text"])
     tok = ds.map_batches(
-        _TokCount, batch_format="pandas", concurrency=(1, 4)
+        _TokCount, batch_format="pyarrow", concurrency=(1, 4)
     ).materialize()
 
     maxid = _max_doc_id(path)
@@ -451,12 +457,18 @@ class UnigramScore:
         self.vocab = pa.array(logp.index.to_numpy(dtype=object), pa.string())
         self.vals = logp.to_numpy(np.float64)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        lists = batch["text"].str.findall(_WORD_RE)  # RE2-parity class
-        ex = lists.reset_index(drop=True).explode()
-        ex = ex[ex.notna()]
-        doc_idx = ex.index.to_numpy(np.int64)
-        toks = pa.array(ex.to_numpy(dtype=object), pa.string())
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # tokenize entirely in Arrow: split on the whitespace class (the
+        # complement of _WORD_RE), flatten, drop the empty tokens a
+        # leading/trailing separator produces — equivalent to re.findall
+        # of [^ \t\n\f\r]+ without a pandas object-array explode
+        text = pc.cast(batch.column("text").combine_chunks(), pa.large_string())
+        lists = pc.split_pattern_regex(text, pattern=_WS_RE)
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        nonempty = pc.not_equal(pc.binary_length(flat), 0)
+        toks = pc.cast(flat.filter(nonempty), pa.string())
+        doc_idx = parent.filter(nonempty).to_numpy(zero_copy_only=False)
         idx = pc.index_in(toks, value_set=self.vocab).to_numpy(
             zero_copy_only=False
         )  # float64 with NaN for out-of-vocab
@@ -466,12 +478,16 @@ class UnigramScore:
         words = np.bincount(doc_idx[ok], minlength=n).astype(np.int64)
         lp = np.bincount(doc_idx[ok], weights=vals, minlength=n)
         keep = words > 0
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": batch["doc_id"].to_numpy(np.int64)[keep],
-                "words": words[keep],
-                "logprob": np.round(lp[keep], 6),
-                "avg_logprob": np.round(lp[keep] / words[keep], 6),
+                "doc_id": pa.array(
+                    batch.column("doc_id")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[keep]
+                ),
+                "words": pa.array(words[keep]),
+                "logprob": pa.array(np.round(lp[keep], 6)),
+                "avg_logprob": pa.array(np.round(lp[keep] / words[keep], 6)),
             }
         )
 
@@ -485,7 +501,7 @@ def unigram_logprob(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(
         UnigramScore,
         fn_constructor_args=(ref,),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=(1, 4),
     )
 
@@ -622,10 +638,15 @@ class Decontaminate:
         self.k = k
         self.mod = mod
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids = batch["doc_id"].to_numpy(np.int64)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
         keep = doc_ids % self.mod != 0  # benchmark rows are not scored
-        texts = pa.array(batch["text"].to_numpy(dtype=object)[keep], pa.string())
+        texts = pc.cast(
+            batch.column("text").combine_chunks().filter(pa.array(keep)),
+            pa.string(),
+        )
         sh, doc_idx = _shingle_bytes(texts, self.k)
         n = int(keep.sum())
         n_hits = np.zeros(n, dtype=np.int64)
@@ -639,14 +660,19 @@ class Decontaminate:
                 else np.zeros(len(sh), dtype=bool)
             )
             if hit.any():
-                hf = pd.DataFrame({"d": doc_idx[hit], "s": sh[hit]})
-                nh = hf.groupby("d")["s"].nunique()
-                n_hits[nh.index.to_numpy()] = nh.to_numpy()
-        return pd.DataFrame(
+                # distinct (doc, shingle) pairs via one lexsort over the
+                # (few) hit rows, then a bincount per doc
+                hd, hs = doc_idx[hit], sh[hit]
+                order = np.lexsort((hs, hd))
+                hd, hs = hd[order], hs[order]
+                first = np.ones(len(hd), dtype=bool)
+                first[1:] = (hd[1:] != hd[:-1]) | (hs[1:] != hs[:-1])
+                n_hits = np.bincount(hd[first], minlength=n).astype(np.int64)
+        return pa.table(
             {
-                "doc_id": doc_ids[keep],
-                "n_hits": n_hits,
-                "contaminated": n_hits >= 1,
+                "doc_id": pa.array(doc_ids[keep]),
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array(n_hits >= 1),
             }
         )
 
@@ -663,7 +689,7 @@ def decontaminate(sf_dir: str, k: int = DECON_K, mod: int = DECON_MOD) -> rd.Dat
     return ds.map_batches(
         Decontaminate,
         fn_constructor_args=(ref, k, mod),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=(1, 4),
     )
 

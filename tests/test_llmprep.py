@@ -85,7 +85,7 @@ def test_redact_pii_matches_oracle(ray_session):
 def test_redact_pii_kernel_counts():
     red = L.RedactPII()
     # doc_id 4 -> %4==0 email salt; 5 -> ip; 6 -> secret; 7 -> none
-    batch = pd.DataFrame(
+    batch = pa.table(
         {
             "doc_id": [4, 5, 6, 7],
             "text": [
@@ -96,7 +96,7 @@ def test_redact_pii_kernel_counts():
             ],
         }
     )
-    out = red(batch).set_index("doc_id")
+    out = red(batch).to_pandas().set_index("doc_id")
     assert out.loc[4, "n_email"] == 2  # in-text + salt
     assert out.loc[5, "n_ip"] == 1
     assert out.loc[6, "n_secret"] == 2  # 32-hex in text + md5 salt
@@ -196,8 +196,8 @@ def test_unigram_oov_excluded():
     logp = pd.Series({"a": np.log(0.5), "b": np.log(0.5)})
     scorer = L.UnigramScore(logp)
     out = scorer(
-        pd.DataFrame({"doc_id": [0, 1], "text": ["a zz b", "zz zz"]})
-    )
+        pa.table({"doc_id": [0, 1], "text": ["a zz b", "zz zz"]})
+    ).to_pandas()
     # doc 1 has no in-vocab words -> dropped entirely
     assert list(out["doc_id"]) == [0]
     assert out["words"].iloc[0] == 2
