@@ -269,13 +269,84 @@ def _codec(name: str, level: int | None) -> pa.Codec:
     return c
 
 
+_SLICE_TARGET = 4 << 20  # per-frame slice for threaded zstd/gzip compression
+_COMPRESS_POOLS: dict[int, object] = {}
+
+
+def _compress_workers() -> int:
+    """Thread count for slicing large outer compressions = the calling
+    task's Ray CPU reservation — so the threads exactly fill the CPUs the
+    encode slot already reserved (see encode_pipeline._task_cpus) without
+    adding concurrent allocation-heavy encoder tasks to the memory bus.
+    Outside a Ray task (driver-side tools/tests) fall back to
+    OMP_NUM_THREADS, then 4."""
+    workers = 0
+    try:
+        import ray
+
+        if ray.is_initialized():
+            res = ray.get_runtime_context().get_assigned_resources()
+            workers = int(res.get("CPU", 0))
+    except Exception:
+        workers = 0
+    if not workers:
+        import os
+
+        try:
+            workers = int(float(os.environ.get("OMP_NUM_THREADS", "") or 0))
+        except ValueError:
+            workers = 0
+    return max(1, min(8, workers or 4))
+
+
+def _compress_pool(workers: int):
+    pool = _COMPRESS_POOLS.get(workers)
+    if pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = _COMPRESS_POOLS[workers] = ThreadPoolExecutor(
+            workers, thread_name_prefix=f"pgr-compress-{workers}"
+        )
+    return pool
+
+
 def _outer_compress(body: bytes, name: str, level: int) -> bytes:
     if name == "none":
         return body
     if name in _OUTER_ALIASES:
         name, lvl = _OUTER_ALIASES[name]
         level = lvl if lvl is not None else level
-    return _codec(name, level if name == "zstd" else None).compress(body, asbytes=True)
+    codec = _codec(name, level if name == "zstd" else None)
+    # Large zstd/gzip payloads: compress fixed-size slices on the slot's
+    # reserved-but-idle CPUs and concatenate.  Concatenated zstd frames
+    # (RFC 8878 §3.1) / gzip members (RFC 1952 §2.2) are ONE standard
+    # stream, so _outer_decompress and external readers are unchanged.
+    # Slice boundaries depend only on len(body) — output is deterministic
+    # regardless of pool size.  Measured on the headline's 9.3 MB
+    # partition-sized content payload: zstd9 0.150 s -> 0.054 s at
+    # 3 slices/4 threads for +0.5% size on that one column (and 29 MB:
+    # 0.47 s -> 0.12 s, +0.4%); snappy/lz4_raw have no frame concatenation
+    # and stay single-shot (they are >500 MB/s anyway).
+    if name in ("zstd", "gzip") and len(body) >= 2 * _SLICE_TARGET:
+        n = len(body)
+        n_slices = -(-n // _SLICE_TARGET)
+        step = -(-n // n_slices)
+        view = memoryview(body)
+        workers = _compress_workers()
+        if workers > 1:
+            parts = _compress_pool(workers).map(
+                lambda lo: codec.compress(view[lo : lo + step], asbytes=True),
+                range(0, n, step),
+            )
+        else:
+            # same slice boundaries serially: output must not depend on the
+            # caller's thread budget
+            parts = (
+                codec.compress(view[lo : lo + step], asbytes=True)
+                for lo in range(0, n, step)
+            )
+        return b"".join(parts)
+    return codec.compress(body, asbytes=True)
 
 
 def _outer_decompress(body: bytes, name: str, raw_len: int) -> bytes:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .base import arr_values_np, binary_parts, build_binary, register
 
@@ -23,21 +24,39 @@ def encode_plain(arr: pa.Array) -> tuple[bytes, dict]:
         v = arr.to_numpy(zero_copy_only=False).astype(np.uint8)
         return np.packbits(v, bitorder="little").tobytes(), {}
     if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
-        # interleave u32-LE length prefixes with value bytes via memoryview
-        # slices + one join: per-byte index arrays would allocate 16 bytes of
-        # int64 scratch per data byte, which anti-scales on memory-bound hosts
+        # interleave u32-LE length prefixes with value bytes entirely in
+        # Arrow: element-wise concat of a fixed_size_binary(4) prefix array
+        # with the values — the result's data buffer IS the PLAIN stream.
+        # No per-value Python slicing (29x on many-small-values arrays) and
+        # no per-byte int64 gather-index scratch.
         lengths, data = binary_parts(arr)
         n = len(lengths)
-        len_bytes = memoryview(lengths.astype("<u4").tobytes())
-        dmv = memoryview(data)
-        starts = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lengths, out=starts[1:])
-        pieces = []
-        ap = pieces.append
-        for i in range(n):
-            ap(len_bytes[4 * i : 4 * i + 4])
-            ap(dmv[starts[i] : starts[i + 1]])
-        return b"".join(pieces), {}
+        total = 4 * n + len(data)
+        lb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(4), n, [None, pa.py_buffer(lengths.astype("<u4").tobytes())]
+        )
+        vals = arr
+        if pa.types.is_string(t):
+            vals = vals.cast(pa.binary())
+        elif pa.types.is_large_string(t):
+            vals = vals.cast(pa.large_binary())
+        if pa.types.is_binary(vals.type) and total > (1 << 31) - 16:
+            vals = vals.cast(pa.large_binary())  # joined offsets would overflow
+        joined = pc.binary_join_element_wise(
+            lb.cast(vals.type), vals, pa.scalar(b"", type=vals.type)
+        )
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        off_t = np.int64 if pa.types.is_large_binary(joined.type) else np.int32
+        start = int(
+            np.frombuffer(
+                joined.buffers()[1],
+                dtype=off_t,
+                count=1,
+                offset=joined.offset * np.dtype(off_t).itemsize,
+            )[0]
+        )
+        return bytes(memoryview(joined.buffers()[2])[start : start + total]), {}
     if pa.types.is_fixed_size_binary(t):
         buffers = arr.buffers()
         w = t.byte_width

@@ -253,7 +253,13 @@ def _task_cpus(cfg: EngineConfig) -> int:
     avail = max(1, total - total // 4)  # hash-shuffle aggregator reservation
     # ~ncpu/5 slots: A/B at 32 CPUs measured 6 slots at 6.8-7.4 s vs
     # 8 slots at 10.3-13.5 s — the extra concurrency saturates the bus
-    target_slots = max(2, total // 5)
+    # PGR_SLOT_DIV: tuning surface for the slots-vs-reservation tradeoff.
+    # Re-A/B'd after threaded outer compression landed (slices fill the
+    # reservation): div=4 (8 slots) 9.0/11.0 s vs div=5 (6 slots)
+    # 9.7/10.5 s at 32 CPUs — a wash inside host noise; the tuned 5 stays.
+    import os as _os
+
+    target_slots = max(2, total // int(_os.environ.get("PGR_SLOT_DIV", "5")))
     fair = max(1, avail // target_slots)
     return max(1, min(cfg.cpus_per_encode_task, fair, total // 2 or 1))
 
