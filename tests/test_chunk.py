@@ -198,3 +198,38 @@ def test_dictionary_typed_input_roundtrips():
         out = decode_column_chunk(row["blob"])
         assert out.to_pylist() == ["a", "b", "a", "c", None]
         assert out.type == pa.string()
+
+
+def test_sliced_outer_compress_multiframe_roundtrip():
+    """Payloads >= 2x _SLICE_TARGET compress as concatenated zstd frames on
+    a thread pool; the result must be one standard zstd stream (decode path
+    unchanged) and byte-identical regardless of the caller's thread budget."""
+    from parquet_go_ray import chunk as chunk_mod
+
+    rng = np.random.default_rng(7)
+    # ~9 MB of low-entropy bytes: crosses the 8 MB slicing threshold fast
+    body = bytes(rng.integers(97, 105, size=9 << 20, dtype=np.uint8))
+    out = chunk_mod._outer_compress(body, "zstd9", 3)
+    n_slices = -(-len(body) // chunk_mod._SLICE_TARGET)
+    assert n_slices >= 2
+    # single-worker pool must produce the same bytes (slice boundaries are a
+    # function of len(body) only)
+    serial = b"".join(
+        chunk_mod._codec("zstd", 9).compress(
+            memoryview(body)[lo : lo + -(-len(body) // n_slices)], asbytes=True
+        )
+        for lo in range(0, len(body), -(-len(body) // n_slices))
+    )
+    assert out == serial
+    assert chunk_mod._outer_decompress(out, "zstd9", len(body)) == body
+
+
+def test_sliced_outer_compress_column_chunk_roundtrip():
+    """End-to-end: a column chunk big enough to slice round-trips bit-exact."""
+    vals = pa.array(
+        [f"line {i % 977}: the quick brown fox {i % 31}\n" * 8 for i in range(70000)]
+    )
+    assert vals.nbytes >= 16 << 20
+    row = encode_column_chunk(vals, "delta_length_ba", outer="zstd9")
+    back = decode_column_chunk(row["blob"])
+    assert back.equals(vals)
