@@ -669,12 +669,15 @@ def encode_column_chunk(
     outer: str = "none",
     cfg: EngineConfig = DEFAULT,
     precomputed: tuple[bytes, dict] | None = None,
+    sha: str | None = None,
 ) -> dict:
     """Encode one column chunk; returns a dict row for the chunk table.
 
     `precomputed` short-circuits the value encoding with a (payload, meta)
     pair already produced for the null-free values (the selector hands its
-    full-column trial encoding back through this).
+    full-column trial encoding back through this).  `sha` passes a
+    column_sha256 the caller already computed (encode_table hashes every
+    column for the chunk id) so it is not recomputed per row.
 
     With ``cfg.page_rows`` set, large chunks use the paged layout (sub-chunk
     page index — the ColumnIndex/OffsetIndex analog, reference:
@@ -703,6 +706,7 @@ def encode_column_chunk(
         return _encode_paged_chunk(
             arr, values, levels, codec, outer, cfg,
             n=n, null_count=null_count, orig_type=orig_type, logical=logical,
+            sha=sha,
         )
     if precomputed is not None:
         payload, meta = precomputed[0], dict(precomputed[1])
@@ -733,13 +737,17 @@ def encode_column_chunk(
         "raw_bytes": raw_nbytes(arr),
         "enc_bytes": len(blob),
         "blob": blob,
-        "sha256": column_sha256(arr) if cfg.verify_sha256 else "",
+        "sha256": (
+            sha
+            if sha is not None
+            else (column_sha256(arr) if cfg.verify_sha256 else "")
+        ),
     }
 
 
 def _encode_paged_chunk(
     arr, values, levels, codec, outer, cfg,
-    *, n, null_count, orig_type, logical,
+    *, n, null_count, orig_type, logical, sha=None,
 ) -> dict:
     """Paged chunk layout (sub-chunk page index, the OffsetIndex analog —
     reference: writer/writer.go:418-481 builds per-page row/byte offsets into
@@ -825,7 +833,11 @@ def _encode_paged_chunk(
         "raw_bytes": raw_nbytes(arr),
         "enc_bytes": len(blob),
         "blob": blob,
-        "sha256": column_sha256(arr) if cfg.verify_sha256 else "",
+        "sha256": (
+            sha
+            if sha is not None
+            else (column_sha256(arr) if cfg.verify_sha256 else "")
+        ),
     }
 
 
@@ -1091,9 +1103,15 @@ def column_sha256(arr) -> str:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     h = hashlib.sha256()
+
+    def upd(a: np.ndarray) -> None:
+        # hashlib consumes the buffer protocol directly; only copy when the
+        # array isn't contiguous (tobytes() always copied)
+        h.update(a if a.flags.c_contiguous else np.ascontiguousarray(a))
+
     h.update(str(arr.type).encode())
     if arr.null_count:
-        h.update(np.asarray(arr.is_valid()).astype(np.uint8).tobytes())
+        upd(np.asarray(arr.is_valid()).astype(np.uint8))
         vals = arr.drop_null()
     else:
         vals = arr
@@ -1115,23 +1133,23 @@ def column_sha256(arr) -> str:
         from .codecs.base import binary_parts
 
         lengths, data = binary_parts(vals)
-        h.update(lengths.tobytes())
-        h.update(np.ascontiguousarray(data).tobytes())
+        upd(lengths)
+        upd(data)
     elif pa.types.is_boolean(t):
-        h.update(vals.to_numpy(zero_copy_only=False).astype(np.uint8).tobytes())
+        upd(vals.to_numpy(zero_copy_only=False).astype(np.uint8))
     elif pa.types.is_fixed_size_binary(t):
         w = t.byte_width
         data = np.frombuffer(
             vals.buffers()[1], dtype=np.uint8, count=len(vals) * w, offset=vals.offset * w
         )
-        h.update(data.tobytes())
+        upd(data)
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         off_t = np.int64 if pa.types.is_large_list(t) else np.int32
         offsets = np.frombuffer(
             vals.buffers()[1], dtype=off_t, count=len(vals) + 1,
             offset=vals.offset * np.dtype(off_t).itemsize,
         )
-        h.update(np.diff(offsets).astype(np.int64).tobytes())
+        upd(np.diff(offsets).astype(np.int64))
         h.update(column_sha256(vals.flatten()).encode())
     elif pa.types.is_struct(t):
         for i in range(t.num_fields):
@@ -1142,5 +1160,5 @@ def column_sha256(arr) -> str:
         h.update(column_sha256(ls).encode())
     else:
         phys, _ = _physical(vals)
-        h.update(np.ascontiguousarray(phys.to_numpy(zero_copy_only=True)).tobytes())
+        upd(phys.to_numpy(zero_copy_only=True))
     return h.hexdigest()

@@ -80,8 +80,10 @@ def encode_table(table: pa.Table, cfg: EngineConfig = DEFAULT, part: int = 0) ->
             continue
         values = col.drop_null() if col.null_count else col
         codec, outer, stats = select_codec(values, cfg, column=name)
+        # sha already computed above for the chunk id — don't recompute per row
         row = encode_column_chunk(
-            col, codec, outer, cfg, precomputed=stats.get("full_payload")
+            col, codec, outer, cfg, precomputed=stats.get("full_payload"),
+            sha=sha if cfg.verify_sha256 else "",
         )
         ref_bytes = None
         if cfg.enforce_reference_floor:
