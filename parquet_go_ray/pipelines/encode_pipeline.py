@@ -319,7 +319,13 @@ def _budget_hash_shuffle(dc, ncpu: int, num_parts: int) -> None:
         return
     dc.default_hash_shuffle_parallelism = nparts
     dc.max_hash_shuffle_aggregators = min(64, max(2, ncpu), nparts)
-    per_part = (ncpu / 4.0) / nparts
+    # PGR_AGG_DIV: tuning surface for the aggregator-pool share (re-A/B'd
+    # after the round-5 kernel levers shrank encode CPU ~35%: div 3 vs 4
+    # interleaved at 32 CPUs was a wash, 4 kept)
+    import os as _os
+
+    agg_div = float(_os.environ.get("PGR_AGG_DIV", "4"))
+    per_part = (ncpu / agg_div) / nparts
     dc.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
     dc.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part
 
