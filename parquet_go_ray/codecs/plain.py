@@ -29,6 +29,12 @@ def encode_plain(arr: pa.Array) -> tuple[bytes, dict]:
         # with the values — the result's data buffer IS the PLAIN stream.
         # No per-value Python slicing (29x on many-small-values arrays) and
         # no per-byte int64 gather-index scratch.
+        if arr.null_count:
+            # callers strip nulls upstream; if one slips through, keep the
+            # historical zero-length-prefix bytes (binary_join_element_wise
+            # would otherwise DROP the null element's prefix and silently
+            # truncate the stream)
+            arr = arr.fill_null(b"" if pa.types.is_binary(t) or pa.types.is_large_binary(t) else "")
         lengths, data = binary_parts(arr)
         n = len(lengths)
         total = 4 * n + len(data)

@@ -103,17 +103,11 @@ MAGIC = b"PAR1"
 def _fs_open(path: str, mode: str):
     """Open a local path or any fsspec URI (s3://, gs://, memory://, ...) —
     the reference's swappable ParquetFile backends (source/source.go:9-16)
-    behind one call.  Object stores publish atomically on CLOSE (S3 PUT /
-    multipart-complete; fsspec memory commits at close), so remote writers
-    target the final name directly — rename-based atomic publish is a
-    local-filesystem idiom only."""
-    if "://" in path and not path.startswith("file://"):
-        import fsspec
+    behind one call.  Dispatch rules live in ``uri.open_any`` (shared with
+    the dataset layer's ``native_io._fs_of``)."""
+    from ..uri import open_any
 
-        return fsspec.open(path, mode).open()
-    if path.startswith("file://"):
-        path = path[len("file://") :]
-    return open(path, mode)
+    return open_any(path, mode)
 
 _COMP_NAME = {
     "none": COMP_UNCOMPRESSED,

@@ -24,7 +24,6 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..sources.io import read_parquet_any as _read_parquet_any
-from ..stages.common import arrow_out as _arrow_out
 
 
 def _stage_done(path: str) -> bool:

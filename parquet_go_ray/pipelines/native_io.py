@@ -287,14 +287,11 @@ MANIFEST_NAME = "_manifest.parquet"
 
 def _fs_of(path: str):
     """(fsspec_fs | None, plain_path, scheme_prefix) — None fs means local.
-    scheme_prefix re-qualifies fs-relative paths back into URIs so every
-    downstream open routes through the same backend."""
-    if "://" in path and not path.startswith("file://"):
-        import fsspec
+    Dispatch rules live in ``uri.split_uri`` (shared with the format
+    layer's ``par1._fs_open``)."""
+    from ..uri import split_uri
 
-        fs, plain = fsspec.core.url_to_fs(path)
-        return fs, plain, path[: path.index("://") + 3]
-    return None, path[len("file://") :] if path.startswith("file://") else path, ""
+    return split_uri(path)
 
 
 def _ls_parquet(dir_path: str) -> list[str]:
@@ -308,11 +305,13 @@ def _ls_parquet(dir_path: str) -> list[str]:
     else:
         found = [scheme + p.lstrip("/") for p in fs.glob(plain.rstrip("/") + "/**/*.parquet")]
         # object stores have no directories: a single-level key layout also
-        # matches one level deep
+        # matches one level deep (fsspec's ** matches zero levels, so this
+        # is belt-and-braces; the set makes the dedup O(n) not O(n^2))
+        seen = set(found)
         found += [
             scheme + p.lstrip("/")
             for p in fs.glob(plain.rstrip("/") + "/*.parquet")
-            if scheme + p.lstrip("/") not in set(found)
+            if scheme + p.lstrip("/") not in seen
         ]
     return sorted(p for p in found if os.path.basename(p) != MANIFEST_NAME)
 
@@ -1080,6 +1079,20 @@ def _part_stats_json(path: str) -> str:
     return json.dumps(out)
 
 
+def _remote_footer_ok(fs, key: str) -> bool:
+    """Cheap integrity probe for skip-existing on object stores: a complete
+    PAR1 file ends with the 4-byte magic; a partial PUT from a killed worker
+    doesn't.  One ranged read — no full download."""
+    try:
+        if fs.size(key) <= 12:  # magic + footer len + magic
+            return False
+        with fs.open(key, "rb") as f:
+            f.seek(-4, 2)
+            return f.read(4) == b"PAR1"
+    except Exception:
+        return False
+
+
 def _write_part(batch: "pa.Table", part_dir: str, partition: str, write_kwargs: dict) -> dict:
     """One block -> one content-named PAR1 file (atomic, skip-existing).
 
@@ -1087,7 +1100,13 @@ def _write_part(batch: "pa.Table", part_dir: str, partition: str, write_kwargs: 
     URI) have NO atomic rename, so the write targets the final content-named
     key directly — the object appears only on close (S3 PUT semantics), and
     the content-derived name makes concurrent duplicate writers converge on
-    identical bytes, so last-writer-wins is also exactly-once."""
+    identical bytes, so last-writer-wins is also exactly-once.  Two
+    crash-safety guards on the remote branch (the local branch gets both for
+    free from tmp + os.replace): a write that raises mid-stream deletes the
+    partial object before re-raising (fsspec buffered files still PUT on
+    close during exception unwind), and skip-existing only trusts an object
+    whose PAR1 footer magic is present — a part truncated by a hard worker
+    kill is rewritten on resume instead of being skipped forever."""
     tag = _ipc_content_tag(batch)
     fs, plain, scheme = _fs_of(part_dir)
     if fs is None:
@@ -1102,9 +1121,16 @@ def _write_part(batch: "pa.Table", part_dir: str, partition: str, write_kwargs: 
     else:
         key = plain.rstrip("/") + f"/part_{tag}.parquet"
         path = scheme + key.lstrip("/")
-        skipped = fs.exists(key)
+        skipped = fs.exists(key) and _remote_footer_ok(fs, key)
         if not skipped:
-            write_par1(batch, path, **write_kwargs)
+            try:
+                write_par1(batch, path, **write_kwargs)
+            except BaseException:
+                try:
+                    fs.rm(key)
+                except Exception:
+                    pass
+                raise
         size = fs.size(key)
     return {
         "path": path, "partition": partition, "rows": batch.num_rows,

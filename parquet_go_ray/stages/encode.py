@@ -104,7 +104,9 @@ def encode_table(table: pa.Table, cfg: EngineConfig = DEFAULT, part: int = 0) ->
                     if cr > 0.9:
                         continue
                 try:
-                    rrow = encode_column_chunk(col, rcodec, router, cfg)
+                    # sha="" — the row's sha256 field comes from the
+                    # precomputed chunk-id hash below, never from a trial
+                    rrow = encode_column_chunk(col, rcodec, router, cfg, sha="")
                 except Exception:
                     continue
                 if best_ref is None or rrow["enc_bytes"] < best_ref["enc_bytes"]:

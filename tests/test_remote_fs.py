@@ -197,3 +197,58 @@ def test_par1_dataset_partitioned_mocks3(ray_session, mocks3_bucket):
     assert set(man["partition"]) == {"grp=0", "grp=1"}
     got = read_par1_dataset(out, partitions={"grp": 1}).to_pandas()
     assert len(got) == 200 and (got["grp"] == 1).all()
+
+
+def test_write_part_rewrites_truncated_remote_object(mocks3_bucket):
+    """Crash-safety on object stores: a part truncated by a killed worker
+    (partial PUT at the final content-named key) must NOT be skip-trusted on
+    resume — _write_part validates the PAR1 footer magic and rewrites."""
+    import fsspec
+
+    from parquet_go_ray.pipelines.native_io import _fs_of, _write_part
+
+    batch = pa.table({"x": pa.array(range(100), pa.int64())})
+    part_dir = f"{mocks3_bucket}/data"
+    r1 = _write_part(batch, part_dir, "", {})
+    assert not r1["skipped"]
+    fs, plain, _ = _fs_of(r1["path"])
+    key = plain
+    # simulate a hard kill mid-PUT: truncate the published object
+    good = fs.open(key, "rb").read()
+    with fs.open(key, "wb") as f:
+        f.write(good[: len(good) // 2])
+    assert fs.size(key) != len(good)
+    r2 = _write_part(batch, part_dir, "", {})
+    assert not r2["skipped"], "truncated object must be rewritten, not skipped"
+    assert fs.open(key, "rb").read() == good
+    # intact object IS skipped (exactly-once resume path unchanged)
+    r3 = _write_part(batch, part_dir, "", {})
+    assert r3["skipped"]
+
+
+def test_write_part_cleans_partial_on_write_error(mocks3_bucket, monkeypatch):
+    """A write_par1 that raises mid-stream must not leave a partial object
+    at the final key (fsspec buffered files still PUT on close during
+    exception unwind)."""
+    import parquet_go_ray.pipelines.native_io as nio
+
+    batch = pa.table({"x": pa.array(range(10), pa.int64())})
+    part_dir = f"{mocks3_bucket}/data2"
+
+    def boom(tbl, path, **kw):
+        from parquet_go_ray.uri import open_any
+
+        with open_any(path, "wb") as f:
+            f.write(b"PARTIAL")
+            raise RuntimeError("injected mid-write failure")
+
+    monkeypatch.setattr(nio, "write_par1", boom)
+    with pytest.raises(RuntimeError):
+        nio._write_part(batch, part_dir, "", {})
+    monkeypatch.undo()
+    fs, plain, _ = nio._fs_of(part_dir)
+    leftovers = [p for p in fs.ls(plain)] if fs.exists(plain) else []
+    assert not leftovers, f"partial object survived the failed write: {leftovers}"
+    # and a clean retry succeeds
+    r = nio._write_part(batch, part_dir, "", {})
+    assert not r["skipped"]
