@@ -486,6 +486,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_simhash"] = lambda sf: dedup_simhash(sf, max_hamming=6)
     q["dedup_embedding"] = lambda sf: dedup_embedding(sf, threshold=0.35)
 
+    # span-level exact substring dedup (Lee et al. 2022 semantics, round 5)
+    from parquet_go_ray.pipelines.substring import dup_spans_query
+
+    q["dup_spans_documents"] = dup_spans_query
+
     from parquet_go_ray.pipelines.dedup import (
         dedup_clusters_exhaustive,
         embedding_pairs_exhaustive,
@@ -644,6 +649,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (b) code changed in round 5 —
         # new operator: legacy 2-level repeated-list read
         "native_legacy_list_scan",
+        # new operator: span-level exact substring dedup (both paths oracled
+        # in pytest; broadcast path runs here)
+        "dup_spans_documents",
         # FSST segmentation fix (codecs/fsst.py)
         "rt_documents_fsst",
         # vectorized vocab lookup (llmprep.py) / Arrow anti-join (dedup.py)
@@ -961,6 +969,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT * FROM documents QUALIFY "
             "ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1"
+        ),
+        # span-level exact substring dedup: every maximal island of
+        # consecutive starts whose 20-char window occurs >= 2 times
+        # corpus-wide (gaps-and-islands on start - ROW_NUMBER)
+        "dup_spans_documents": (
+            "WITH starts AS ("
+            "  SELECT doc_id, text,"
+            "         unnest(generate_series(1, length(text) - 19)) AS start"
+            "  FROM documents"
+            "), wins AS ("
+            "  SELECT doc_id, start, substr(text, start::INT, 20) AS win"
+            "  FROM starts"
+            "), dup AS ("
+            "  SELECT win FROM wins GROUP BY win HAVING count(*) >= 2"
+            "), marked AS ("
+            "  SELECT w.doc_id, w.start,"
+            "         w.start - ROW_NUMBER() OVER ("
+            "           PARTITION BY w.doc_id ORDER BY w.start) AS isl"
+            "  FROM wins w JOIN dup USING (win)) "
+            "SELECT doc_id, MIN(start) AS span_start,"
+            "       MAX(start) + 19 AS span_end,"
+            "       MAX(start) + 19 - MIN(start) + 1 AS span_len,"
+            "       COUNT(*) AS n_windows "
+            "FROM marked GROUP BY doc_id, isl "
+            "ORDER BY doc_id, span_start, span_end"
         ),
         "text_quality": (
             "SELECT doc_id, LENGTH(text) AS chars, "

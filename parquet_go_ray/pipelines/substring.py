@@ -1,0 +1,305 @@
+"""Exact substring-duplication spans — span-level dedup detection.
+
+Doc-level dedup (exact/MinHash/SimHash, `pipelines/dedup.py`) misses the
+dominant duplication mode in web/code corpora: long byte ranges repeated
+inside otherwise-distinct documents (licenses, boilerplate, quoted text).
+The published approach (Lee et al., "Deduplicating Training Data Makes
+Language Models Better", ACL 2022 — PAPERS.md) finds exact duplicated
+substrings with a corpus-wide suffix array; a suffix array is a global
+sequential structure with no good Dataset expression, so this module
+re-expresses the same detection Ray-Data-first:
+
+    every W-byte window of every document
+      -> per-batch np.unique pre-aggregation (map-side combine)
+      -> ONE groupby(window).sum exchange of (window, count) rows
+      -> windows with count >= min_count are "duplicated"
+      -> second pass marks duplicated window starts per document and merges
+         CONSECUTIVE starts into maximal islands:
+         span = [first_start, last_start + W - 1] (1-based, inclusive)
+
+Size-adaptive second pass (same convention as dedup.py's loser resolution):
+the duplicated-window set is usually tiny relative to the corpus (shared
+boilerplate), so below `broadcast_limit` it ships once via ray.put and the
+corpus streams through a vectorized sorted-set membership probe — ONE small
+exchange total.  Above the limit it falls back to a fully distributed
+2-exchange plan (groupby(window).map_groups keeps groups with >= min_count
+occurrences, then groupby(doc).map_groups merges islands) that never
+materializes anything driver-side.
+
+Exactness: the groupby key is the literal window BYTES (fixed width W), not
+a hash — zero false positives, matching the suffix-array semantics and the
+SQL oracle.  Windows are byte-based (== character-based on ASCII corpora;
+DuckDB's substr() oracle is character-based, so they coincide on the
+synthetic corpus — documented boundary for non-ASCII text).  At 100 TB the
+window exchange inflates bytes ~W-fold; production runs raise `stride`
+(sample every k-th start; detection of spans >= W + k - 1 is preserved) —
+stride=1 here because the oracle checks every start.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..codecs.base import binary_parts
+
+DEFAULT_WIDTH = 20
+
+
+def _doc_windows(batch: pa.Table, width: int):
+    """(windows_void, doc_rep, local_start) for every width-byte window of
+    every text in the batch; windows never cross document boundaries."""
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lengths, data = binary_parts(texts)
+    counts = np.maximum(lengths - width + 1, 0)
+    tot = int(counts.sum())
+    if tot == 0:
+        empty = np.empty(0, dtype=np.dtype((np.void, width)))
+        return empty, np.empty(0, np.int64), np.empty(0, np.int64)
+    offs = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offs[1:])
+    base = np.repeat(offs, counts)
+    cum = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=cum[1:])
+    within = np.arange(tot, dtype=np.int64) - np.repeat(cum, counts)
+    gstarts = base + within
+    sw = np.lib.stride_tricks.sliding_window_view(data, width)
+    wins = np.ascontiguousarray(sw[gstarts])  # (tot, width) materialized
+    v = wins.view(np.dtype((np.void, width))).ravel()  # memcmp-ordered rows
+    doc_rep = np.repeat(np.asarray(batch["doc_id"], dtype=np.int64), counts)
+    return v, doc_rep, within
+
+
+def _void_to_binary(v: np.ndarray, width: int) -> pa.Array:
+    buf = pa.py_buffer(v.tobytes())
+    fsb = pa.FixedSizeBinaryArray.from_buffers(pa.binary(width), len(v), [None, buf])
+    return fsb.cast(pa.binary())  # variable-width: exchange-friendly key type
+
+
+def _spans_table(doc: np.ndarray, start0: np.ndarray, width: int) -> pa.Table:
+    """Merge consecutive duplicated 0-based starts (sorted by doc, start)
+    into islands; emit 1-based inclusive spans (the oracle's shape)."""
+    if len(doc) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "span_start": pa.array([], pa.int64()),
+                "span_end": pa.array([], pa.int64()),
+                "span_len": pa.array([], pa.int64()),
+                "n_windows": pa.array([], pa.int64()),
+            }
+        )
+    brk = np.flatnonzero((doc[1:] != doc[:-1]) | (start0[1:] != start0[:-1] + 1)) + 1
+    first = np.concatenate(([0], brk))
+    last = np.concatenate((brk, [len(doc)])) - 1
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[first], pa.int64()),
+            "span_start": pa.array(start0[first] + 1, pa.int64()),
+            "span_end": pa.array(start0[last] + width, pa.int64()),
+            "span_len": pa.array(start0[last] + width - start0[first], pa.int64()),
+            "n_windows": pa.array(last - first + 1, pa.int64()),
+        }
+    )
+
+
+class _MarkSpans:
+    """Actor-pool stage: the duplicated-window set ships ONCE per actor via
+    ray.put (sorted void array, vectorized searchsorted membership)."""
+
+    def __init__(self, dup_ref, width: int):
+        self.dup = ray.get(dup_ref)  # sorted np.void array
+        self.width = width
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v, doc, start0 = _doc_windows(batch, self.width)
+        if len(v) == 0 or len(self.dup) == 0:
+            return _spans_table(doc[:0], start0[:0], self.width)
+        pos = np.searchsorted(self.dup, v)
+        pos[pos == len(self.dup)] = 0
+        hit = self.dup[pos] == v
+        # rows are whole documents, so doc/start order from _doc_windows is
+        # already (doc-block, ascending start) — islands need no sort
+        return _spans_table(doc[hit], start0[hit], self.width)
+
+
+def dup_spans(
+    sf_dir: str,
+    width: int = DEFAULT_WIDTH,
+    min_count: int = 2,
+    broadcast_limit: int = 2_000_000,
+) -> rd.Dataset:
+    """(doc_id, span_start, span_end, span_len, n_windows) for every maximal
+    island of consecutive duplicated-window starts, 1-based inclusive."""
+    from ..sources.io import read_parquet_any
+
+    def docs():
+        # the documents table is often ONE parquet file = one Ray block;
+        # fan out so the window stages parallelize (each row is a whole
+        # doc, so any split keeps windows intact)
+        return read_parquet_any(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            override_num_blocks=32,
+        )
+
+    nparts = 64
+
+    def _part_of(v: np.ndarray) -> np.ndarray:
+        # Knuth-multiply hash of the window's first min(8, width) bytes;
+        # identical windows always land in the same partition regardless of
+        # which batch emitted them
+        b = np.frombuffer(np.ascontiguousarray(v).tobytes(), dtype=np.uint8)
+        b = b.reshape(len(v), width)
+        head = np.zeros(len(v), dtype="<u8")
+        k = min(8, width)
+        head.view(np.uint8).reshape(len(v), 8)[:, :k] = b[:, :k]
+        return ((head * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)).astype(
+            np.int64
+        ) % nparts
+
+    def count_windows(batch: pa.Table) -> pa.Table:
+        v, _, _ = _doc_windows(batch, width)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "win": _void_to_binary(uniq, width),
+                "cnt": pa.array(cnt, pa.int64()),
+                "__part": pa.array(_part_of(uniq), pa.int64()),
+            }
+        )
+
+    def dup_in_part(group: pa.Table) -> pa.Table:
+        # Ray's native hash aggregate over ~1M binary groups measured
+        # 9.5-23.6 s at sf0.1; the repo's __part pattern (64 int groups +
+        # vectorized per-partition counting, same convention as dedup.py)
+        # does the identical exchange bytes in ~2 s.
+        col = group["win"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({"win": pa.array([], pa.binary())})
+        fixed = col.cast(pa.binary(width))
+        vt = np.dtype((np.void, width))
+        v = np.frombuffer(
+            fixed.buffers()[1], dtype=vt, count=len(fixed), offset=fixed.offset * width
+        )
+        cnt = np.asarray(group["cnt"], np.int64)
+        uniq, inv = np.unique(v, return_inverse=True)
+        tot = np.bincount(inv, weights=cnt).astype(np.int64)
+        keep = uniq[tot >= min_count]
+        return pa.table({"win": _void_to_binary(keep, width)})
+
+    # materialize: bounded (duplicated windows only), and both the count and
+    # the driver pull below would otherwise re-execute the whole exchange
+    dups = (
+        docs()
+        .map_batches(count_windows, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(dup_in_part, batch_format="pyarrow")
+        .materialize()
+    )
+    n_dup = dups.count()
+    if n_dup <= broadcast_limit:
+        # ---- broadcast path: ONE exchange total ----
+        vt = np.dtype((np.void, width))
+        parts = []
+        for t in dups.iter_batches(batch_format="pyarrow", batch_size=None):
+            col = t["win"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            fixed = col.cast(pa.binary(width))
+            data = fixed.buffers()[1]
+            parts.append(
+                np.frombuffer(
+                    data, dtype=vt, count=len(fixed), offset=fixed.offset * width
+                )
+            )
+        dup_sorted = (
+            np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=vt)
+        )
+        ref = ray.put(dup_sorted)
+        return docs().map_batches(
+            _MarkSpans,
+            fn_constructor_args=(ref, width),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    # ---- distributed path: no driver-side set, 2 exchanges, both on the
+    # bounded __part key (window-hash, then doc-hash) — never a
+    # groups-proportional native aggregate ----
+    def win_positions(batch: pa.Table) -> pa.Table:
+        v, doc, start0 = _doc_windows(batch, width)
+        return pa.table(
+            {
+                "win": _void_to_binary(v, width),
+                "doc_id": pa.array(doc, pa.int64()),
+                "start0": pa.array(start0, pa.int64()),
+                "__part": pa.array(_part_of(v), pa.int64()),
+            }
+        )
+
+    def dup_positions_in_part(group: pa.Table) -> pa.Table:
+        # every occurrence of a window hashes to the same partition, so the
+        # per-partition multiset count is the corpus-wide count
+        col = group["win"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "start0": pa.array([], pa.int64()),
+                "__dpart": pa.array([], pa.int64()),
+            }
+        )
+        if len(col) == 0:
+            return empty
+        fixed = col.cast(pa.binary(width))
+        vt = np.dtype((np.void, width))
+        v = np.frombuffer(
+            fixed.buffers()[1], dtype=vt, count=len(fixed), offset=fixed.offset * width
+        )
+        _, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
+        keep = cnt[inv] >= min_count
+        if not keep.any():
+            return empty
+        doc = np.asarray(group["doc_id"], np.int64)[keep]
+        st = np.asarray(group["start0"], np.int64)[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "start0": pa.array(st, pa.int64()),
+                "__dpart": pa.array(doc % nparts, pa.int64()),
+            }
+        )
+
+    marked = (
+        docs()
+        .map_batches(win_positions, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(dup_positions_in_part, batch_format="pyarrow")
+    )
+
+    def islands(group: pa.Table) -> pa.Table:
+        doc = np.asarray(group["doc_id"], np.int64)
+        st = np.asarray(group["start0"], np.int64)
+        order = np.lexsort((st, doc))
+        return _spans_table(doc[order], st[order], width)
+
+    return marked.groupby("__dpart").map_groups(islands, batch_format="pyarrow")
+
+
+COLUMNS = ["doc_id", "span_start", "span_end", "span_len", "n_windows"]
+
+
+def dup_spans_query(sf_dir: str, **kw):
+    import pandas as pd
+
+    df = dup_spans(sf_dir, **kw).to_pandas()
+    if df.empty:  # all-empty datasets drop their schema through to_pandas
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in COLUMNS})
+    return df.sort_values(["doc_id", "span_start", "span_end"]).reset_index(drop=True)
