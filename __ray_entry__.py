@@ -558,6 +558,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["image_features_docs"] = image_features_docs
     q["audio_frames_docs"] = audio_frames_docs
 
+    from parquet_go_ray.pipelines.multimodal import video_frames_docs
+
+    q["video_frames_docs"] = video_frames_docs
+
     from parquet_go_ray.pipelines.multimodal import image_ppm_features
 
     q["image_ppm_features"] = image_ppm_features
@@ -652,6 +656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new operator: span-level exact substring dedup (both paths oracled
         # in pytest; broadcast path runs here)
         "dup_spans_documents",
+        # new operator: video frame-sample stage (multimodal family)
+        "video_frames_docs",
         # FSST segmentation fix (codecs/fsst.py)
         "rt_documents_fsst",
         # vectorized vocab lookup (llmprep.py) / Arrow anti-join (dedup.py)
@@ -802,6 +808,16 @@ def oracle_sql() -> dict[str, str]:
         "image_features_docs": (
             "SELECT doc_id AS media_id, (doc_id % 3) < 2 AS decoded_ok, "
             "CASE WHEN (doc_id % 3) < 2 THEN sha256(text) ELSE '' END AS payload_sha "
+            "FROM documents"
+        ),
+        # video frame-sample: payload = text bytes, frame_bytes=32, k=8 —
+        # counts are closed-form in SQL (ASCII corpus: chars == bytes)
+        "video_frames_docs": (
+            "SELECT doc_id AS media_id, doc_id % 2 = 0 AS is_video, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN length(text) // 32 ELSE 0 END "
+            "AS BIGINT) AS n_frames_total, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN LEAST(8, length(text) // 32) "
+            "ELSE 0 END AS BIGINT) AS n_sampled "
             "FROM documents"
         ),
         "rt_embeddings": "SELECT vec_id, label, LEN(embedding) AS dim FROM embeddings",

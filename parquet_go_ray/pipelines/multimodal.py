@@ -225,6 +225,120 @@ def audio_frames_docs(sf_dir: str) -> rd.Dataset:
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+class VideoFrameSampleStage:
+    """decode -> evenly-spaced frame sample over a video payload.
+
+    Real container demuxing (mp4/mkv) is stubbed like ImageFeatureStage's
+    codec decode — no av/ffmpeg in this container; subclass and override
+    ``_decode_real``.  The deterministic fake treats the payload as raw
+    consecutive ``frame_bytes``-sized frames (an uncompressed-stream model),
+    samples ``n_frames`` evenly among the full frames, and emits per-frame
+    mean byte values — one vectorized (rows × k × frame_bytes) gather for
+    the whole batch, no per-row Python.  Output layout (ids, flags, counts,
+    list<float32> features) is the real dataloader-facing shape."""
+
+    def __init__(self, n_frames: int = 8, frame_bytes: int = 32, use_real: bool = False):
+        self.n_frames = n_frames
+        self.frame_bytes = frame_bytes
+        self.real = use_real
+
+    def _decode_real(self, payload: bytes) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError(
+            "real video demux/decode needs an av/ffmpeg binding (absent in "
+            "this container); subclass and override _decode_real, then "
+            "construct with use_real=True"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs.base import binary_parts
+
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        mime = batch["mime"]
+        if isinstance(mime, pa.ChunkedArray):
+            mime = mime.combine_chunks()
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        is_video = np.asarray(pc.starts_with(mime.cast(pa.string()), "video/"))
+        lengths, data = binary_parts(payload)
+        fb = self.frame_bytes
+        n_total = np.where(is_video, lengths // fb, 0).astype(np.int64)
+        k_row = np.minimum(n_total, self.n_frames).astype(np.int64)
+        if self.real:  # pragma: no cover — opt-in subclass path
+            feats = [
+                self._decode_real(bytes(p)) if v else np.empty(0, np.float32)
+                for p, v in zip(payload.to_pylist(), is_video)
+            ]
+            flat = np.concatenate(feats) if feats else np.empty(0, np.float32)
+            counts = np.array([len(f) for f in feats], dtype=np.int32)
+        else:
+            k = self.n_frames
+            starts = np.concatenate(([0], np.cumsum(lengths[:-1])))
+            # evenly-spaced frame indices in [0, n_total-1], truncated —
+            # rows with fewer than k frames reuse index 0 but only the
+            # first k_row entries are kept by the offsets below
+            frac = np.arange(k, dtype=np.float64) / max(k - 1, 1)
+            fidx = (frac[None, :] * np.maximum(n_total - 1, 0)[:, None]).astype(
+                np.int64
+            )
+            byte0 = starts[:, None, None] + fidx[:, :, None] * fb + np.arange(
+                fb, dtype=np.int64
+            )[None, None, :]
+            byte0 = np.clip(byte0, 0, max(len(data) - 1, 0))
+            if len(data):
+                means = data[byte0].astype(np.float32).mean(axis=2)
+            else:
+                means = np.zeros((n, k), dtype=np.float32)
+            # keep only each row's first k_row sampled frames
+            keep2d = np.arange(k)[None, :] < k_row[:, None]
+            flat = means[keep2d]
+            counts = k_row.astype(np.int32)
+        offsets = pa.array(np.concatenate(([0], np.cumsum(counts))).astype(np.int32))
+        out = pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float32()))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "is_video": pa.array(is_video),
+                "n_frames_total": pa.array(n_total, pa.int64()),
+                "n_sampled": pa.array(k_row, pa.int64()),
+                "frame_means": out,
+            }
+        )
+
+
+def video_frames(media: rd.Dataset, **kw) -> rd.Dataset:
+    return media.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs=kw,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_ROWS,
+        concurrency=(1, 4),
+    )
+
+
+def video_frames_docs(sf_dir: str) -> rd.Dataset:
+    """Oracled: payload = utf8 text bytes, mime = video/mp4 on even doc_ids
+    — frame counts are closed-form in SQL (length(text) // frame_bytes),
+    so the driver value-hashes ids, flags and both counts."""
+    ds = _read_parquet_any(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        mimes = np.where(ids % 2 == 0, "video/mp4", "application/octet-stream")
+        return pa.table(
+            {
+                "media_id": b["doc_id"],
+                "mime": pa.array(mimes.tolist(), pa.string()),
+                "payload": b["text"].cast(pa.large_binary()),
+            }
+        )
+
+    out = video_frames(ds.map_batches(fn, batch_format="pyarrow"))
+    return out.select_columns(["media_id", "is_video", "n_frames_total", "n_sampled"])
+
+
 # -- REAL decode path: PPM (P6) needs no image library ------------------------
 #
 # The stubbed JPEG/PNG path above is honest about the missing libs; PPM/BMP

@@ -117,6 +117,51 @@ def test_multimodal_plumbing(ray_session):
     assert aud.frames.map(len).eq(16).all()
 
 
+def test_video_frame_sample_stage(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.multimodal import (
+        VideoFrameSampleStage,
+        video_frames,
+    )
+
+    # hand-built payload: 4 frames of 32 bytes with known means
+    fb = 32
+    payload = b"".join(bytes([v]) * fb for v in (10, 20, 30, 40))
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "mime": pa.array(["video/mp4", "audio/wav", "video/mp4"]),
+            # row 3: shorter than one frame -> 0 frames sampled
+            "payload": pa.array([payload, payload, b"xy"], pa.large_binary()),
+        }
+    )
+    out = VideoFrameSampleStage(n_frames=8, frame_bytes=fb)(batch)
+    d = out.to_pydict()
+    assert d["is_video"] == [True, False, True]
+    assert d["n_frames_total"] == [4, 0, 0]
+    assert d["n_sampled"] == [4, 0, 0]
+    # 4 sampled frames over 4 total: evenly-spaced truncated indices 0,1,2,3
+    # appear among the 8-slot linspace; first 4 kept = frames 0,1,1,2? NO:
+    # k_row=4 keeps the first 4 of linspace(0,3,8)//1 = [0,0,0,1,1,2,2,3]
+    assert d["frame_means"][0] == [10.0, 10.0, 10.0, 20.0]
+    assert d["frame_means"][1] == [] and d["frame_means"][2] == []
+
+    # stub decode path raises with a clear message
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(use_real=True)._decode_real(b"")
+
+    # dataset-level stage wiring + determinism
+    ds = rd.from_arrow(batch)
+    a = video_frames(ds).to_pandas().sort_values("media_id").reset_index(drop=True)
+    b = video_frames(ds).to_pandas().sort_values("media_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a.n_sampled.tolist() == [4, 0, 0]
+
+
 def test_sources_csv_json_arrow(ray_session, tmp_path):
     import pyarrow as pa
 
