@@ -487,9 +487,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_embedding"] = lambda sf: dedup_embedding(sf, threshold=0.35)
 
     # span-level exact substring dedup (Lee et al. 2022 semantics, round 5)
-    from parquet_go_ray.pipelines.substring import dup_spans_query
+    from parquet_go_ray.pipelines.substring import (
+        dup_spans_query,
+        strip_dup_spans_query,
+    )
 
     q["dup_spans_documents"] = dup_spans_query
+    q["strip_dup_spans_docs"] = strip_dup_spans_query
 
     from parquet_go_ray.pipelines.dedup import (
         dedup_clusters_exhaustive,
@@ -654,8 +658,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new operator: legacy 2-level repeated-list read
         "native_legacy_list_scan",
         # new operator: span-level exact substring dedup (both paths oracled
-        # in pytest; broadcast path runs here)
+        # in pytest; broadcast path runs here) + its removal half
         "dup_spans_documents",
+        "strip_dup_spans_docs",
         # new operator: video frame-sample stage (multimodal family)
         "video_frames_docs",
         # FSST segmentation fix (codecs/fsst.py)
@@ -1010,6 +1015,49 @@ def oracle_sql() -> dict[str, str]:
             "       COUNT(*) AS n_windows "
             "FROM marked GROUP BY doc_id, isl "
             "ORDER BY doc_id, span_start, span_end"
+        ),
+        # removal half: kept_len = orig_len - UNION length of the doc's
+        # duplicated spans (interval merge via running-max gaps-and-islands)
+        "strip_dup_spans_docs": (
+            "WITH starts AS ("
+            "  SELECT doc_id, text,"
+            "         unnest(generate_series(1, length(text) - 19)) AS start"
+            "  FROM documents"
+            "), wins AS ("
+            "  SELECT doc_id, start, substr(text, start::INT, 20) AS win"
+            "  FROM starts"
+            "), dup AS ("
+            "  SELECT win FROM wins GROUP BY win HAVING count(*) >= 2"
+            "), marked AS ("
+            "  SELECT w.doc_id, w.start,"
+            "         w.start - ROW_NUMBER() OVER ("
+            "           PARTITION BY w.doc_id ORDER BY w.start) AS isl"
+            "  FROM wins w JOIN dup USING (win)"
+            "), spans AS ("
+            "  SELECT doc_id, MIN(start) AS s, MAX(start) + 19 AS e"
+            "  FROM marked GROUP BY doc_id, isl"
+            "), runmax AS ("
+            "  SELECT doc_id, s, e,"
+            "         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e"
+            "           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            "           AS prev_max"
+            "  FROM spans"
+            "), grp AS ("
+            "  SELECT doc_id, s, e,"
+            "         SUM(CASE WHEN prev_max IS NULL OR s > prev_max"
+            "             THEN 1 ELSE 0 END)"
+            "           OVER (PARTITION BY doc_id ORDER BY s, e) AS g"
+            "  FROM runmax"
+            "), merged AS ("
+            "  SELECT doc_id, MIN(s) AS ms, MAX(e) AS me"
+            "  FROM grp GROUP BY doc_id, g"
+            "), cov AS ("
+            "  SELECT doc_id, SUM(me - ms + 1) AS covered"
+            "  FROM merged GROUP BY doc_id) "
+            "SELECT d.doc_id, length(d.text) AS orig_len, "
+            "CAST(length(d.text) - COALESCE(c.covered, 0) AS BIGINT) "
+            "AS kept_len "
+            "FROM documents d LEFT JOIN cov c USING (doc_id) ORDER BY d.doc_id"
         ),
         "text_quality": (
             "SELECT doc_id, LENGTH(text) AS chars, "

@@ -246,11 +246,14 @@ def run_bench() -> dict:
     except ImportError:
         pass
     try:
-        from parquet_go_ray.pipelines.substring import dup_spans
+        from parquet_go_ray.pipelines.substring import dup_spans, strip_dup_spans
 
         t0 = time.time()
         extras["dup_spans_rows"] = dup_spans(SF_DIR).count()
         queries["dup_spans"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        strip_dup_spans(SF_DIR).count()
+        queries["strip_dup_spans"] = round(time.time() - t0, 3)
     except ImportError:
         pass
     try:

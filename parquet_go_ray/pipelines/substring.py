@@ -49,8 +49,10 @@ DEFAULT_WIDTH = 20
 
 
 def _doc_windows(batch: pa.Table, width: int):
-    """(windows_void, doc_rep, local_start) for every width-byte window of
-    every text in the batch; windows never cross document boundaries."""
+    """(windows_void, doc_rep, local_start, global_start) for every
+    width-byte window of every text in the batch; windows never cross
+    document boundaries.  global_start indexes the batch's concatenated
+    text buffer (binary_parts order)."""
     texts = batch["text"]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -59,7 +61,8 @@ def _doc_windows(batch: pa.Table, width: int):
     tot = int(counts.sum())
     if tot == 0:
         empty = np.empty(0, dtype=np.dtype((np.void, width)))
-        return empty, np.empty(0, np.int64), np.empty(0, np.int64)
+        z = np.empty(0, np.int64)
+        return empty, z, z, z
     offs = np.zeros(len(lengths), dtype=np.int64)
     np.cumsum(lengths[:-1], out=offs[1:])
     base = np.repeat(offs, counts)
@@ -71,7 +74,7 @@ def _doc_windows(batch: pa.Table, width: int):
     wins = np.ascontiguousarray(sw[gstarts])  # (tot, width) materialized
     v = wins.view(np.dtype((np.void, width))).ravel()  # memcmp-ordered rows
     doc_rep = np.repeat(np.asarray(batch["doc_id"], dtype=np.int64), counts)
-    return v, doc_rep, within
+    return v, doc_rep, within, gstarts
 
 
 def _void_to_binary(v: np.ndarray, width: int) -> pa.Array:
@@ -116,7 +119,7 @@ class _MarkSpans:
         self.width = width
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        v, doc, start0 = _doc_windows(batch, self.width)
+        v, doc, start0, _ = _doc_windows(batch, self.width)
         if len(v) == 0 or len(self.dup) == 0:
             return _spans_table(doc[:0], start0[:0], self.width)
         pos = np.searchsorted(self.dup, v)
@@ -127,49 +130,49 @@ class _MarkSpans:
         return _spans_table(doc[hit], start0[hit], self.width)
 
 
-def dup_spans(
-    sf_dir: str,
-    width: int = DEFAULT_WIDTH,
-    min_count: int = 2,
-    broadcast_limit: int = 2_000_000,
-) -> rd.Dataset:
-    """(doc_id, span_start, span_end, span_len, n_windows) for every maximal
-    island of consecutive duplicated-window starts, 1-based inclusive."""
+_NPARTS = 64
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    # the documents table is often ONE parquet file = one Ray block; fan
+    # out so the window stages parallelize (each row is a whole doc, so
+    # any split keeps windows intact)
     from ..sources.io import read_parquet_any
 
-    def docs():
-        # the documents table is often ONE parquet file = one Ray block;
-        # fan out so the window stages parallelize (each row is a whole
-        # doc, so any split keeps windows intact)
-        return read_parquet_any(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "text"],
-            override_num_blocks=32,
-        )
+    return read_parquet_any(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=32,
+    )
 
-    nparts = 64
 
-    def _part_of(v: np.ndarray) -> np.ndarray:
-        # Knuth-multiply hash of the window's first min(8, width) bytes;
-        # identical windows always land in the same partition regardless of
-        # which batch emitted them
-        b = np.frombuffer(np.ascontiguousarray(v).tobytes(), dtype=np.uint8)
-        b = b.reshape(len(v), width)
-        head = np.zeros(len(v), dtype="<u8")
-        k = min(8, width)
-        head.view(np.uint8).reshape(len(v), 8)[:, :k] = b[:, :k]
-        return ((head * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)).astype(
-            np.int64
-        ) % nparts
+def _part_of(v: np.ndarray, width: int, nparts: int = _NPARTS) -> np.ndarray:
+    # Knuth-multiply hash of the window's first min(8, width) bytes;
+    # identical windows always land in the same partition regardless of
+    # which batch emitted them
+    b = np.frombuffer(np.ascontiguousarray(v).tobytes(), dtype=np.uint8)
+    b = b.reshape(len(v), width)
+    head = np.zeros(len(v), dtype="<u8")
+    k = min(8, width)
+    head.view(np.uint8).reshape(len(v), 8)[:, :k] = b[:, :k]
+    return ((head * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)).astype(
+        np.int64
+    ) % nparts
+
+
+def _discover_dups(sf_dir: str, width: int, min_count: int) -> rd.Dataset:
+    """ONE exchange: duplicated-window discovery, materialized (bounded —
+    duplicated windows only; without materialize the count and the driver
+    pull would each re-execute the exchange)."""
 
     def count_windows(batch: pa.Table) -> pa.Table:
-        v, _, _ = _doc_windows(batch, width)
+        v, _, _, _ = _doc_windows(batch, width)
         uniq, cnt = np.unique(v, return_counts=True)
         return pa.table(
             {
                 "win": _void_to_binary(uniq, width),
                 "cnt": pa.array(cnt, pa.int64()),
-                "__part": pa.array(_part_of(uniq), pa.int64()),
+                "__part": pa.array(_part_of(uniq, width), pa.int64()),
             }
         )
 
@@ -194,35 +197,50 @@ def dup_spans(
         keep = uniq[tot >= min_count]
         return pa.table({"win": _void_to_binary(keep, width)})
 
-    # materialize: bounded (duplicated windows only), and both the count and
-    # the driver pull below would otherwise re-execute the whole exchange
-    dups = (
-        docs()
+    return (
+        _docs(sf_dir)
         .map_batches(count_windows, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(dup_in_part, batch_format="pyarrow")
         .materialize()
     )
+
+
+def _dup_sorted_array(dups: rd.Dataset, width: int) -> np.ndarray:
+    vt = np.dtype((np.void, width))
+    parts = []
+    for t in dups.iter_batches(batch_format="pyarrow", batch_size=None):
+        col = t["win"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        fixed = col.cast(pa.binary(width))
+        parts.append(
+            np.frombuffer(
+                fixed.buffers()[1], dtype=vt, count=len(fixed),
+                offset=fixed.offset * width,
+            )
+        )
+    return np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=vt)
+
+
+def dup_spans(
+    sf_dir: str,
+    width: int = DEFAULT_WIDTH,
+    min_count: int = 2,
+    broadcast_limit: int = 2_000_000,
+) -> rd.Dataset:
+    """(doc_id, span_start, span_end, span_len, n_windows) for every maximal
+    island of consecutive duplicated-window starts, 1-based inclusive."""
+    nparts = _NPARTS
+
+    def docs():
+        return _docs(sf_dir)
+
+    dups = _discover_dups(sf_dir, width, min_count)
     n_dup = dups.count()
     if n_dup <= broadcast_limit:
         # ---- broadcast path: ONE exchange total ----
-        vt = np.dtype((np.void, width))
-        parts = []
-        for t in dups.iter_batches(batch_format="pyarrow", batch_size=None):
-            col = t["win"]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            fixed = col.cast(pa.binary(width))
-            data = fixed.buffers()[1]
-            parts.append(
-                np.frombuffer(
-                    data, dtype=vt, count=len(fixed), offset=fixed.offset * width
-                )
-            )
-        dup_sorted = (
-            np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=vt)
-        )
-        ref = ray.put(dup_sorted)
+        ref = ray.put(_dup_sorted_array(dups, width))
         return docs().map_batches(
             _MarkSpans,
             fn_constructor_args=(ref, width),
@@ -233,13 +251,13 @@ def dup_spans(
     # bounded __part key (window-hash, then doc-hash) — never a
     # groups-proportional native aggregate ----
     def win_positions(batch: pa.Table) -> pa.Table:
-        v, doc, start0 = _doc_windows(batch, width)
+        v, doc, start0, _ = _doc_windows(batch, width)
         return pa.table(
             {
                 "win": _void_to_binary(v, width),
                 "doc_id": pa.array(doc, pa.int64()),
                 "start0": pa.array(start0, pa.int64()),
-                "__part": pa.array(_part_of(v), pa.int64()),
+                "__part": pa.array(_part_of(v, width), pa.int64()),
             }
         )
 
@@ -303,3 +321,88 @@ def dup_spans_query(sf_dir: str, **kw):
     if df.empty:  # all-empty datasets drop their schema through to_pandas
         return pd.DataFrame({c: pd.Series(dtype="int64") for c in COLUMNS})
     return df.sort_values(["doc_id", "span_start", "span_end"]).reset_index(drop=True)
+
+
+class _StripSpans:
+    """Actor-pool stage: remove every byte covered by a duplicated window
+    (Lee et al.'s ExactSubstr removal — all occurrences stripped).  Coverage
+    is computed with one +1/-1 difference array over the batch's
+    concatenated text buffer and a cumulative sum — no per-row Python."""
+
+    def __init__(self, dup_ref, width: int):
+        self.dup = ray.get(dup_ref)  # sorted np.void array
+        self.width = width
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs.base import build_binary
+
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lengths, data = binary_parts(texts)
+        v, _, _, gstart = _doc_windows(batch, self.width)
+        if len(v) and len(self.dup):
+            pos = np.searchsorted(self.dup, v)
+            pos[pos == len(self.dup)] = 0
+            hit = self.dup[pos] == v
+            g = gstart[hit]
+        else:
+            g = np.empty(0, np.int64)
+        diff = np.zeros(len(data) + 1, dtype=np.int32)
+        np.add.at(diff, g, 1)
+        # a window never crosses its doc's end, so g+width stays in-doc
+        np.add.at(diff, g + self.width, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        kept_data = data[~covered]
+        offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offs[1:])
+        ccum = np.concatenate(([0], np.cumsum(covered, dtype=np.int64)))
+        cov_per_doc = ccum[offs[1:]] - ccum[offs[:-1]]
+        kept_lens = lengths - cov_per_doc
+        stripped = build_binary(kept_lens, kept_data, pa.string())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "orig_len": pa.array(lengths, pa.int64()),
+                "kept_len": pa.array(kept_lens, pa.int64()),
+                "text_stripped": stripped,
+            }
+        )
+
+
+def strip_dup_spans(
+    sf_dir: str,
+    width: int = DEFAULT_WIDTH,
+    min_count: int = 2,
+) -> rd.Dataset:
+    """The removal half of exact substring dedup: every byte covered by a
+    duplicated window is deleted from every document (all occurrences, the
+    published ExactSubstr policy).  Returns (doc_id, orig_len, kept_len,
+    text_stripped).  Same one-exchange duplicated-window discovery as
+    dup_spans; the dup set broadcasts once via ray.put."""
+    dups = _discover_dups(sf_dir, width, min_count)
+    ref = ray.put(_dup_sorted_array(dups, width))
+    return _docs(sf_dir).map_batches(
+        _StripSpans,
+        fn_constructor_args=(ref, width),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def strip_dup_spans_query(sf_dir: str, **kw):
+    """Driver projection: (doc_id, orig_len, kept_len) — kept_len is
+    closed-form in SQL as orig_len minus the UNION length of the doc's
+    duplicated spans (interval merge via running-max gaps-and-islands)."""
+    import pandas as pd
+
+    df = (
+        strip_dup_spans(sf_dir, **kw)
+        .select_columns(["doc_id", "orig_len", "kept_len"])
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("doc_id", "orig_len", "kept_len")}
+        )
+    return df.sort_values("doc_id").reset_index(drop=True)

@@ -75,7 +75,7 @@ def test_doc_windows_never_cross_documents():
             "text": pa.array(["abcdef", "xy", "defabc"]),
         }
     )
-    v, doc, start0 = _doc_windows(batch, 4)
+    v, doc, start0, gstart = _doc_windows(batch, 4)
     wins = [bytes(x) for x in v.tolist()]
     assert wins == [b"abcd", b"bcde", b"cdef", b"defa", b"efab", b"fabc"]
     assert doc.tolist() == [1, 1, 1, 3, 3, 3]
@@ -123,3 +123,45 @@ def test_dup_spans_no_duplicates_is_empty(ray_session, tmp_path):
     )
     out = dup_spans_query(str(tmp_path), width=20)
     assert len(out) == 0
+
+
+def test_strip_dup_spans_engine_and_reference(ray_session):
+    """The removal half: stripped text matches a naive per-doc Python
+    reference (cover every duplicated window's bytes, keep the rest) and
+    kept_len == len(text_stripped)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.pipelines.substring import strip_dup_spans
+
+    W = 20
+    full = (
+        strip_dup_spans(SF_DIR, width=W)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (full.text_stripped.str.len() == full.kept_len).all()
+    assert (full.kept_len <= full.orig_len).all()
+    assert (full.kept_len < full.orig_len).any(), "corpus has duplicates"
+
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    cnt = Counter()
+    for t in docs.text:
+        for i in range(len(t) - W + 1):
+            cnt[t[i : i + W]] += 1
+
+    def ref_strip(t: str) -> str:
+        cov = np.zeros(len(t), bool)
+        for i in range(len(t) - W + 1):
+            if cnt[t[i : i + W]] >= 2:
+                cov[i : i + W] = True
+        return "".join(c for c, m in zip(t, cov) if not m)
+
+    sample = docs.sample(n=25, random_state=0)
+    got = full.set_index("doc_id").text_stripped
+    for _, row in sample.iterrows():
+        assert got[row.doc_id] == ref_strip(row.text)
