@@ -15,7 +15,12 @@ queries() keys map to SURVEY.md §2 operators:
   dedup_* / ngram_* / embedding_* / knn_* — dedup + similarity family;
                     *_exhaustive are LSH-free bounded-subset variants that
                     fully SQL-oracle the jaccard/cosine/component kernels
-  text_* / lang_id / fingerprint / image_* / audio_* — text + multimodal
+  dup_spans_documents / strip_dup_spans_docs — span-level EXACT substring
+                    dedup (Lee et al. ACL-2022): duplicated-window islands
+                    + the all-occurrence removal transform, both oracled
+  text_* / lang_id / fingerprint / image_* / audio_* / video_* — text +
+                    multimodal (stub decode + real PPM + audio/video
+                    frame-sampling)
   clean_corpus    — composite staged pipeline (quality -> exact -> near)
   transcode_native / read_native_* — REAL PAR1 interop (engine pages read
                     by DuckDB; pyarrow pages through engine decoders)
