@@ -273,6 +273,13 @@ class VideoFrameSampleStage:
             ]
             flat = np.concatenate(feats) if feats else np.empty(0, np.float32)
             counts = np.array([len(f) for f in feats], dtype=np.int32)
+            # a real decoder returns one value per DECODED frame and the
+            # container's total frame count isn't known without demux
+            # metadata: report both counts from the decoded result so
+            # n_sampled always equals len(frame_means[i]) (the byte-model
+            # n_total below would be meaningless for a compressed container)
+            n_total = counts.astype(np.int64)
+            k_row = counts.astype(np.int64)
         else:
             k = self.n_frames
             starts = np.concatenate(([0], np.cumsum(lengths[:-1])))

@@ -149,9 +149,12 @@ def _docs(sf_dir: str) -> rd.Dataset:
 def _part_of(v: np.ndarray, width: int, nparts: int = _NPARTS) -> np.ndarray:
     # Knuth-multiply hash of the window's first min(8, width) bytes;
     # identical windows always land in the same partition regardless of
-    # which batch emitted them
-    b = np.frombuffer(np.ascontiguousarray(v).tobytes(), dtype=np.uint8)
-    b = b.reshape(len(v), width)
+    # which batch emitted them.  Zero-copy: v is contiguous everywhere it
+    # is produced (_doc_windows materializes, np.unique returns fresh), so
+    # the uint8 view shares the buffer; only the 8-byte heads are copied.
+    if not v.flags.c_contiguous:  # defensive; never hit on current callers
+        v = np.ascontiguousarray(v)
+    b = v.view(np.uint8).reshape(len(v), width)
     head = np.zeros(len(v), dtype="<u8")
     k = min(8, width)
     head.view(np.uint8).reshape(len(v), 8)[:, :k] = b[:, :k]
@@ -247,9 +250,29 @@ def dup_spans(
             batch_format="pyarrow",
             concurrency=(1, 8),
         )
-    # ---- distributed path: no driver-side set, 2 exchanges, both on the
-    # bounded __part key (window-hash, then doc-hash) — never a
-    # groups-proportional native aggregate ----
+    # ---- distributed path: the already-discovered dup set is cogrouped
+    # with the window positions on the same __part key (a union, never a
+    # driver-side pull), then islands merge per doc-hash partition ----
+    marked = _dup_positions_distributed(sf_dir, width, dups, nparts)
+
+    def islands(group: pa.Table) -> pa.Table:
+        doc = np.asarray(group["doc_id"], np.int64)
+        st = np.asarray(group["start0"], np.int64)
+        order = np.lexsort((st, doc))
+        return _spans_table(doc[order], st[order], width)
+
+    return marked.groupby("__dpart").map_groups(islands, batch_format="pyarrow")
+
+
+def _dup_positions_distributed(
+    sf_dir: str, width: int, dups: rd.Dataset, nparts: int = _NPARTS
+) -> rd.Dataset:
+    """(doc_id, start0, __dpart) of every duplicated-window start, fully
+    distributed: window positions UNION the tagged dup set, cogrouped by
+    the window-hash __part key, membership by vectorized searchsorted —
+    the discovery exchange's result is REUSED, not re-derived, and nothing
+    reaches the driver."""
+
     def win_positions(batch: pa.Table) -> pa.Table:
         v, doc, start0, _ = _doc_windows(batch, width)
         return pa.table(
@@ -261,12 +284,35 @@ def dup_spans(
             }
         )
 
-    def dup_positions_in_part(group: pa.Table) -> pa.Table:
-        # every occurrence of a window hashes to the same partition, so the
-        # per-partition multiset count is the corpus-wide count
-        col = group["win"]
+    def tag_dups(batch: pa.Table) -> pa.Table:
+        col = batch["win"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table(
+                {
+                    "win": pa.array([], pa.binary()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "start0": pa.array([], pa.int64()),
+                    "__part": pa.array([], pa.int64()),
+                }
+            )
+        fixed = col.cast(pa.binary(width))
+        vt = np.dtype((np.void, width))
+        v = np.frombuffer(
+            fixed.buffers()[1], dtype=vt, count=len(fixed), offset=fixed.offset * width
+        )
+        neg = np.full(len(col), -1, dtype=np.int64)  # marker rows
+        return pa.table(
+            {
+                "win": col.cast(pa.binary()),
+                "doc_id": pa.array(neg, pa.int64()),
+                "start0": pa.array(neg, pa.int64()),
+                "__part": pa.array(_part_of(v, width), pa.int64()),
+            }
+        )
+
+    def member_positions(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "doc_id": pa.array([], pa.int64()),
@@ -274,41 +320,43 @@ def dup_spans(
                 "__dpart": pa.array([], pa.int64()),
             }
         )
+        col = group["win"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
         if len(col) == 0:
             return empty
+        doc = np.asarray(group["doc_id"], np.int64)
+        st = np.asarray(group["start0"], np.int64)
         fixed = col.cast(pa.binary(width))
         vt = np.dtype((np.void, width))
         v = np.frombuffer(
             fixed.buffers()[1], dtype=vt, count=len(fixed), offset=fixed.offset * width
         )
-        _, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
-        keep = cnt[inv] >= min_count
-        if not keep.any():
+        is_mark = doc < 0
+        dup_sorted = np.sort(v[is_mark])
+        if not len(dup_sorted) or is_mark.all():
             return empty
-        doc = np.asarray(group["doc_id"], np.int64)[keep]
-        st = np.asarray(group["start0"], np.int64)[keep]
+        pv = v[~is_mark]
+        pos = np.searchsorted(dup_sorted, pv)
+        pos[pos == len(dup_sorted)] = 0
+        hit = dup_sorted[pos] == pv
+        keep_doc = doc[~is_mark][hit]
+        keep_st = st[~is_mark][hit]
         return pa.table(
             {
-                "doc_id": pa.array(doc, pa.int64()),
-                "start0": pa.array(st, pa.int64()),
-                "__dpart": pa.array(doc % nparts, pa.int64()),
+                "doc_id": pa.array(keep_doc, pa.int64()),
+                "start0": pa.array(keep_st, pa.int64()),
+                "__dpart": pa.array(keep_doc % nparts, pa.int64()),
             }
         )
 
-    marked = (
-        docs()
-        .map_batches(win_positions, batch_format="pyarrow")
+    positions = _docs(sf_dir).map_batches(win_positions, batch_format="pyarrow")
+    tagged = dups.map_batches(tag_dups, batch_format="pyarrow")
+    return (
+        positions.union(tagged)
         .groupby("__part")
-        .map_groups(dup_positions_in_part, batch_format="pyarrow")
+        .map_groups(member_positions, batch_format="pyarrow")
     )
-
-    def islands(group: pa.Table) -> pa.Table:
-        doc = np.asarray(group["doc_id"], np.int64)
-        st = np.asarray(group["start0"], np.int64)
-        order = np.lexsort((st, doc))
-        return _spans_table(doc[order], st[order], width)
-
-    return marked.groupby("__dpart").map_groups(islands, batch_format="pyarrow")
 
 
 COLUMNS = ["doc_id", "span_start", "span_end", "span_len", "n_windows"]
@@ -323,19 +371,60 @@ def dup_spans_query(sf_dir: str, **kw):
     return df.sort_values(["doc_id", "span_start", "span_end"]).reset_index(drop=True)
 
 
+def _strip_buffer(
+    lengths: np.ndarray, data: np.ndarray, g: np.ndarray, width: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Delete [g_i, g_i + width) from the concatenated doc buffer; returns
+    (kept_lens, kept_data).  Coverage is one +1/-1 difference array + a
+    cumulative sum, then snapped OUTWARD to UTF-8 character boundaries so
+    the stripped strings stay valid UTF-8 on non-ASCII corpora (a window
+    edge can fall mid-multibyte character; ASCII is unaffected).  Forward
+    propagation cannot cross document boundaries: a valid document never
+    starts with a continuation byte."""
+    diff = np.zeros(len(data) + 1, dtype=np.int32)
+    np.add.at(diff, g, 1)
+    # a window never crosses its doc's end, so g+width stays in-doc
+    np.add.at(diff, g + width, -1)
+    covered = np.cumsum(diff[:-1]) > 0
+    if len(data):
+        cont = (data & 0xC0) == 0x80
+        if cont.any():
+            for _ in range(3):  # UTF-8 chars span <= 4 bytes
+                # removed lead -> also remove its continuation tail
+                covered[1:] |= covered[:-1] & cont[1:]
+            for _ in range(3):
+                # removed continuation -> also remove the char's earlier bytes
+                covered[:-1] |= covered[1:] & cont[1:]
+    kept_data = data[~covered]
+    offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    ccum = np.concatenate(([0], np.cumsum(covered, dtype=np.int64)))
+    cov_per_doc = ccum[offs[1:]] - ccum[offs[:-1]]
+    return lengths - cov_per_doc, kept_data
+
+
+def _strip_result(doc_ids, lengths, kept_lens, kept_data) -> pa.Table:
+    from ..codecs.base import build_binary
+
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "orig_len": pa.array(lengths, pa.int64()),
+            "kept_len": pa.array(kept_lens, pa.int64()),
+            "text_stripped": build_binary(kept_lens, kept_data, pa.string()),
+        }
+    )
+
+
 class _StripSpans:
     """Actor-pool stage: remove every byte covered by a duplicated window
-    (Lee et al.'s ExactSubstr removal — all occurrences stripped).  Coverage
-    is computed with one +1/-1 difference array over the batch's
-    concatenated text buffer and a cumulative sum — no per-row Python."""
+    (Lee et al.'s ExactSubstr removal — all occurrences stripped)."""
 
     def __init__(self, dup_ref, width: int):
         self.dup = ray.get(dup_ref)  # sorted np.void array
         self.width = width
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..codecs.base import build_binary
-
         texts = batch["text"]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -348,45 +437,89 @@ class _StripSpans:
             g = gstart[hit]
         else:
             g = np.empty(0, np.int64)
-        diff = np.zeros(len(data) + 1, dtype=np.int32)
-        np.add.at(diff, g, 1)
-        # a window never crosses its doc's end, so g+width stays in-doc
-        np.add.at(diff, g + self.width, -1)
-        covered = np.cumsum(diff[:-1]) > 0
-        kept_data = data[~covered]
-        offs = np.zeros(len(lengths) + 1, dtype=np.int64)
-        np.cumsum(lengths, out=offs[1:])
-        ccum = np.concatenate(([0], np.cumsum(covered, dtype=np.int64)))
-        cov_per_doc = ccum[offs[1:]] - ccum[offs[:-1]]
-        kept_lens = lengths - cov_per_doc
-        stripped = build_binary(kept_lens, kept_data, pa.string())
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "orig_len": pa.array(lengths, pa.int64()),
-                "kept_len": pa.array(kept_lens, pa.int64()),
-                "text_stripped": stripped,
-            }
-        )
+        kept_lens, kept_data = _strip_buffer(lengths, data, g, self.width)
+        return _strip_result(batch["doc_id"], lengths, kept_lens, kept_data)
 
 
 def strip_dup_spans(
     sf_dir: str,
     width: int = DEFAULT_WIDTH,
     min_count: int = 2,
+    broadcast_limit: int = 2_000_000,
 ) -> rd.Dataset:
     """The removal half of exact substring dedup: every byte covered by a
     duplicated window is deleted from every document (all occurrences, the
     published ExactSubstr policy).  Returns (doc_id, orig_len, kept_len,
-    text_stripped).  Same one-exchange duplicated-window discovery as
-    dup_spans; the dup set broadcasts once via ray.put."""
+    text_stripped).  Same one-exchange duplicated-window discovery and the
+    same size-adaptive second pass as dup_spans: dup set ≤ broadcast_limit
+    ships once via ray.put; above it, positions and documents cogroup on
+    the doc-hash partition key with nothing on the driver."""
+    nparts = _NPARTS
     dups = _discover_dups(sf_dir, width, min_count)
-    ref = ray.put(_dup_sorted_array(dups, width))
-    return _docs(sf_dir).map_batches(
-        _StripSpans,
-        fn_constructor_args=(ref, width),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    n_dup = dups.count()
+    if n_dup <= broadcast_limit:
+        ref = ray.put(_dup_sorted_array(dups, width))
+        return _docs(sf_dir).map_batches(
+            _StripSpans,
+            fn_constructor_args=(ref, width),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    # ---- distributed: duplicated starts cogroup with the documents ----
+    positions = _dup_positions_distributed(sf_dir, width, dups, nparts)
+
+    def pos_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.nulls(batch.num_rows, pa.string()),
+                "start0": batch["start0"],
+                "__dpart": batch["__dpart"],
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        doc = np.asarray(batch["doc_id"], np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": batch["text"],
+                "start0": pa.array(np.full(len(doc), -1, np.int64), pa.int64()),
+                "__dpart": pa.array(doc % nparts, pa.int64()),
+            }
+        )
+
+    def strip_group(group: pa.Table) -> pa.Table:
+        st_all = np.asarray(group["start0"], np.int64)
+        is_doc = st_all < 0
+        docs_t = group.filter(pa.array(is_doc)).sort_by("doc_id")
+        if docs_t.num_rows == 0:
+            return _strip_result(
+                pa.array([], pa.int64()),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.uint8),
+            )
+        texts = docs_t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lengths, data = binary_parts(texts)
+        doc_sorted = np.asarray(docs_t["doc_id"], np.int64)
+        offs = np.zeros(len(lengths), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offs[1:])
+        pdoc = np.asarray(group["doc_id"], np.int64)[~is_doc]
+        pst = st_all[~is_doc]
+        idx = np.searchsorted(doc_sorted, pdoc)
+        g = offs[idx] + pst
+        kept_lens, kept_data = _strip_buffer(lengths, data, g, width)
+        return _strip_result(docs_t["doc_id"], lengths, kept_lens, kept_data)
+
+    pos_u = positions.map_batches(pos_rows, batch_format="pyarrow")
+    docs_u = _docs(sf_dir).map_batches(doc_rows, batch_format="pyarrow")
+    return (
+        docs_u.union(pos_u)
+        .groupby("__dpart")
+        .map_groups(strip_group, batch_format="pyarrow")
     )
 
 

@@ -165,3 +165,58 @@ def test_strip_dup_spans_engine_and_reference(ray_session):
     got = full.set_index("doc_id").text_stripped
     for _, row in sample.iterrows():
         assert got[row.doc_id] == ref_strip(row.text)
+
+
+def test_strip_distributed_path_equals_broadcast(ray_session):
+    from parquet_go_ray.pipelines.substring import strip_dup_spans
+
+    def run(**kw):
+        return (
+            strip_dup_spans(SF_DIR, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    a, b = run(), run(broadcast_limit=0)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_strip_snaps_to_utf8_boundaries(ray_session, tmp_path):
+    """A duplicated window whose edge falls mid multibyte character must not
+    leave invalid UTF-8 in the stripped output (coverage snaps outward to
+    character boundaries)."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.pipelines.substring import strip_dup_spans
+
+    # the duplicated region ends one byte into a 2-byte char ('é' = C3 A9):
+    # 'X'*19 + 'é' makes the 20-byte window cover C3 but not A9
+    shared = "X" * 19 + "é"
+    texts = [shared + "abcdefgh", shared + "zyxwvuts", "unique text with no dups at all"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["fr"] * 3),
+                "source": pa.array(["s"] * 3),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = (
+        strip_dup_spans(str(tmp_path), width=20)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # every output decodes as strict UTF-8 (pyarrow would have produced the
+    # bytes either way; the snap guarantees validity)
+    for t in out.text_stripped:
+        t.encode("utf-8").decode("utf-8", errors="strict")
+    # the é was partially covered -> whole char removed, no stray bytes
+    assert "é" not in out.text_stripped[0]
+    assert "�" not in out.text_stripped[0]
+    assert out.text_stripped[2] == texts[2]
