@@ -234,17 +234,12 @@ def dup_spans(
 ) -> rd.Dataset:
     """(doc_id, span_start, span_end, span_len, n_windows) for every maximal
     island of consecutive duplicated-window starts, 1-based inclusive."""
-    nparts = _NPARTS
-
-    def docs():
-        return _docs(sf_dir)
-
     dups = _discover_dups(sf_dir, width, min_count)
     n_dup = dups.count()
     if n_dup <= broadcast_limit:
         # ---- broadcast path: ONE exchange total ----
         ref = ray.put(_dup_sorted_array(dups, width))
-        return docs().map_batches(
+        return _docs(sf_dir).map_batches(
             _MarkSpans,
             fn_constructor_args=(ref, width),
             batch_format="pyarrow",
@@ -253,7 +248,7 @@ def dup_spans(
     # ---- distributed path: the already-discovered dup set is cogrouped
     # with the window positions on the same __part key (a union, never a
     # driver-side pull), then islands merge per doc-hash partition ----
-    marked = _dup_positions_distributed(sf_dir, width, dups, nparts)
+    marked = _dup_positions_distributed(sf_dir, width, dups, _NPARTS)
 
     def islands(group: pa.Table) -> pa.Table:
         doc = np.asarray(group["doc_id"], np.int64)
