@@ -220,3 +220,40 @@ def test_strip_snaps_to_utf8_boundaries(ray_session, tmp_path):
     assert "é" not in out.text_stripped[0]
     assert "�" not in out.text_stripped[0]
     assert out.text_stripped[2] == texts[2]
+
+
+def test_dup_spans_all_duplicate_corpus(ray_session, tmp_path):
+    """Adversarial shape: every document identical — every window is
+    duplicated, each doc collapses to ONE whole-doc span, and the stripped
+    corpus is empty strings (bounded dup set = unique windows of one doc)."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.pipelines.substring import dup_spans_query, strip_dup_spans
+
+    text = "the same boilerplate license header repeated everywhere " * 3
+    n = 40
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array([text] * n),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["s"] * n),
+                "n_chars": pa.array([len(text)] * n, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    spans = dup_spans_query(str(tmp_path), width=20)
+    assert len(spans) == n  # one maximal span per doc
+    assert (spans.span_start == 1).all()
+    assert (spans.span_end == len(text)).all()
+    assert (spans.n_windows == len(text) - 19).all()
+    out = (
+        strip_dup_spans(str(tmp_path), width=20)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out.kept_len == 0).all()
+    assert (out.text_stripped == "").all()
